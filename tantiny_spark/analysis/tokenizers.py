@@ -1,0 +1,144 @@
+"""Tokenizer families matching the reference's three analyzers.
+
+Reference: /root/reference/src/tokenizer.rs:27-65 and
+/root/reference/lib/tantiny/tokenizer.rb:5-26.
+
+- ``simple``   = SimpleTokenizer → RemoveLongFilter(40) → LowerCaser
+  (tokenizer.rs:27-33)
+- ``stemmer``  = simple + Snowball stemmer for a language (tokenizer.rs:35-45);
+  supported language codes mirror /root/reference/src/helpers.rs:18-40.
+- ``ngram``    = character n-grams min..max over the raw text, optionally
+  prefix-only, NO lowercasing (tokenizer.rs:47-65).
+
+These are pure-Python functions. The executor-side vectorized wrappers live in
+``tantiny_spark.analysis.udfs``; queries use the same functions driver-side so
+query-time and index-time analysis are identical (tokenizer.rb:24-26).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from functools import lru_cache
+
+from tantiny_spark.errors import UnknownTokenizer
+from tantiny_spark.analysis import porter2, snowball_ru
+
+# Tantivy's SimpleTokenizer splits on char::is_alphanumeric() boundaries.
+# Python's \w also matches '_', which is NOT alphanumeric, hence [^\W_].
+_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+# RemoveLongFilter::limit(40) keeps tokens whose UTF-8 byte length is < 40
+# (tokenizer.rs:29).
+_MAX_TOKEN_BYTES = 40
+
+# Language codes accepted by the reference (src/helpers.rs:18-40).
+SUPPORTED_LANGUAGES = (
+    "ar", "da", "nl", "en", "fi", "fr", "de", "el", "hu", "it",
+    "no", "pt", "ro", "ru", "es", "sv", "ta", "tr",
+)
+
+_STEMMERS = {
+    "en": porter2.stem,
+    "ru": snowball_ru.stem,
+}
+
+
+def _simple_terms(text: str) -> list[str]:
+    return [
+        t.lower()
+        for t in _TOKEN_RE.findall(text)
+        if len(t.encode("utf-8")) < _MAX_TOKEN_BYTES
+    ]
+
+
+@dataclass(frozen=True)
+class Tokenizer:
+    """A serializable tokenizer spec; ``terms(text)`` runs the analyzer.
+
+    Frozen dataclass so it can be captured in UDF closures and hashed into
+    registry keys.
+    """
+
+    kind: str  # simple | stemmer | ngram
+    language: str = "en"
+    min_gram: int = 2
+    max_gram: int = 10
+    prefix_only: bool = False
+
+    def terms(self, text: str) -> list[str]:
+        if text is None:
+            return []
+        if self.kind == "simple":
+            return _simple_terms(text)
+        if self.kind == "stemmer":
+            stem = _stem_fn(self.language)
+            return [stem(t) for t in _simple_terms(text)]
+        if self.kind == "ngram":
+            return _ngrams(text, self.min_gram, self.max_gram, self.prefix_only)
+        raise UnknownTokenizer(self.kind)
+
+    # --- constructors mirroring Tokenizer.new(kind, **opts) (tokenizer.rb:9-22)
+    @staticmethod
+    def default() -> "Tokenizer":
+        return Tokenizer("simple")
+
+    @staticmethod
+    def new(kind: str, **opts) -> "Tokenizer":
+        if kind == "simple":
+            return Tokenizer("simple")
+        if kind == "stemmer":
+            language = str(opts.get("language", "en"))
+            if language not in SUPPORTED_LANGUAGES:
+                raise UnknownTokenizer(f"stemmer language '{language}'")
+            return Tokenizer("stemmer", language=language)
+        if kind == "ngram":
+            return Tokenizer(
+                "ngram",
+                min_gram=int(opts["min"]),
+                max_gram=int(opts["max"]),
+                prefix_only=bool(opts.get("prefix_only", False)),
+            )
+        raise UnknownTokenizer(kind)
+
+
+def _stem_fn(language: str):
+    base = _STEMMERS.get(language)
+    if base is None:
+        raise NotImplementedError(
+            f"Stemmer language '{language}' is recognized (helpers.rs:18-40) but "
+            "only en/ru are implemented in this engine so far."
+        )
+    return _cached_stemmer(language)
+
+
+@lru_cache(maxsize=None)
+def _cached_stemmer(language: str):
+    base = _STEMMERS[language]
+    cache: dict[str, str] = {}
+
+    def cached(token: str) -> str:
+        out = cache.get(token)
+        if out is None:
+            out = base(token)
+            cache[token] = out
+        return out
+
+    return cached
+
+
+def _ngrams(text: str, min_gram: int, max_gram: int, prefix_only: bool) -> list[str]:
+    """Character n-grams over the raw text (no lowercasing, no word split),
+    like tantivy's NgramTokenizer (tokenizer.rs:47-65). Golden:
+    'Morrowind' min=3 max=10 prefix_only → Mor..Morrowind
+    (spec/tantiny/tokenizer_spec.rb:41-48)."""
+    chars = list(text)
+    n = len(chars)
+    out: list[str] = []
+    starts = [0] if prefix_only else range(n)
+    for i in starts:
+        for size in range(min_gram, max_gram + 1):
+            if i + size > n:
+                break
+            out.append("".join(chars[i : i + size]))
+    return out

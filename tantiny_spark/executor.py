@@ -1,0 +1,338 @@
+"""Query execution: compile a plan tree to a DataFrame[doc_id, score].
+
+The read-path equivalent of the reference's __search
+(/root/reference/src/index.rs:244-274): Query → Weight (global stats) →
+scorer over postings → top-k. Here the "weight" is a broadcast join against
+the (tiny) dictionary/stats rows the query needs, the "scorer" is a JVM-side
+BM25 expression over a term-pruned postings scan, and top-k compiles to
+TakeOrderedAndProject.
+
+Score semantics per SURVEY.md §2.5: term/facet tf=1 (IndexRecordOption::Basic,
+src/query.rs:53,190), phrase scores with phrase frequency and the summed idf
+of its terms, fuzzy/regex/prefix/range/all are constant 1.0, conjunction and
+disjunction sum matching children, negation is all-minus-child at 1.0, boost
+multiplies.
+
+Every scan is pruned before it leaves Parquet: term lookups filter on
+(field, term) — pushed down onto the sorted postings layout — and only the
+columns a query type needs are read (no positions for term queries).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from tantiny_spark import plan as P
+from tantiny_spark import scoring
+from tantiny_spark.errors import TantinyError
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+def _decode_norm(col):
+    """fieldnorm byte id → document length, JVM-side (no UDF)."""
+    table = F.array(*[F.lit(v) for v in scoring.FIELDNORM_TABLE])
+    return F.element_at(table, col.cast("int") + 1).cast("double")
+
+
+@dataclass
+class SearchContext:
+    """The live snapshot a query runs against: unioned segment tables with
+    tombstones already applied (see storage.Snapshot.context)."""
+
+    docs: DataFrame
+    postings: DataFrame
+    dictionary: DataFrame
+    stats: DataFrame
+
+    def field_stats(self, field: str) -> DataFrame:
+        # across segments: N sums, avgdl re-derives from exact totals
+        return (
+            self.stats.where(F.col("field") == field)
+            .groupBy("field")
+            .agg(
+                F.sum("num_docs").alias("num_docs"),
+                F.sum("total_tokens").alias("total_tokens"),
+            )
+            .select(
+                F.col("num_docs"),
+                F.when(F.col("num_docs") > 0, F.col("total_tokens") / F.col("num_docs"))
+                .otherwise(F.lit(1.0))
+                .alias("avgdl"),
+            )
+        )
+
+    def term_df(self, field: str, term_col_or_lit) -> DataFrame:
+        return (
+            self.dictionary.where(
+                (F.col("field") == field) & (F.col("term") == term_col_or_lit)
+            )
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+
+
+def _idf_expr(df_col, n_col):
+    return F.log(1.0 + (n_col - df_col + 0.5) / (df_col + 0.5))
+
+
+def _bm25_expr(tf_col, dl_col, avgdl_col, df_col, n_col):
+    norm = scoring.K1 * (1.0 - scoring.B + scoring.B * dl_col / avgdl_col)
+    return _idf_expr(df_col, n_col) * (scoring.K1 + 1.0) * tf_col / (tf_col + norm)
+
+
+def compile_plan(node: P.Query, ctx: SearchContext) -> DataFrame:
+    """Recursively compile to DataFrame[doc_id: long, score: double]."""
+    if isinstance(node, P.All):
+        return ctx.docs.select("doc_id", F.lit(1.0).alias("score"))
+    if isinstance(node, P.Empty):
+        return ctx.docs.sparkSession.createDataFrame([], RESULT_SCHEMA)
+    if isinstance(node, P.Term):
+        return _term(node, ctx)
+    if isinstance(node, P.Phrase):
+        return _phrase(node, ctx)
+    if isinstance(node, P.FuzzyTerm):
+        return _fuzzy(node, ctx)
+    if isinstance(node, P.Regex):
+        return _dict_expansion(
+            ctx, node.field,
+            F.col("term").rlike("^(?:" + node.pattern + ")$"),
+        )
+    if isinstance(node, P.Prefix):
+        return _dict_expansion(
+            ctx, node.field, F.col("term").startswith(node.prefix)
+        )
+    if isinstance(node, P.Range):
+        col = F.col(node.field)
+        return ctx.docs.where(col.isNotNull() & col.between(F.lit(node.low), F.lit(node.high))).select(
+            "doc_id", F.lit(1.0).alias("score")
+        )
+    if isinstance(node, P.Facet):
+        return _facet(node, ctx)
+    if isinstance(node, P.Conjunction):
+        children = [compile_plan(c, ctx) for c in node.children]
+        out = children[0]
+        for i, child in enumerate(children[1:], start=1):
+            right = child.withColumnRenamed("score", f"score_{i}")
+            out = out.join(right, "doc_id").select(
+                "doc_id", (F.col("score") + F.col(f"score_{i}")).alias("score")
+            )
+        return out
+    if isinstance(node, P.Disjunction):
+        children = [compile_plan(c, ctx) for c in node.children]
+        unioned = children[0]
+        for child in children[1:]:
+            unioned = unioned.unionByName(child)
+        return unioned.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    if isinstance(node, P.Negation):
+        matched = compile_plan(node.child, ctx)
+        return ctx.docs.join(matched, "doc_id", "left_anti").select(
+            "doc_id", F.lit(1.0).alias("score")
+        )
+    if isinstance(node, P.Boost):
+        child = compile_plan(node.child, ctx)
+        return child.select("doc_id", (F.col("score") * F.lit(node.factor)).alias("score"))
+    raise TantinyError(f"Unknown plan node {type(node).__name__}")
+
+
+def _term(node: P.Term, ctx: SearchContext) -> DataFrame:
+    p = ctx.postings.where(
+        (F.col("field") == node.field) & (F.col("term") == node.term)
+    ).select("doc_id", "norm_id")
+    d = ctx.term_df(node.field, F.lit(node.term)).select("df")
+    st = ctx.field_stats(node.field)
+    # tf = 1: reference term queries read postings without freqs (Basic)
+    return (
+        p.crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            _bm25_expr(
+                F.lit(1.0), _decode_norm(F.col("norm_id")),
+                F.col("avgdl"), F.col("df"), F.col("num_docs"),
+            ).alias("score"),
+        )
+    )
+
+
+def _phrase(node: P.Phrase, ctx: SearchContext) -> DataFrame:
+    terms = list(node.terms)
+    if not terms:
+        return ctx.docs.sparkSession.createDataFrame([], RESULT_SCHEMA)
+    if len(terms) == 1:
+        # single-term phrase behaves as a term query with true tf
+        p = ctx.postings.where(
+            (F.col("field") == node.field) & (F.col("term") == terms[0])
+        ).select("doc_id", "tf", "norm_id")
+        d = ctx.term_df(node.field, F.lit(terms[0])).select("df")
+        st = ctx.field_stats(node.field)
+        return (
+            p.crossJoin(F.broadcast(d))
+            .crossJoin(F.broadcast(st))
+            .select(
+                "doc_id",
+                _bm25_expr(
+                    F.col("tf").cast("double"), _decode_norm(F.col("norm_id")),
+                    F.col("avgdl"), F.col("df"), F.col("num_docs"),
+                ).alias("score"),
+            )
+        )
+
+    # k-way positional intersection: shift each term's positions back by its
+    # offset; a phrase occurrence is a position present in every shifted list.
+    parts = []
+    for i, t in enumerate(terms):
+        part = (
+            ctx.postings.where((F.col("field") == node.field) & (F.col("term") == t))
+            .select(
+                "doc_id",
+                F.transform(F.col("positions"), lambda x: x - F.lit(i)).alias(f"pos_{i}"),
+                *( [F.col("norm_id")] if i == 0 else [] ),
+            )
+        )
+        parts.append(part)
+    joined = parts[0]
+    for i in range(1, len(parts)):
+        joined = joined.join(parts[i], "doc_id")
+    inter = F.col("pos_0")
+    for i in range(1, len(terms)):
+        inter = F.array_intersect(inter, F.col(f"pos_{i}"))
+    joined = joined.select(
+        "doc_id", "norm_id", F.size(inter).alias("phrase_tf")
+    ).where(F.col("phrase_tf") > 0)
+
+    # summed idf over the phrase's distinct terms (Lucene/Tantivy multi-term
+    # weight), phrase frequency as tf
+    n_st = ctx.field_stats(node.field)
+    dsum = (
+        ctx.dictionary.where(
+            (F.col("field") == node.field) & (F.col("term").isin(*set(terms)))
+        )
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .crossJoin(F.broadcast(n_st.select("num_docs")))
+        .agg(F.sum(_idf_expr(F.col("df"), F.col("num_docs"))).alias("idf_sum"))
+    )
+    tf = F.col("phrase_tf").cast("double")
+    norm = scoring.K1 * (
+        1.0 - scoring.B + scoring.B * _decode_norm(F.col("norm_id")) / F.col("avgdl")
+    )
+    return (
+        joined.crossJoin(F.broadcast(dsum))
+        .crossJoin(F.broadcast(n_st))
+        .select(
+            "doc_id",
+            (F.col("idf_sum") * (scoring.K1 + 1.0) * tf / (tf + norm)).alias("score"),
+        )
+    )
+
+
+def _dict_expansion(ctx: SearchContext, field: str, term_predicate) -> DataFrame:
+    """Automaton-style queries (regex/prefix/fuzzy): enumerate matching
+    dictionary terms, union their postings, constant score 1.0."""
+    matched = (
+        ctx.dictionary.where(F.col("field") == field)
+        .where(term_predicate)
+        .select("term")
+        .distinct()
+    )
+    return (
+        ctx.postings.where(F.col("field") == field)
+        .join(F.broadcast(matched), "term", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(1.0).alias("score"))
+    )
+
+
+def _fuzzy(node: P.FuzzyTerm, ctx: SearchContext) -> DataFrame:
+    """Levenshtein-with-transpositions (OSA) within ``distance``, matching
+    FuzzyTermQuery::new(term, distance, true) (src/query.rs:58-77). Spark's
+    builtin levenshtein() lacks transpositions, so candidates are length-band
+    pruned JVM-side and the OSA distance runs as a vectorized pandas UDF over
+    the (small) surviving dictionary slice."""
+    query = node.term
+    dist = node.distance
+    osa = _osa_udf(query)
+    band = (F.length(F.col("term")) >= F.lit(len(query) - dist)) & (
+        F.length(F.col("term")) <= F.lit(len(query) + dist)
+    )
+    return _dict_expansion(ctx, node.field, band & (osa(F.col("term")) <= F.lit(dist)))
+
+
+def _osa_udf(query: str):
+    def _osa_batch(series: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def dist(t: str) -> int:
+            hit = cache.get(t)
+            if hit is not None:
+                return hit
+            d = _osa(query, t)
+            cache[t] = d
+            return d
+
+        return series.map(dist).astype("int32")
+
+    return F.pandas_udf(_osa_batch, T.IntegerType())
+
+
+def _osa(a: str, b: str) -> int:
+    """Optimal string alignment distance (restricted Damerau-Levenshtein:
+    substitution/insert/delete cost 1, adjacent transposition cost 1)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def _facet(node: P.Facet, ctx: SearchContext) -> DataFrame:
+    """Facet = term query on the facet field's ancestor postings with
+    tf=1, dl=avgdl=1 ⇒ score = idf(df, N) (SURVEY.md §2.5 note on Basic)."""
+    p = ctx.postings.where(
+        (F.col("field") == node.field) & (F.col("term") == node.path)
+    ).select("doc_id")
+    d = ctx.term_df(node.field, F.lit(node.path)).select("df")
+    st = ctx.field_stats(node.field).select("num_docs")
+    return (
+        p.crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", _idf_expr(F.col("df"), F.col("num_docs")).alias("score"))
+    )
+
+
+def top_k(result: DataFrame, ctx: SearchContext, limit: int = 10) -> DataFrame:
+    """Deterministic top-k: score desc, then id asc (the reference's heap tie
+    order is incidental; ours is pinned). Compiles to TakeOrderedAndProject —
+    per-partition partial top-k, no global sort."""
+    ids = ctx.docs.select("doc_id", "id")
+    return (
+        result.join(ids, "doc_id")
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(limit)
+        .select("id", "score")
+    )

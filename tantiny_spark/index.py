@@ -1,0 +1,252 @@
+"""Index lifecycle — the public API mirroring the reference's Index class.
+
+Reference surface (/root/reference/lib/tantiny/index.rb, sig/tantiny/index.rbs):
+``Index.new`` (create/open, S1), ``<<`` upsert (S2), ``delete`` (S3),
+``transaction`` (S4), ``reload`` (S5), ``search`` (Q15), plus the query
+constructor forwarding methods (index.rb:96-114 via Query::TYPES).
+
+Differences by design (Spark-first, SURVEY.md §1.5):
+- writes batch into one *segment build job* per transaction; a commit is one
+  atomic manifest swap (Iceberg snapshot-commit in production);
+- single-writer locking is a directory lockfile (the driver owns a build; a
+  concurrent writer raises IndexWriterBusyError like index.rb:116-129);
+- readers hold a pinned Snapshot until reload() — ReloadPolicy::Manual.
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from tantiny_spark import plan as P
+from tantiny_spark.build import build_segment
+from tantiny_spark.errors import IndexWriterBusyError, UnexpectedNone
+from tantiny_spark.executor import compile_plan, top_k
+from tantiny_spark.schema import IndexSchema
+from tantiny_spark.storage import IndexStorage, Snapshot
+
+DEFAULT_LIMIT = 10  # index.rb:7
+
+
+class Index:
+    def __init__(self, spark: SparkSession, path: str, schema: IndexSchema | None = None):
+        self.spark = spark
+        self.storage = IndexStorage(path)
+        version = self.storage.current_version()
+        self.snapshot = Snapshot(spark, self.storage, version)
+        persisted = self.snapshot.schema
+        if persisted is not None:
+            self.schema = persisted
+        elif schema is not None:
+            self.schema = schema
+        else:
+            raise UnexpectedNone("schema")
+        self._ctx = None
+        self._in_txn = False
+        self._pending_ops: list = []  # ordered ('add', row) / ('del', id)
+
+    # --- lifecycle ----------------------------------------------------------
+    @staticmethod
+    def new(spark: SparkSession, path: str, schema: IndexSchema) -> "Index":
+        return Index(spark, path, schema)
+
+    def reload(self) -> "Index":
+        """Refresh the reader snapshot (index.rb:63-65)."""
+        self.snapshot = Snapshot(
+            self.spark, self.storage, self.storage.current_version()
+        )
+        self._ctx = None
+        return self
+
+    @property
+    def ctx(self):
+        if self._ctx is None:
+            self._ctx = self.snapshot.context()
+        return self._ctx
+
+    # --- writes -------------------------------------------------------------
+    @contextmanager
+    def transaction(self):
+        """Batch writes into one segment commit (index.rb:47-61). Re-entrant
+        use inside an open transaction is an error, like index.rb:149-151."""
+        if self._in_txn:
+            raise IndexWriterBusyError("nested transaction")
+        lock = os.path.join(self.storage.path, "writer.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            raise IndexWriterBusyError("another writer holds the lock")
+        self._in_txn = True
+        try:
+            yield self
+            self._commit_pending()
+        finally:
+            self._in_txn = False
+            self._pending_ops = []
+            os.unlink(lock)
+
+    def add(self, doc) -> "Index":
+        """Upsert one document — ``index << doc`` (index.rb:67-79). Documents
+        may be dicts or objects exposing the field names (index.rb:112-114);
+        missing fields are dropped (index.rb:106-110)."""
+        row = self._slice_document(doc)
+        if self._in_txn:
+            self._pending_ops.append(("add", row))
+        else:
+            with self.transaction():
+                self._pending_ops.append(("add", row))
+        return self
+
+    __lshift__ = add
+
+    def delete(self, doc_id) -> "Index":
+        if self._in_txn:
+            self._pending_ops.append(("del", str(doc_id)))
+        else:
+            with self.transaction():
+                self._pending_ops.append(("del", str(doc_id)))
+        return self
+
+    def add_dataframe(self, df: DataFrame) -> int:
+        """Bulk build: index every row of ``df`` (columns named per schema) as
+        one segment. Returns the committed version."""
+        return self._commit_segment(df, deletes=None)
+
+    def _slice_document(self, doc) -> dict:
+        row = {}
+        for field in self.schema.fields:
+            if isinstance(doc, dict):
+                value = doc.get(field)
+            else:
+                value = getattr(doc, field, None)
+            if value is not None:
+                row[field] = self.schema.coerce(field, value)
+        if self.schema.id_field not in row:
+            raise UnexpectedNone(f"document is missing id field '{self.schema.id_field}'")
+        return row
+
+    def _replay_ops(self) -> tuple:
+        """Replay the ordered op log: delete-then-add upsert semantics
+        (src/index.rs:182-185); a delete after an add in the same transaction
+        removes the uncommitted doc (spec/tantiny/index_spec.rb:218-247)."""
+        alive: dict = {}
+        touched: set = set()
+        for op, payload in self._pending_ops:
+            if op == "add":
+                key = payload[self.schema.id_field]
+                alive[key] = payload
+                touched.add(key)
+            else:
+                alive.pop(payload, None)
+                touched.add(payload)
+        return list(alive.values()), sorted(touched)
+
+    def _rows_to_df(self, rows: list) -> DataFrame | None:
+        if not rows:
+            return None
+        fields = [T.StructField("__order", T.IntegerType(), False)]
+        sch = self.schema
+        spark_types = {
+            "id": T.StringType(), "text": T.StringType(), "string": T.StringType(),
+            "integer": T.LongType(), "double": T.DoubleType(),
+            "date": T.TimestampType(), "facet": T.StringType(),
+        }
+        for name, kind in sch.fields.items():
+            fields.append(T.StructField(name, spark_types[kind], True))
+        data = []
+        for i, row in enumerate(rows):
+            rec = [i] + [row.get(name) for name in sch.fields]
+            data.append(tuple(rec))
+        return self.spark.createDataFrame(data, T.StructType(fields)).drop("__order")
+
+    def _commit_pending(self):
+        rows, touched = self._replay_ops()
+        if not touched:
+            return
+        # every touched id is tombstoned in older segments; survivors are
+        # re-indexed in the new segment
+        self._commit_segment(self._rows_to_df(rows), touched)
+
+    def _commit_segment(self, df: DataFrame | None, deletes: list | None) -> int:
+        manifest = self.storage.read_manifest(self.storage.current_version())
+        base = int(manifest.get("next_doc_id", 0))
+        segments = list(manifest["segments"])
+        next_doc_id = base
+        if df is not None and not df.isEmpty():
+            tables = build_segment(self.spark, df, self.schema, doc_id_base=base)
+            n = tables["docs"].count()
+            entry = self.storage.write_segment(tables, tombstones=deletes)
+            segments.append(entry)
+            next_doc_id = base + n
+        elif deletes:
+            # pure-delete commit: attach tombstones to an empty segment entry
+            segments.append({"name": None, "tombstones": sorted(deletes)})
+        version = self.storage.commit(
+            {
+                "segments": segments,
+                "next_doc_id": next_doc_id,
+                "schema": self.schema.to_json(),
+            }
+        )
+        return version
+
+    # --- queries (constructor forwarding, index.rb:96-114) -------------------
+    def all_query(self):
+        return P.all_query()
+
+    def empty_query(self):
+        return P.empty_query()
+
+    def term_query(self, fields, term, **opts):
+        return P.term_query(self.schema, fields, term, **opts)
+
+    def fuzzy_term_query(self, fields, term, distance=P.DEFAULT_FUZZY_DISTANCE, **opts):
+        return P.fuzzy_term_query(self.schema, fields, term, distance, **opts)
+
+    def phrase_query(self, fields, phrase, **opts):
+        return P.phrase_query(self.schema, fields, phrase, **opts)
+
+    def regex_query(self, fields, pattern, **opts):
+        return P.regex_query(self.schema, fields, pattern, **opts)
+
+    def prefix_query(self, fields, prefix, **opts):
+        return P.prefix_query(self.schema, fields, prefix, **opts)
+
+    def range_query(self, fields, rng, **opts):
+        return P.range_query(self.schema, fields, rng, **opts)
+
+    def facet_query(self, field, path, **opts):
+        return P.facet_query(self.schema, field, path, **opts)
+
+    def smart_query(self, fields, query_string, **opts):
+        return P.smart_query(self.schema, fields, query_string, **opts)
+
+    # --- search (index.rb:87-94, src/index.rs:244-274) ----------------------
+    def search(self, query, limit: int = DEFAULT_LIMIT, **smart_opts) -> list:
+        """Returns ids of the top ``limit`` docs (scores discarded, like the
+        reference). String input becomes a smart query over all text fields."""
+        plan = self._as_plan(query, smart_opts)
+        result = compile_plan(plan, self.ctx)
+        rows = top_k(result, self.ctx, limit).collect()
+        return [r["id"] for r in rows]
+
+    def search_with_scores(self, query, limit: int = DEFAULT_LIMIT, **smart_opts) -> list:
+        plan = self._as_plan(query, smart_opts)
+        result = compile_plan(plan, self.ctx)
+        rows = top_k(result, self.ctx, limit).collect()
+        return [(r["id"], r["score"]) for r in rows]
+
+    def search_df(self, query, limit: int = DEFAULT_LIMIT, **smart_opts) -> DataFrame:
+        plan = self._as_plan(query, smart_opts)
+        return top_k(compile_plan(plan, self.ctx), self.ctx, limit)
+
+    def _as_plan(self, query, smart_opts) -> P.Query:
+        if isinstance(query, P.Query):
+            return query
+        return P.smart_query(
+            self.schema, list(self.schema.text_fields), str(query), **smart_opts
+        )

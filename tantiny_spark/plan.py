@@ -1,0 +1,295 @@
+"""Query algebra — the logical plan the executor compiles to DataFrames.
+
+Mirrors the reference's 10-type query surface and composition rules
+(/root/reference/lib/tantiny/query.rb; signatures in sig/tantiny/query.rbs):
+
+- a multi-field query is the disjunction of per-field queries (query.rb:125-136)
+- empty field list → empty query (query.rb:133)
+- unsupported field kind → UnsupportedField (query.rb:128)
+- single-operand conjunction/disjunction collapse (query.rb:19,24)
+- boost(1.0) is a no-op (query.rb:160)
+- prefix is sugar over an escaped anchored regex (query.rb:61-63); we keep a
+  dedicated Prefix node because a sorted term dictionary answers it with a
+  range scan instead of a regex scan (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from datetime import date, datetime
+from typing import Union
+
+from tantiny_spark.errors import UnsupportedField, UnsupportedRange
+from tantiny_spark.schema import IndexSchema
+
+DEFAULT_BOOST = 1.0
+DEFAULT_FUZZY_DISTANCE = 1
+
+
+class Query:
+    """Base node; operators mirror query.rb:143-163."""
+
+    def __or__(self, other: "Query") -> "Query":
+        _check(other)
+        return disjunction(self, other)
+
+    def __and__(self, other: "Query") -> "Query":
+        _check(other)
+        return conjunction(self, other)
+
+    def __invert__(self) -> "Query":
+        return Negation(self)
+
+    def boost(self, factor: float) -> "Query":
+        if factor == DEFAULT_BOOST:
+            return self
+        return Boost(self, float(factor))
+
+
+def _check(other):
+    if not isinstance(other, Query):
+        raise TypeError(f"Not a {Query.__name__}.")
+
+
+@dataclass(frozen=True)
+class All(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class Empty(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class Term(Query):
+    field: str
+    term: str
+
+
+@dataclass(frozen=True)
+class FuzzyTerm(Query):
+    field: str
+    term: str
+    distance: int = DEFAULT_FUZZY_DISTANCE
+
+
+@dataclass(frozen=True)
+class Phrase(Query):
+    field: str
+    terms: tuple
+
+
+@dataclass(frozen=True)
+class Regex(Query):
+    field: str
+    pattern: str
+
+
+@dataclass(frozen=True)
+class Prefix(Query):
+    field: str
+    prefix: str
+
+
+@dataclass(frozen=True)
+class Range(Query):
+    field: str
+    kind: str  # integer | double | date
+    low: object
+    high: object  # both inclusive (src/query.rs:139-163)
+
+
+@dataclass(frozen=True)
+class Facet(Query):
+    field: str
+    path: str
+
+
+@dataclass(frozen=True)
+class Conjunction(Query):
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Disjunction(Query):
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Negation(Query):
+    child: Query
+
+
+@dataclass(frozen=True)
+class Boost(Query):
+    child: Query
+    factor: float
+
+
+def conjunction(*queries: Query) -> Query:
+    if len(queries) == 1:
+        return queries[0]
+    return Conjunction(tuple(queries))
+
+
+def disjunction(*queries: Query) -> Query:
+    if len(queries) == 1:
+        return queries[0]
+    return Disjunction(tuple(queries))
+
+
+# --- builders (the public query constructors, query.rb:27-119) -------------
+
+def _listify(fields) -> list:
+    if fields is None:
+        return []
+    if isinstance(fields, (list, tuple)):
+        return list(fields)
+    return [fields]
+
+
+def _construct(schema: IndexSchema, allowed: list, fields, make, boost: float) -> Query:
+    names = _listify(fields)
+    queries = []
+    for f in names:
+        if f not in allowed:
+            raise UnsupportedField(f)
+        queries.append(make(f))
+    if not names:
+        return Empty()
+    return disjunction(*queries).boost(boost)
+
+
+def _text_and_strings(schema: IndexSchema) -> list:
+    return list(schema.text_fields) + [
+        f for f in schema.string_fields if f not in schema.text_fields
+    ]
+
+
+def all_query() -> Query:
+    return All()
+
+
+def empty_query() -> Query:
+    return Empty()
+
+
+def term_query(schema: IndexSchema, fields, term, boost: float = DEFAULT_BOOST) -> Query:
+    return _construct(
+        schema, _text_and_strings(schema), fields,
+        lambda f: Term(f, str(term)), boost,
+    )
+
+
+def fuzzy_term_query(
+    schema: IndexSchema, fields, term,
+    distance: int = DEFAULT_FUZZY_DISTANCE, boost: float = DEFAULT_BOOST,
+) -> Query:
+    return _construct(
+        schema, _text_and_strings(schema), fields,
+        lambda f: FuzzyTerm(f, str(term), int(distance)), boost,
+    )
+
+
+def phrase_query(schema: IndexSchema, fields, phrase: str, boost: float = DEFAULT_BOOST) -> Query:
+    """Tokenizes the phrase with each field's own tokenizer (query.rb:46-54);
+    text fields only."""
+    names = _listify(fields)
+    queries = []
+    for f in names:
+        terms = schema.tokenizer_for(f).terms(phrase)
+        if f not in schema.text_fields:
+            raise UnsupportedField(f)
+        queries.append(Phrase(f, tuple(terms)))
+    if not queries:
+        return Empty()
+    return disjunction(*queries).boost(boost)
+
+
+def regex_query(schema: IndexSchema, fields, pattern: str, boost: float = DEFAULT_BOOST) -> Query:
+    return _construct(
+        schema, _text_and_strings(schema), fields,
+        lambda f: Regex(f, str(pattern)), boost,
+    )
+
+
+def prefix_query(schema: IndexSchema, fields, prefix: str, boost: float = DEFAULT_BOOST) -> Query:
+    """Reference rewrites prefix → regex (query.rb:61-63). We go the other
+    way where possible: if the 'prefix' is regex-free it becomes a dictionary
+    range scan; otherwise it must still behave as the escaped regex — which
+    matches the literal string, so the Prefix node over the literal is always
+    correct."""
+    return _construct(
+        schema, _text_and_strings(schema), fields,
+        lambda f: Prefix(f, str(prefix)), boost,
+    )
+
+
+def range_query(schema: IndexSchema, fields, rng, boost: float = DEFAULT_BOOST) -> Query:
+    """Reproduces the Ruby quirk (query.rb:65-85): an int range is collapsed
+    with min/max (so ``range(1, 10)`` means [1, 9]) while float/date ranges
+    use first/last and are always treated inclusive."""
+    if isinstance(rng, range):
+        if len(rng) == 0:
+            raise UnsupportedRange("empty range")
+        low, high, kind = min(rng), max(rng), "integer"
+    else:
+        first, last = rng[0], rng[-1]
+        if isinstance(first, bool) or isinstance(last, bool):
+            raise UnsupportedRange(type(first).__name__)
+        if isinstance(first, int) and isinstance(last, int):
+            low, high, kind = min(first, last), max(first, last), "integer"
+        elif isinstance(first, float) or isinstance(last, float):
+            low, high, kind = float(first), float(last), "double"
+        elif isinstance(first, (date, datetime)):
+            low, high, kind = _to_ts(first), _to_ts(last), "date"
+        else:
+            raise UnsupportedRange(type(first).__name__)
+    allowed = {
+        "integer": schema.integer_fields,
+        "double": schema.double_fields,
+        "date": schema.date_fields,
+    }[kind]
+    return _construct(schema, allowed, fields, lambda f: Range(f, kind, low, high), boost)
+
+
+def _to_ts(value) -> datetime:
+    if isinstance(value, datetime):
+        return value
+    return datetime(value.year, value.month, value.day)
+
+
+def facet_query(schema: IndexSchema, field, path: str, boost: float = DEFAULT_BOOST) -> Query:
+    return _construct(
+        schema, schema.facet_fields, field, lambda f: Facet(f, str(path)), boost
+    )
+
+
+def smart_query(
+    schema: IndexSchema, fields, query_string: str,
+    fuzzy_distance: int | None = None, boost: float = DEFAULT_BOOST,
+) -> Query:
+    """Per field: tokenize with the field's tokenizer, AND all terms, with the
+    last term also matching as a prefix; OR across fields (query.rb:92-119)."""
+    field_queries = []
+    for f in _listify(fields):
+        terms = schema.tokenizer_for(f).terms(query_string)
+        if not terms:
+            continue
+        term_queries = [
+            Term(f, t) if fuzzy_distance is None else FuzzyTerm(f, t, fuzzy_distance)
+            for t in terms
+        ]
+        # field validation as in term/fuzzy construction
+        if f not in _text_and_strings(schema):
+            raise UnsupportedField(f)
+        last = disjunction(Prefix(f, terms[-1]), term_queries[-1])
+        field_queries.append(conjunction(last, *term_queries[:-1]))
+    if not field_queries:
+        return Empty()
+    return disjunction(*field_queries).boost(boost)
+
+
+_PREFIX_REGEX_RE = re.compile(r"^(?P<lit>(?:[^\\.\[\]\(\)\{\}\*\+\?\|\^\$]|\\.)*)\.\*$")

@@ -1,0 +1,180 @@
+"""Snapshot storage: segments + manifests over Parquet.
+
+The Spark-native analog of Tantivy's segment directory + meta.json
+(/root/reference/src/index.rs:35-121, commit at :229-236, reload at :238-242):
+
+- each commit writes one immutable *segment* directory holding the four index
+  tables (docs/postings/dict/stats) as Parquet, plus an optional tombstone
+  list of deleted doc ``id``s applying to all OLDER segments;
+- a JSON *manifest* lists the live segments of a version;
+- ``HEAD`` names the current manifest and is swapped atomically
+  (write-tmp + os.replace), giving reader snapshot isolation: an open
+  Snapshot keeps resolving the version it was opened at until reload —
+  exactly the reference's ReloadPolicy::Manual semantics.
+
+In production this layer is one Iceberg table-commit per segment; the sandbox
+has no Iceberg runtime, so the manifest scheme stands in with the same
+atomicity contract. All data stays in Parquet either way, so plans, pruning
+and pushdown are identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tantiny_spark.build import POSTINGS_SCHEMA
+from tantiny_spark.executor import SearchContext
+from tantiny_spark.schema import IndexSchema
+
+TABLES = ("docs", "postings", "dict", "stats")
+
+
+class IndexStorage:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.join(path, "segments"), exist_ok=True)
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+
+    # --- manifest plumbing -------------------------------------------------
+    def _head_path(self) -> str:
+        return os.path.join(self.path, "HEAD")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._head_path()) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def read_manifest(self, version: int) -> dict:
+        if version == 0:
+            return {"version": 0, "segments": [], "next_doc_id": 0, "schema": None}
+        with open(os.path.join(self.path, "snapshots", f"v{version:06d}.json")) as fh:
+            return json.load(fh)
+
+    def commit(self, manifest: dict) -> int:
+        """Write manifest v+1 and atomically swap HEAD to it."""
+        version = self.current_version() + 1
+        manifest = dict(manifest, version=version, committed_at=time.time())
+        mpath = os.path.join(self.path, "snapshots", f"v{version:06d}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, mpath)
+        htmp = self._head_path() + ".tmp"
+        with open(htmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(htmp, self._head_path())
+        return version
+
+    # --- segment IO ---------------------------------------------------------
+    def write_segment(
+        self, tables: dict, tombstones: list | None = None, name: str | None = None
+    ) -> dict:
+        """Persist one segment's tables; returns its manifest entry. Does NOT
+        commit — a crash here leaves an unreferenced directory, never a
+        corrupt index (the resumability contract)."""
+        name = name or f"seg-{uuid.uuid4().hex[:12]}"
+        seg_dir = os.path.join(self.path, "segments", name)
+        max_doc = 0
+        for tname in TABLES:
+            df = tables[tname]
+            df.write.mode("overwrite").parquet(os.path.join(seg_dir, tname))
+        entry = {"name": name, "tombstones": sorted(tombstones or [])}
+        return entry
+
+    def load_segment(self, spark: SparkSession, entry: dict) -> dict:
+        seg_dir = os.path.join(self.path, "segments", entry["name"])
+        return {
+            t: spark.read.parquet(os.path.join(seg_dir, t)) for t in TABLES
+        }
+
+
+class Snapshot:
+    """A pinned view of the index at one manifest version."""
+
+    def __init__(self, spark: SparkSession, storage: IndexStorage, version: int):
+        self.spark = spark
+        self.storage = storage
+        self.version = version
+        self.manifest = storage.read_manifest(version)
+
+    @property
+    def schema(self) -> IndexSchema | None:
+        blob = self.manifest.get("schema")
+        return IndexSchema.from_json(blob) if blob else None
+
+    @property
+    def next_doc_id(self) -> int:
+        return int(self.manifest.get("next_doc_id", 0))
+
+    def context(self) -> SearchContext:
+        """Union the live segments, applying each segment's tombstones to all
+        segments that precede it (delete-then-add upsert semantics,
+        src/index.rs:182-185)."""
+        entries = self.manifest["segments"]
+        if not entries:
+            empty_docs = self.spark.createDataFrame([], "doc_id long, id string")
+            empty_stats = self.spark.createDataFrame(
+                [], "field string, num_docs long, total_tokens long, avgdl double"
+            )
+            empty_dict = self.spark.createDataFrame(
+                [], "field string, term string, df long"
+            )
+            return SearchContext(
+                docs=empty_docs,
+                postings=self.spark.createDataFrame([], POSTINGS_SCHEMA),
+                dictionary=empty_dict,
+                stats=empty_stats,
+            )
+
+        loaded = [
+            self.storage.load_segment(self.spark, e) if e.get("name") else None
+            for e in entries
+        ]
+        # ids deleted by any LATER segment apply to this one
+        docs_parts, post_parts, dict_parts, stats_parts = [], [], [], []
+        for i, (entry, seg) in enumerate(zip(entries, loaded)):
+            if seg is None:  # pure-delete commit: tombstones only
+                continue
+            dead: set = set()
+            for later in entries[i + 1 :]:
+                dead.update(later.get("tombstones", []))
+            docs, postings = seg["docs"], seg["postings"]
+            if dead:
+                dead_df = F.broadcast(
+                    self.spark.createDataFrame([(d,) for d in sorted(dead)], "id string")
+                )
+                docs = docs.join(dead_df, "id", "left_anti")
+                live = docs.select("doc_id")
+                postings = postings.join(F.broadcast(live), "doc_id", "left_semi")
+            docs_parts.append(docs)
+            post_parts.append(postings)
+            dict_parts.append(seg["dict"])
+            stats_parts.append(seg["stats"])
+
+        def union_all(parts):
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+            return out
+
+        if not docs_parts:
+            return Snapshot(self.spark, self.storage, 0).context()
+
+        docs = union_all(docs_parts)
+        postings = union_all(post_parts)
+        # NOTE: dict df / stats counts still include tombstoned docs until the
+        # next merge/compaction — the same freshness tradeoff Tantivy makes
+        # (deleted docs affect BM25 stats until segments merge).
+        return SearchContext(
+            docs=docs,
+            postings=postings,
+            dictionary=union_all(dict_parts),
+            stats=union_all(stats_parts),
+        )

@@ -1,0 +1,177 @@
+"""Index lifecycle tests — ports of spec/tantiny/index_spec.rb (SURVEY.md §5)."""
+
+from datetime import datetime
+
+import pytest
+
+from tantiny_spark.analysis.tokenizers import Tokenizer
+from tantiny_spark.errors import IndexWriterBusyError, UnexpectedNone
+from tantiny_spark.index import Index
+from tantiny_spark.schema import IndexSchema
+
+
+def movie_schema() -> IndexSchema:
+    # README.md:56-65 / index_spec.rb:136-159
+    s = IndexSchema()
+    s.id("imdb_id")
+    s.facet("category")
+    s.string("title")
+    s.text("description", tokenizer=Tokenizer.new("simple"))
+    s.integer("duration")
+    s.double("rating")
+    s.date("release_date")
+    return s
+
+
+HANABI = {
+    "imdb_id": "tt0119250",
+    "category": "/crime/Japan",
+    "title": "Hana-bi",
+    "description": "Takeshi Kitano goes bonkers.",
+    "duration": 103,
+    "rating": 7.7,
+    "release_date": datetime(1998, 12, 1),
+}
+
+
+def test_readme_smoke(spark, tmp_path):
+    # README.md:16-25 — the one-real-query milestone
+    s = IndexSchema()
+    s.text("description")
+    idx = Index(spark, str(tmp_path / "idx"), s)
+    with idx.transaction():
+        idx.add({"id": 1, "description": "Hello World!"})
+        idx.add({"id": 2, "description": "What's up?"})
+        idx.add({"id": 3, "description": "Goodbye World!"})
+    idx.reload()
+    assert sorted(idx.search("world")) == ["1", "3"]
+
+
+def test_movie_doc_all_query_families(spark, tmp_path):
+    # index_spec.rb:161-180
+    idx = Index(spark, str(tmp_path / "idx"), movie_schema())
+    idx.add(HANABI)
+    idx.reload()
+    assert idx.search(idx.term_query("title", "Hana-bi")) == ["tt0119250"]
+    assert idx.search(idx.term_query("description", "bonkers")) == ["tt0119250"]
+    assert idx.search(idx.facet_query("category", "/crime")) == ["tt0119250"]
+    assert idx.search(idx.range_query("duration", (100, 150))) == ["tt0119250"]
+    assert idx.search(idx.range_query("rating", (7.0, 10.0))) == ["tt0119250"]
+    assert idx.search(
+        idx.range_query("release_date", (datetime(1900, 1, 1), datetime(2000, 1, 1)))
+    ) == ["tt0119250"]
+
+
+def test_object_documents(spark, tmp_path):
+    # documents may be any object responding to field names (index.rb:112-114)
+    class Movie:
+        imdb_id = "tt1"
+        title = "Up"
+        description = None
+        duration = 96
+
+    idx = Index(spark, str(tmp_path / "idx"), movie_schema())
+    idx.add(Movie())
+    idx.reload()
+    assert idx.search(idx.term_query("title", "Up")) == ["tt1"]
+
+
+def test_missing_id_raises(spark, tmp_path):
+    idx = Index(spark, str(tmp_path / "idx"), movie_schema())
+    with pytest.raises(UnexpectedNone):
+        idx.add({"title": "No id"})
+
+
+def test_reload_visibility(spark, tmp_path):
+    # index_spec.rb:210-216 — readers see nothing until reload
+    s = IndexSchema()
+    s.text("t")
+    idx = Index(spark, str(tmp_path / "idx"), s)
+    idx.add({"id": 1, "t": "hello"})
+    assert idx.search("hello") == []  # old snapshot
+    idx.reload()
+    assert idx.search("hello") == ["1"]
+
+
+def test_upsert_replaces(spark, tmp_path):
+    # README.md:121-126 — re-adding same id replaces (delete-then-add)
+    s = IndexSchema()
+    s.text("t")
+    idx = Index(spark, str(tmp_path / "idx"), s)
+    idx.add({"id": 1, "t": "old words"})
+    idx.add({"id": 1, "t": "new words"})
+    idx.reload()
+    assert idx.search("old") == []
+    assert idx.search("new") == ["1"]
+    assert idx.search("words") == ["1"]  # exactly once
+
+
+def test_delete_committed_and_uncommitted(spark, tmp_path):
+    # index_spec.rb:218-247
+    s = IndexSchema()
+    s.text("t")
+    idx = Index(spark, str(tmp_path / "idx"), s)
+    idx.add({"id": "kek", "t": "kek"})
+    idx.reload()
+    assert idx.search("kek") == ["kek"]
+    idx.delete("kek")
+    idx.reload()
+    assert idx.search("kek") == []
+    # uncommitted: add + delete in one transaction
+    with idx.transaction():
+        idx.add({"id": "lol", "t": "lol"})
+        idx.delete("lol")
+    idx.reload()
+    assert idx.search("lol") == []
+
+
+def test_search_limit(spark, tmp_path):
+    # index_spec.rb:249-289 — limit, default 10
+    s = IndexSchema()
+    s.text("t")
+    idx = Index(spark, str(tmp_path / "idx"), s)
+    with idx.transaction():
+        for i in range(15):
+            idx.add({"id": i, "t": "hello"})
+    idx.reload()
+    assert len(idx.search("hello")) == 10
+    assert len(idx.search("hello", limit=2)) == 2
+    assert len(idx.search("hello", limit=100)) == 15
+
+
+def test_writer_lock(spark, tmp_path):
+    s = IndexSchema()
+    s.text("t")
+    idx = Index(spark, str(tmp_path / "idx"), s)
+    idx2 = Index(spark, str(tmp_path / "idx"), s)
+    with idx.transaction():
+        idx.add({"id": 1, "t": "x"})
+        with pytest.raises(IndexWriterBusyError):
+            with idx2.transaction():
+                pass
+
+
+def test_schema_persists(spark, tmp_path):
+    idx = Index(spark, str(tmp_path / "idx"), movie_schema())
+    idx.add(HANABI)
+    # reopen without passing a schema
+    reopened = Index(spark, str(tmp_path / "idx"))
+    assert reopened.schema.id_field == "imdb_id"
+    assert reopened.search(reopened.term_query("title", "Hana-bi")) == ["tt0119250"]
+
+
+def test_deterministic_doc_ids(spark, tmp_path):
+    # doc_id = global rank of id: stable across partition counts
+    from tantiny_spark.build import assign_doc_ids
+
+    data = [(f"id{i:03d}", f"payload {i}") for i in range(97, -1, -1)]
+    df = spark.createDataFrame(data, "id string, t string")
+    a = assign_doc_ids(df.repartition(2), "id", 0, num_partitions=3)
+    b = assign_doc_ids(df.repartition(7), "id", 100, num_partitions=5)
+    rows_a = {r["id"]: r["doc_id"] for r in a.collect()}
+    rows_b = {r["id"]: r["doc_id"] for r in b.collect()}
+    assert rows_a == {f"id{i:03d}": i - 0 for i in range(98)} or sorted(
+        rows_a.values()
+    ) == list(range(98))
+    # rank order identical regardless of layout; base offsets apply
+    assert {k: v + 100 for k, v in rows_a.items()} == rows_b

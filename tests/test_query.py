@@ -1,0 +1,233 @@
+"""Query-semantics tests — ports of spec/tantiny/query_spec.rb via FIXTURES.md §3.
+
+The kitchen-sink schema (query_spec.rb:8-16): facet, string, text (simple),
+en_text (English stemmer), double, integer, date; default id field.
+"""
+
+from datetime import datetime
+
+import pytest
+
+from tantiny_spark import plan as P
+from tantiny_spark.analysis.tokenizers import Tokenizer
+from tantiny_spark.errors import UnsupportedField, UnsupportedRange
+from tantiny_spark.index import Index
+from tantiny_spark.schema import IndexSchema
+
+
+def kitchen_schema() -> IndexSchema:
+    s = IndexSchema()
+    s.facet("facet")
+    s.string("string")
+    s.text("text")
+    s.text("en_text", tokenizer=Tokenizer.new("stemmer", language="en"))
+    s.double("double")
+    s.integer("integer")
+    s.date("date")
+    return s
+
+
+def build(spark, tmp_path, docs) -> Index:
+    idx = Index(spark, str(tmp_path / "idx"), kitchen_schema())
+    with idx.transaction():
+        for d in docs:
+            idx.add(d)
+    return idx.reload()
+
+
+def ids(idx, query, limit=10):
+    return sorted(idx.search(query, limit=limit))
+
+
+def test_all_and_empty(spark, tmp_path):
+    # query_spec.rb:55-67
+    idx = build(spark, tmp_path, [{"id": 1}, {"id": 2}])
+    assert ids(idx, P.all_query()) == ["1", "2"]
+    assert ids(idx, P.empty_query()) == []
+
+
+def test_term(spark, tmp_path):
+    # query_spec.rb:69-93
+    idx = build(
+        spark, tmp_path,
+        [{"id": 1, "string": "hi"}, {"id": 2, "text": "hi"}, {"id": 3, "text": "kek"}],
+    )
+    q = idx.term_query(["string", "text"], "hi")
+    assert ids(idx, q) == ["1", "2"]
+    # unsupported field
+    with pytest.raises(UnsupportedField):
+        idx.term_query("integer", "hi")
+
+
+def test_fuzzy(spark, tmp_path):
+    # query_spec.rb:95-119
+    idx = build(
+        spark, tmp_path,
+        [
+            {"id": 1, "string": "hello"},
+            {"id": 2, "text": "hellp"},
+            {"id": 3, "text": "kek"},
+        ],
+    )
+    q = idx.fuzzy_term_query(["string", "text"], "helll", 1)
+    assert ids(idx, q) == ["1", "2"]
+    q0 = idx.fuzzy_term_query(["string", "text"], "helll", 0)
+    assert ids(idx, q0) == []
+
+
+def test_phrase(spark, tmp_path):
+    # query_spec.rb:121-135 — "ones two" stems to "one two" on en_text
+    idx = build(
+        spark, tmp_path,
+        [
+            {"id": 1, "en_text": "one two three"},
+            {"id": 2, "en_text": "three two one"},
+        ],
+    )
+    q = idx.phrase_query("en_text", "ones two")
+    assert ids(idx, q) == ["1"]
+    # phrase is text-only
+    with pytest.raises(UnsupportedField):
+        idx.phrase_query("string", "one two")
+
+
+def test_regex(spark, tmp_path):
+    # query_spec.rb:137-161
+    idx = build(
+        spark, tmp_path,
+        [
+            {"id": 1, "string": "hello"},
+            {"id": 2, "text": "holla"},
+            {"id": 3, "text": "help"},
+        ],
+    )
+    q = idx.regex_query(["string", "text"], "h[eo]ll[oa]")
+    assert ids(idx, q) == ["1", "2"]
+
+
+def test_prefix(spark, tmp_path):
+    # query_spec.rb:163-192 incl. regex special chars
+    idx = build(
+        spark, tmp_path,
+        [
+            {"id": 1, "string": "hello"},
+            {"id": 2, "text": "hell"},
+            {"id": 3, "string": "he.*"},
+        ],
+    )
+    assert ids(idx, idx.prefix_query(["string", "text"], "hell")) == ["1", "2"]
+    assert ids(idx, idx.prefix_query(["string", "text"], "he.")) == ["3"]
+
+
+def test_range(spark, tmp_path):
+    # query_spec.rb:194-237
+    idx = build(
+        spark, tmp_path,
+        [
+            {"id": 1, "integer": 42},
+            {"id": 2, "integer": 100},
+            {"id": 3, "double": 42.0},
+            {"id": 4, "double": 100.0},
+            {"id": 5, "date": datetime(1995, 1, 1)},
+            {"id": 6, "date": datetime(2022, 1, 1)},
+        ],
+    )
+    assert ids(idx, idx.range_query("integer", (0, 50))) == ["1"]
+    assert ids(idx, idx.range_query("double", (0.0, 50.0))) == ["3"]
+    assert ids(
+        idx, idx.range_query("date", (datetime(1900, 1, 1), datetime(2000, 1, 1)))
+    ) == ["5"]
+    # python range object mirrors the Ruby exclusive-end quirk: range(0, 43) = [0, 42]
+    assert ids(idx, idx.range_query("integer", range(0, 43))) == ["1"]
+    assert ids(idx, idx.range_query("integer", range(0, 42))) == []
+    with pytest.raises(UnsupportedRange):
+        idx.range_query("integer", ("a", "z"))
+    with pytest.raises(UnsupportedField):
+        idx.range_query("double", (0, 50))  # int range on double field
+
+
+def test_facet(spark, tmp_path):
+    # query_spec.rb:239-263 — hierarchy: /animals matches descendants
+    idx = build(
+        spark, tmp_path,
+        [
+            {"id": 1, "facet": "/animals/birds"},
+            {"id": 2, "facet": "/animals/fish"},
+            {"id": 3, "facet": "/humans"},
+        ],
+    )
+    assert ids(idx, idx.facet_query("facet", "/animals")) == ["1", "2"]
+    assert ids(idx, idx.facet_query("facet", "/animals/birds")) == ["1"]
+    assert ids(idx, idx.facet_query("facet", "/humans")) == ["3"]
+
+
+def test_smart_query(spark, tmp_path):
+    # query_spec.rb:265-318
+    idx = build(
+        spark, tmp_path,
+        [
+            {"id": 1, "text": "one two three"},
+            {"id": 2, "en_text": "one two three"},
+            {"id": 3, "text": "ready steady go"},
+        ],
+    )
+    fields = ["text", "en_text"]
+    assert ids(idx, idx.smart_query(fields, "one three")) == ["1", "2"]
+    # stemming only on en_text
+    assert ids(idx, idx.smart_query(fields, "ones two threes")) == ["2"]
+    # order-independent
+    assert ids(idx, idx.smart_query(fields, "three two one")) == ["1", "2"]
+    # last term matches as prefix
+    assert ids(idx, idx.smart_query(fields, "one two thr")) == ["1", "2"]
+    # non-last partial term does not match
+    assert ids(idx, idx.smart_query(fields, "one tw three")) == []
+    # fuzzy
+    assert ids(idx, idx.smart_query(fields, "reaby steaby bo", fuzzy_distance=1)) == ["3"]
+    # empty string
+    assert ids(idx, idx.smart_query(fields, "")) == []
+
+
+def test_boolean(spark, tmp_path):
+    # query_spec.rb:320-360
+    idx = build(
+        spark, tmp_path,
+        [
+            {"id": 1, "text": "hello world"},
+            {"id": 2, "text": "hello world war"},
+            {"id": 3, "text": "world war"},
+        ],
+    )
+    hello = idx.term_query("text", "hello")
+    assert ids(idx, ~hello) == ["3"]
+    p1 = idx.phrase_query("text", "hello world")
+    p2 = idx.phrase_query("text", "world war")
+    assert ids(idx, p1 & p2) == ["2"]
+    assert ids(idx, p1 | p2) == ["1", "2", "3"]
+
+
+def test_boost_ordering(spark, tmp_path):
+    # query_spec.rb:362-380 — boost lifts doc 3 to the top
+    idx = build(
+        spark, tmp_path,
+        [
+            {"id": 1, "string": "hello"},
+            {"id": 2, "text": "hello hello"},
+            {"id": 3, "string": "world"},
+        ],
+    )
+    q = idx.term_query(["string", "text"], "hello") | idx.term_query(
+        "string", "world", boost=100
+    )
+    hits = idx.search(q)
+    assert hits[0] == "3"
+    # boost(1.0) is a no-op returning the same plan node (query.rb:160)
+    base = idx.term_query("text", "hello")
+    assert base.boost(1.0) is base
+
+
+def test_operator_type_check(spark, tmp_path):
+    idx = build(spark, tmp_path, [{"id": 1}])
+    with pytest.raises(TypeError):
+        idx.all_query() & "not a query"
+    with pytest.raises(TypeError):
+        idx.all_query() | 42

@@ -1,0 +1,95 @@
+"""Golden tokenizer tests — ports of spec/tantiny/tokenizer_spec.rb:20-49."""
+
+import pytest
+
+from tantiny_spark.analysis.tokenizers import SUPPORTED_LANGUAGES, Tokenizer
+from tantiny_spark.errors import UnknownTokenizer
+
+
+def test_simple_golden():
+    # tokenizer_spec.rb:23-30
+    tok = Tokenizer.new("simple")
+    assert tok.terms("Well, not even last night's storm could wake you.") == [
+        "well", "not", "even", "last", "night", "s", "storm", "could", "wake", "you",
+    ]
+
+
+def test_russian_stemmer_golden():
+    # tokenizer_spec.rb:32-39
+    tok = Tokenizer.new("stemmer", language="ru")
+    assert tok.terms("Ну ты и соня, тебя даже вчерашний шторм не разбудил!") == [
+        "ну", "ты", "и", "сон", "теб", "даж", "вчерашн", "шторм", "не", "разбуд",
+    ]
+
+
+def test_ngram_prefix_golden():
+    # tokenizer_spec.rb:41-48 — no lowercasing
+    tok = Tokenizer.new("ngram", min=3, max=10, prefix_only=True)
+    assert tok.terms("Morrowind") == [
+        "Mor", "Morr", "Morro", "Morrow", "Morrowi", "Morrowin", "Morrowind",
+    ]
+
+
+def test_ngram_all_positions():
+    tok = Tokenizer.new("ngram", min=2, max=3, prefix_only=False)
+    assert tok.terms("abcd") == ["ab", "abc", "bc", "bcd", "cd"]
+
+
+def test_english_stemmer():
+    # north_star pins en_stem = lowercase + Snowball English
+    tok = Tokenizer.new("stemmer", language="en")
+    assert tok.terms("Ones two threes") == ["one", "two", "three"]
+    assert tok.terms("running consistency") == ["run", "consist"]
+
+
+def test_porter2_known_vocabulary():
+    from tantiny_spark.analysis.porter2 import stem
+
+    expected = {
+        "caresses": "caress", "ponies": "poni", "ties": "tie", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "hopping": "hop", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "electriciti": "electr", "generously": "generous", "dying": "die",
+        "news": "news", "communication": "communic",
+    }
+    for word, out in expected.items():
+        assert stem(word) == out, word
+
+
+def test_long_token_filter():
+    # RemoveLongFilter::limit(40): tokens >= 40 bytes dropped (tokenizer.rs:29)
+    tok = Tokenizer.new("simple")
+    keep = "a" * 39
+    drop = "b" * 40
+    assert tok.terms(f"{keep} {drop} ok") == [keep, "ok"]
+
+
+def test_unknown_tokenizer_raises():
+    with pytest.raises(UnknownTokenizer):
+        Tokenizer.new("bogus")
+    with pytest.raises(UnknownTokenizer):
+        Tokenizer.new("stemmer", language="xx")
+
+
+def test_language_registry_matches_reference():
+    # src/helpers.rs:18-40 — the 18 supported codes
+    assert len(SUPPORTED_LANGUAGES) == 18
+    assert "en" in SUPPORTED_LANGUAGES and "ru" in SUPPORTED_LANGUAGES
+
+
+def test_tokens_udf_matches_pure_function(spark):
+    from pyspark.sql import functions as F
+
+    from tantiny_spark.analysis.udfs import tokens_udf
+
+    texts = [
+        "Well, not even last night's storm could wake you.",
+        "Hello World!",
+        None,
+        "",
+    ]
+    tok = Tokenizer.new("stemmer", language="en")
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(tokens_udf(tok)(F.col("text"))).collect()]
+    assert got == [tok.terms(t) if t is not None else [] for t in texts]
