@@ -1,0 +1,208 @@
+"""Deduplication operators for web-scale corpora.
+
+Four families, cheapest→richest, all shuffle-conscious:
+
+- exact: hash-groupBy on a content fingerprint (one shuffle on the hash —
+  uniform keys, no skew).
+- minhash + LSH: shingle → K minhashes → B bands; candidate pairs only join
+  within a band bucket, so the cross-product never materializes. Hashes are
+  md5-based (available and IDENTICAL in Spark, DuckDB and Python — oracle-
+  friendly and seedless-deterministic).
+- simhash: 64-bit fingerprint via vectorized numpy; near-dups differ in few
+  bits. Banded by 16-bit chunks for candidate generation.
+- n-gram Jaccard: exact verification on candidate pairs (or small corpora).
+
+At 10^12 docs: every stage is a dataframe-native group/join keyed on bounded-
+cardinality values; the band buckets cap group sizes, and verification only
+touches candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def shingles_col(text_col, n: int = 3):
+    """Word n-gram shingles as an array column (distinct), JVM-side."""
+    toks = F.filter(F.split(F.lower(text_col), r"[^0-9A-Za-z]+"), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_duplicates(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) content: fingerprint, canonical
+    (min key), group size. Filter n_dups > 1 for actual duplicates."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text)), r"\s+", " "))
+    return (
+        df.select(F.md5(normalized).alias("fingerprint"), F.col(key))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(key).alias("canonical"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text: str = "text", key: str = "doc_id",
+    num_hashes: int = 8, shingle_n: int = 3,
+) -> DataFrame:
+    """K minhashes per doc: mh_i = min over shingles of md5(i || ':' || s).
+    Lexicographic min over hex digests — no int conversion, portable to any
+    SQL oracle. Entirely JVM-side (md5 + array ops)."""
+    sh = shingles_col(F.col(text), shingle_n)
+    cols = [F.col(key)]
+    for i in range(num_hashes):
+        mh = F.array_min(
+            F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        )
+        cols.append(mh.alias(f"mh{i}"))
+    return df.select(*cols)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text: str = "text", key: str = "doc_id",
+    num_hashes: int = 8, band_size: int = 2, shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs: docs agreeing on all hashes of any band.
+    The self-join happens per band bucket — bounded groups, no n² blowup."""
+    sigs = minhash_signatures(df, text, key, num_hashes, shingle_n)
+    bands = []
+    for b in range(num_hashes // band_size):
+        members = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            sigs.select(
+                F.col(key),
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *members).alias("bucket"),
+            )
+        )
+    exploded = bands[0]
+    for b in bands[1:]:
+        exploded = exploded.unionByName(b)
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+        )
+        .select(F.col(f"l.{key}").alias("a"), F.col(f"r.{key}").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, text: str = "text", key: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+    inverted-index join (shingle → docs) so only co-shingled pairs meet."""
+    sh = df.select(F.col(key), F.explode(shingles_col(F.col(text), shingle_n)).alias("s"))
+    sizes = sh.groupBy(key).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .groupBy(F.col(f"a.{key}").alias("a"), F.col(f"b.{key}").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(key).alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(key).alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select(
+            "a", "b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens (vectorized numpy inside an Arrow
+    batch): per token take 64 bits of md5, weight ±1, sign of the column sum.
+    Near-duplicates differ in a small Hamming distance."""
+    import hashlib
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(series: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def token_bits(tok: str) -> np.ndarray:
+            got = cache.get(tok)
+            if got is None:
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                got = np.array([(h >> j) & 1 for j in range(64)], dtype=np.int64)
+                cache[tok] = got
+            return got
+
+        def sim(txt) -> int:
+            if not isinstance(txt, str) or not txt:
+                return 0
+            toks = txt.lower().split()
+            acc = np.zeros(64, dtype=np.int64)
+            for t in toks:
+                acc += token_bits(t) * 2 - 1
+            bits = (acc > 0).astype(np.uint64)
+            val = 0
+            for j in range(64):
+                val |= int(bits[j]) << j
+            # two's-complement into signed 64-bit for LongType
+            return val - (1 << 64) if val >= (1 << 63) else val
+
+        return series.map(sim)
+
+    return df.select(F.col(key), _simhash(F.col(text)).alias("simhash"))
+
+
+def simhash_candidate_pairs(df: DataFrame, text: str = "text", key: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """Band the 64-bit simhash into four 16-bit chunks: any pair within
+    Hamming distance 3 shares at least one exact chunk (pigeonhole)."""
+    sh = simhash64(df, text, key)
+    chunks = []
+    for c in range(4):
+        chunks.append(
+            sh.select(
+                F.col(key),
+                F.col("simhash"),
+                F.lit(c).alias("chunk"),
+                F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+            )
+        )
+    exploded = chunks[0]
+    for c in chunks[1:]:
+        exploded = exploded.unionByName(c)
+    l, r = exploded.alias("l"), exploded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+        )
+        .select(
+            F.col(f"l.{key}").alias("a"),
+            F.col(f"r.{key}").alias("b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    # popcount(xor) via bin() — JVM-side hamming distance
+    ham = F.length(F.regexp_replace(F.bin(F.col("sh_a").bitwiseXOR(F.col("sh_b"))), "0", ""))
+    return pairs.select("a", "b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline, one scan + TakeOrderedAndProject.
+  The dot product is pure JVM expression (zip_with + aggregate) — no Python.
+- LSH-bucketed ANN: sign-random-projection buckets computed from a seeded
+  deterministic hyperplane set; queries only scan their bucket (and
+  neighboring probes), the 100 TB scale path.
+- IVF-style variant: coarse centroids from a deterministic k-means init
+  (k-means++ seeding only — good enough for bucketing), Pandas-UDF assignment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def cosine_expr(vec_col, query: list) -> "F.Column":
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = float(np.sqrt(np.dot(query, query))) or 1.0
+    return _dot(vec_col.cast("array<double>"), q) / (_norm(vec_col.cast("array<double>")) * F.lit(qn))
+
+
+def brute_force_topk(
+    df: DataFrame, query: list, k: int = 10,
+    vec: str = "embedding", key: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector. Deterministic tie-break
+    on the key; compiles to per-partition partial top-k (no global sort)."""
+    scored = df.select(
+        F.col(key), F.round(cosine_expr(F.col(vec), query), 6).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(key).asc()).limit(k)
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def with_lsh_bucket(
+    df: DataFrame, dim: int, n_planes: int = 8, seed: int = 42,
+    vec: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection bucket id (0..2^n_planes-1), fully JVM-side:
+    each plane's dot product is a zip_with/aggregate against a literal array."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    v = F.col(vec).cast("array<double>")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_topk(
+    df: DataFrame, query: list, k: int = 10, n_planes: int = 8, seed: int = 42,
+    vec: str = "embedding", key: str = "vec_id",
+) -> DataFrame:
+    """ANN path: scan only the query's bucket. At scale the table is written
+    partitioned by lsh_bucket so this is partition pruning, not a filter."""
+    dim = len(query)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    qbits = (planes @ np.asarray(query) > 0).astype(int)
+    qbucket = int(sum(b << i for i, b in enumerate(qbits)))
+    bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec)
+    return brute_force_topk(
+        bucketed.where(F.col("lsh_bucket") == qbucket), query, k, vec, key
+    )
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec: str = "embedding", key: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (Arrow-vectorized numpy:
+    one matmul per batch). The IVF 'coarse quantizer' of a 100 TB ANN index —
+    write the table partitioned by cell, probe a handful of cells at query
+    time."""
+    cents = centroids.astype(np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())
+        # cosine: normalize rows then argmax of dot with normalized centroids
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mn @ cn.T, axis=1).astype("int32"))
+
+    return df.withColumn("ivf_cell", _assign(F.col(vec)))
+
+
+def deterministic_centroids(df: DataFrame, k: int, vec: str = "embedding",
+                            key: str = "vec_id", sample: int = 1024) -> np.ndarray:
+    """k-means++-style seeding from a deterministic ordered sample (first
+    `sample` rows by key) — stable across parallelism levels."""
+    rows = (
+        df.orderBy(key).limit(sample).select(vec).collect()
+    )
+    pts = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(42)
+    cents = [pts[0]]
+    for _ in range(1, k):
+        d = np.min(
+            [np.sum((pts - c) ** 2, axis=1) for c in cents], axis=0
+        )
+        probs = d / d.sum() if d.sum() > 0 else None
+        cents.append(pts[rng.choice(len(pts), p=probs)])
+    return np.vstack(cents)

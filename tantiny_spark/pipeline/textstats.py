@@ -1,0 +1,106 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-side (built-in functions only — no Python in the hot path), so they
+run inside whole-stage codegen and scale linearly with executors: token
+counting, quality scoring, document fingerprinting, and an n-gram language-ID
+heuristic (the one Python stage, Arrow-batched).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+# whitespace+punctuation word splitter shared by all stats
+TOKEN_SPLIT = r"[^0-9A-Za-z]+"
+
+# tiny multilingual stopword profiles for the language-ID heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "you", "that", "it", "a"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ich", "ein", "zu", "den"},
+    "fr": {"le", "la", "les", "de", "et", "est", "pas", "une", "que", "je"},
+    "es": {"el", "la", "los", "de", "y", "es", "no", "una", "que", "en"},
+    "ru": {"и", "в", "не", "на", "что", "это", "с", "он", "как", "я"},
+}
+
+_DEFAULT_STOPWORDS = sorted(_LANG_PROFILES["en"])
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != "")
+
+
+def with_token_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """n_tokens, n_distinct_tokens, type-token ratio, mean token length."""
+    toks = tokens_col(text)
+    return (
+        df.withColumn("__toks", toks)
+        .withColumn("n_tokens", F.size("__toks"))
+        .withColumn("n_distinct", F.size(F.array_distinct("__toks")))
+        .withColumn(
+            "ttr",
+            F.when(F.col("n_tokens") > 0, F.col("n_distinct") / F.col("n_tokens"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.aggregate("__toks", F.lit(0), lambda a, t: a + F.length(t))
+                / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__toks")
+    )
+
+
+def with_quality_score(
+    df: DataFrame, text: str = "text", stopwords: list | None = None
+) -> DataFrame:
+    """Heuristic quality score in [0,1] from length, stopword ratio and
+    type-token ratio — the usual cheap pre-filter before expensive model
+    scoring in a data pipeline. Pure column arithmetic."""
+    stopwords = sorted(stopwords or _DEFAULT_STOPWORDS)
+    toks = tokens_col(text)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n = F.size(toks)
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    stop_ratio = F.when(n > 0, n_stop / F.least(n.cast("double"), F.lit(float(len(stopwords))))).otherwise(F.lit(0.0))
+    ttr = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+    len_score = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    return df.withColumn(
+        "quality_score",
+        F.round(0.4 * len_score + 0.3 * stop_ratio + 0.3 * ttr, 6),
+    )
+
+
+def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Deterministic content fingerprint: md5 of the whitespace-normalized
+    lowercased text. Exact-dup key and lineage id for resume checks."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def with_language_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Stopword-profile language ID (Arrow-batched pandas UDF; the profiles
+    are tiny so the heavy lifting is a set intersection per row-batch)."""
+
+    profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def _lang(series: pd.Series) -> pd.Series:
+        def ident(txt):
+            if not isinstance(txt, str) or not txt:
+                return "und"
+            words = set(txt.lower().split()[:200])
+            best, best_hits = "und", 0
+            for lang in sorted(profiles):
+                hits = len(words & profiles[lang])
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            return best
+
+        return series.map(ident)
+
+    udf = F.pandas_udf(_lang, T.StringType())
+    return df.withColumn("lang_id", udf(F.col(text)))
