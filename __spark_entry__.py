@@ -412,7 +412,7 @@ SELECT doc_id, round(sum(score), 4) AS score FROM u GROUP BY doc_id
 
     sqls["boolean_not"] = f"""
 WITH tok AS ({_SQL_TOK})
-SELECT doc_id, 1.0 AS score FROM tok WHERE NOT list_contains(ts, 'spark')
+SELECT doc_id, 1.0::DOUBLE AS score FROM tok WHERE NOT list_contains(ts, 'spark')
 """
 
     sqls["phrase"] = f"""
@@ -431,13 +431,13 @@ FROM ph JOIN dl ON ph.doc_id = dl.doc_id, d, s
 
     sqls["prefix"] = f"""
 WITH tok AS ({_SQL_TOK})
-SELECT doc_id, 1.0 AS score FROM tok
+SELECT doc_id, 1.0::DOUBLE AS score FROM tok
 WHERE len(list_filter(ts, t -> t LIKE 'sp%')) > 0
 """
 
     sqls["regex"] = f"""
 WITH tok AS ({_SQL_TOK})
-SELECT doc_id, 1.0 AS score FROM tok
+SELECT doc_id, 1.0::DOUBLE AS score FROM tok
 WHERE len(list_filter(ts, t -> regexp_matches(t, '^s[a-z]*k$'))) > 0
 """
 
@@ -445,7 +445,7 @@ WHERE len(list_filter(ts, t -> regexp_matches(t, '^s[a-z]*k$'))) > 0
 WITH tok AS ({_SQL_TOK}),
 ex AS (SELECT doc_id, unnest(ts) AS term FROM tok),
 matched AS (SELECT DISTINCT term FROM ex WHERE levenshtein(term, 'spark') <= 1)
-SELECT DISTINCT doc_id, 1.0 AS score FROM ex WHERE term IN (SELECT term FROM matched)
+SELECT DISTINCT doc_id, 1.0::DOUBLE AS score FROM ex WHERE term IN (SELECT term FROM matched)
 """
 
     sqls["range"] = """

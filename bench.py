@@ -1,0 +1,164 @@
+"""Headline benchmark: distributed inverted-index build + BM25 query suite.
+
+Reads documents from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+maps them onto the Common-Crawl-style input shape
+(url, warc_ts, html, text, lang), builds the full index (docs/postings/dict/
+stats segment tables) with tantiny_spark, then runs the reference-derived
+query suite (term / boolean / phrase / prefix / fuzzy / smart / range /
+facet / negation) top-10 each.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] (default 32)
+  SPARK_GRAFT_REPL     deterministic corpus replication factor (default 1) —
+                       used by the two-parallelism scaling study to get a
+                       build long enough to measure (BENCH/BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from tantiny_spark.index import Index  # noqa: E402
+from tantiny_spark.schema import IndexSchema  # noqa: E402
+
+
+def corpus(spark, sf_dir: str, repl: int):
+    """documents.parquet → input_hint shape (url, warc_ts, html, text, lang),
+    deterministically replicated ×repl (distinct urls, same Zipfian text)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if repl > 1:
+        docs = docs.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(repl - 1))).alias("rep")
+        )
+    else:
+        docs = docs.withColumn("rep", F.lit(0))
+    return docs.select(
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 1000).cast("string"),
+            F.lit(".example/page/"), F.col("doc_id").cast("string"),
+            F.lit("-"), F.col("rep").cast("string"),
+        ).alias("url"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("doc_id"))).alias("warc_ts"),
+        F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>"))
+        .cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def build_schema() -> IndexSchema:
+    s = IndexSchema()
+    s.id("url")
+    s.text("text")
+    s.string("lang")
+    s.date("warc_ts")
+    return s
+
+
+QUERY_SUITE = [
+    ("term", lambda ix: ix.term_query("text", "spark")),
+    ("term_rare", lambda ix: ix.term_query("text", "vector")),
+    ("bool_and", lambda ix: ix.term_query("text", "spark") & ix.term_query("text", "merge")),
+    ("bool_or", lambda ix: ix.term_query("text", "hash") | ix.term_query("text", "window")),
+    ("bool_not", lambda ix: ~ix.term_query("text", "spark")),
+    ("phrase", lambda ix: ix.phrase_query("text", "batch batch")),
+    ("prefix", lambda ix: ix.prefix_query("text", "sp")),
+    ("fuzzy", lambda ix: ix.fuzzy_term_query("text", "spork", 1)),
+    ("smart", lambda ix: ix.smart_query(["text"], "spark merg")),
+    ("range_date", lambda ix: ix.range_query("warc_ts", __import__("datetime").datetime(2026, 1, 1), )),
+    ("facet_lang", lambda ix: ix.term_query("lang", "en")),
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repl = int(os.environ.get("SPARK_GRAFT_REPL", "1"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("tantiny-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="tantiny_bench_")
+    timings: dict[str, float] = {}
+    try:
+        src = corpus(spark, sf_dir, repl)
+        n_docs = src.count()
+
+        t0 = time.time()
+        index = Index(spark, os.path.join(tmp, "idx"), build_schema())
+        index.add_dataframe(src)
+        index.reload()
+        build_sec = time.time() - t0
+        timings["index_build"] = round(build_sec, 3)
+
+        # warm the snapshot metadata once, then time queries
+        from datetime import datetime
+
+        suite = [
+            ("term", index.term_query("text", "spark")),
+            ("term2", index.term_query("text", "vector")),
+            ("bool_and", index.term_query("text", "spark") & index.term_query("text", "merge")),
+            ("bool_or", index.term_query("text", "hash") | index.term_query("text", "window")),
+            ("bool_not", ~index.term_query("text", "spark")),
+            ("phrase", index.phrase_query("text", "batch batch")),
+            ("prefix", index.prefix_query("text", "sp")),
+            ("fuzzy", index.fuzzy_term_query("text", "spork", 1)),
+            ("smart", index.smart_query(["text"], "spark merg")),
+            ("range_date", index.range_query("warc_ts", (datetime(2026, 1, 1), datetime(2027, 1, 1)))),
+            ("string_term", index.term_query("lang", "en")),
+        ]
+        q_total = 0.0
+        for name, q in suite:
+            tq = time.time()
+            index.search(q, limit=10)
+            dt = time.time() - tq
+            timings[f"q_{name}"] = round(dt, 3)
+            q_total += dt
+
+        total = build_sec + q_total
+        print(
+            json.dumps(
+                {
+                    "metric": "index_build_plus_bm25_query_suite_wall_sec",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "n_docs": n_docs,
+                    "docs_per_sec": round(n_docs / build_sec, 1),
+                    "queries_per_sec": round(len(suite) / q_total, 2),
+                    "cpus": cpus,
+                    "repl": repl,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

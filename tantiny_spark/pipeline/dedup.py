@@ -59,11 +59,15 @@ def minhash_signatures(
     SQL oracle. Entirely JVM-side (md5 + array ops)."""
     sh = shingles_col(F.col(text), shingle_n)
     cols = [F.col(key)]
+
+    def hash_lambda(seed: int):
+        prefix = f"{seed}:"
+        # single-arg lambda: a two-arg lambda would be (element, index) to
+        # F.transform and silently shadow the seed
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     for i in range(num_hashes):
-        mh = F.array_min(
-            F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        )
-        cols.append(mh.alias(f"mh{i}"))
+        cols.append(F.array_min(F.transform(sh, hash_lambda(i))).alias(f"mh{i}"))
     return df.select(*cols)
 
 
