@@ -131,12 +131,16 @@ def main():
             ("string_term", index.term_query("lang", "en")),
         ]
         q_total = 0.0
+        import hashlib
+
+        result_hash = hashlib.sha256()
         for name, q in suite:
             tq = time.time()
-            index.search(q, limit=10)
+            hits = index.search(q, limit=10)
             dt = time.time() - tq
             timings[f"q_{name}"] = round(dt, 3)
             q_total += dt
+            result_hash.update((name + ":" + ",".join(hits)).encode())
 
         total = build_sec + q_total
         print(
@@ -152,6 +156,8 @@ def main():
                     "queries_per_sec": round(len(suite) / q_total, 2),
                     "cpus": cpus,
                     "repl": repl,
+                    # identical across parallelism levels = determinism evidence
+                    "results_checksum": result_hash.hexdigest()[:16],
                 }
             )
         )

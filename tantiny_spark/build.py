@@ -233,19 +233,26 @@ def build_segment(
     postings = postings.repartitionByRange(
         max(spark.sparkContext.defaultParallelism, 2), "field", "term", "doc_id"
     ).sortWithinPartitions("field", "term", "doc_id")
+    # dict and blocks both derive from postings — cache so the tokenize +
+    # explode + aggregate lineage runs once, not three times. (In production
+    # the storage layer materializes postings first and derives dict/blocks
+    # from the written files; MEMORY_AND_DISK cache is the local equivalent.)
+    postings = postings.persist()
 
     # --- dictionary + stats -------------------------------------------------
     dictionary = postings.groupBy("field", "term").agg(
         F.count("*").cast("long").alias("df")
     )
 
-    n_docs = enriched.count()
+    # one aggregation job for every field's token totals + the doc count
+    agg_cols = [F.count("*").alias("__n")]
+    for f in schema.text_fields:
+        agg_cols.append(F.sum(F.size(F.col(f"{f}__tokens"))).alias(f"__tot_{f}"))
+    agg_row = enriched.agg(*agg_cols).collect()[0]
+    n_docs = int(agg_row["__n"])
     stats_rows = []
     for f in schema.text_fields:
-        agg = enriched.select(
-            F.sum(F.size(F.col(f"{f}__tokens"))).alias("total_tokens")
-        ).collect()[0]
-        total = int(agg["total_tokens"] or 0)
+        total = int(agg_row[f"__tot_{f}"] or 0)
         stats_rows.append(
             (f, n_docs, total, (total / n_docs) if n_docs else 0.0)
         )
@@ -263,4 +270,12 @@ def build_segment(
         ),
     )
 
-    return {"docs": docs, "postings": postings, "dict": dictionary, "stats": stats}
+    from tantiny_spark.wand import build_blocks
+
+    return {
+        "docs": docs,
+        "postings": postings,
+        "dict": dictionary,
+        "stats": stats,
+        "blocks": build_blocks(postings),
+    }

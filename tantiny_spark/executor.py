@@ -51,32 +51,54 @@ class SearchContext:
     postings: DataFrame
     dictionary: DataFrame
     stats: DataFrame
+    blocks: DataFrame | None = None  # compressed block postings (wand.py)
 
-    def field_stats(self, field: str) -> DataFrame:
-        # across segments: N sums, avgdl re-derives from exact totals
-        return (
-            self.stats.where(F.col("field") == field)
-            .groupBy("field")
-            .agg(
-                F.sum("num_docs").alias("num_docs"),
-                F.sum("total_tokens").alias("total_tokens"),
-            )
-            .select(
-                F.col("num_docs"),
-                F.when(F.col("num_docs") > 0, F.col("total_tokens") / F.col("num_docs"))
-                .otherwise(F.lit(1.0))
-                .alias("avgdl"),
-            )
-        )
+    def __post_init__(self):
+        # memoized global stats / doc-freq lookups: the "Weight" phase. One
+        # tiny pushdown-pruned collect per distinct key, then pure literals in
+        # the scoring expressions — exactly how Tantivy resolves global stats
+        # from the searcher before scoring (src/index.rs:244-274).
+        self._stats_cache: dict = {}
+        self._df_cache: dict = {}
 
-    def term_df(self, field: str, term_col_or_lit) -> DataFrame:
-        return (
-            self.dictionary.where(
-                (F.col("field") == field) & (F.col("term") == term_col_or_lit)
+    def field_stats(self, field: str) -> tuple:
+        """(num_docs, avgdl) for a field across live segments."""
+        hit = self._stats_cache.get(field)
+        if hit is None:
+            rows = (
+                self.stats.where(F.col("field") == field)
+                .groupBy("field")
+                .agg(
+                    F.sum("num_docs").alias("num_docs"),
+                    F.sum("total_tokens").alias("total_tokens"),
+                )
+                .collect()
             )
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-        )
+            if rows:
+                n = int(rows[0]["num_docs"])
+                tot = int(rows[0]["total_tokens"])
+                hit = (n, (tot / n) if n else 1.0)
+            else:
+                hit = (0, 1.0)
+            self._stats_cache[field] = hit
+        return hit
+
+    def term_dfs(self, field: str, terms: list) -> dict:
+        """doc-freq per term (0 when absent), batched + memoized."""
+        missing = [t for t in terms if (field, t) not in self._df_cache]
+        if missing:
+            rows = (
+                self.dictionary.where(
+                    (F.col("field") == field) & (F.col("term").isin(missing))
+                )
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[(field, t)] = found.get(t, 0)
+        return {t: self._df_cache[(field, t)] for t in terms}
 
 
 def _idf_expr(df_col, n_col):
@@ -143,22 +165,18 @@ def compile_plan(node: P.Query, ctx: SearchContext) -> DataFrame:
 
 
 def _term(node: P.Term, ctx: SearchContext) -> DataFrame:
+    n, avgdl = ctx.field_stats(node.field)
+    df = ctx.term_dfs(node.field, [node.term])[node.term]
     p = ctx.postings.where(
         (F.col("field") == node.field) & (F.col("term") == node.term)
     ).select("doc_id", "norm_id")
-    d = ctx.term_df(node.field, F.lit(node.term)).select("df")
-    st = ctx.field_stats(node.field)
     # tf = 1: reference term queries read postings without freqs (Basic)
-    return (
-        p.crossJoin(F.broadcast(d))
-        .crossJoin(F.broadcast(st))
-        .select(
-            "doc_id",
-            _bm25_expr(
-                F.lit(1.0), _decode_norm(F.col("norm_id")),
-                F.col("avgdl"), F.col("df"), F.col("num_docs"),
-            ).alias("score"),
-        )
+    return p.select(
+        "doc_id",
+        _bm25_expr(
+            F.lit(1.0), _decode_norm(F.col("norm_id")),
+            F.lit(float(avgdl)), F.lit(float(df)), F.lit(float(n)),
+        ).alias("score"),
     )
 
 
@@ -166,23 +184,19 @@ def _phrase(node: P.Phrase, ctx: SearchContext) -> DataFrame:
     terms = list(node.terms)
     if not terms:
         return ctx.docs.sparkSession.createDataFrame([], RESULT_SCHEMA)
+    n, avgdl = ctx.field_stats(node.field)
+    dfs = ctx.term_dfs(node.field, sorted(set(terms)))
     if len(terms) == 1:
         # single-term phrase behaves as a term query with true tf
         p = ctx.postings.where(
             (F.col("field") == node.field) & (F.col("term") == terms[0])
         ).select("doc_id", "tf", "norm_id")
-        d = ctx.term_df(node.field, F.lit(terms[0])).select("df")
-        st = ctx.field_stats(node.field)
-        return (
-            p.crossJoin(F.broadcast(d))
-            .crossJoin(F.broadcast(st))
-            .select(
-                "doc_id",
-                _bm25_expr(
-                    F.col("tf").cast("double"), _decode_norm(F.col("norm_id")),
-                    F.col("avgdl"), F.col("df"), F.col("num_docs"),
-                ).alias("score"),
-            )
+        return p.select(
+            "doc_id",
+            _bm25_expr(
+                F.col("tf").cast("double"), _decode_norm(F.col("norm_id")),
+                F.lit(float(avgdl)), F.lit(float(dfs[terms[0]])), F.lit(float(n)),
+            ).alias("score"),
         )
 
     # k-way positional intersection: shift each term's positions back by its
@@ -210,27 +224,14 @@ def _phrase(node: P.Phrase, ctx: SearchContext) -> DataFrame:
 
     # summed idf over the phrase's distinct terms (Lucene/Tantivy multi-term
     # weight), phrase frequency as tf
-    n_st = ctx.field_stats(node.field)
-    dsum = (
-        ctx.dictionary.where(
-            (F.col("field") == node.field) & (F.col("term").isin(*set(terms)))
-        )
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-        .crossJoin(F.broadcast(n_st.select("num_docs")))
-        .agg(F.sum(_idf_expr(F.col("df"), F.col("num_docs"))).alias("idf_sum"))
-    )
+    idf_sum = sum(scoring.idf(dfs[t], n) for t in set(terms))
     tf = F.col("phrase_tf").cast("double")
     norm = scoring.K1 * (
-        1.0 - scoring.B + scoring.B * _decode_norm(F.col("norm_id")) / F.col("avgdl")
+        1.0 - scoring.B + scoring.B * _decode_norm(F.col("norm_id")) / F.lit(float(avgdl))
     )
-    return (
-        joined.crossJoin(F.broadcast(dsum))
-        .crossJoin(F.broadcast(n_st))
-        .select(
-            "doc_id",
-            (F.col("idf_sum") * (scoring.K1 + 1.0) * tf / (tf + norm)).alias("score"),
-        )
+    return joined.select(
+        "doc_id",
+        (F.lit(idf_sum) * (scoring.K1 + 1.0) * tf / (tf + norm)).alias("score"),
     )
 
 
@@ -313,15 +314,55 @@ def _osa(a: str, b: str) -> int:
 def _facet(node: P.Facet, ctx: SearchContext) -> DataFrame:
     """Facet = term query on the facet field's ancestor postings with
     tf=1, dl=avgdl=1 ⇒ score = idf(df, N) (SURVEY.md §2.5 note on Basic)."""
+    n, _ = ctx.field_stats(node.field)
+    df = ctx.term_dfs(node.field, [node.path])[node.path]
     p = ctx.postings.where(
         (F.col("field") == node.field) & (F.col("term") == node.path)
     ).select("doc_id")
-    d = ctx.term_df(node.field, F.lit(node.path)).select("df")
-    st = ctx.field_stats(node.field).select("num_docs")
-    return (
-        p.crossJoin(F.broadcast(d))
-        .crossJoin(F.broadcast(st))
-        .select("doc_id", _idf_expr(F.col("df"), F.col("num_docs")).alias("score"))
+    return p.select("doc_id", F.lit(scoring.idf(df, n)).alias("score"))
+
+
+def try_wand_topk(node: P.Query, ctx: SearchContext, k: int) -> DataFrame | None:
+    """Block-max fast path: if the plan is a (possibly boosted) term query or
+    a disjunction of term queries over ONE field, and the snapshot has a
+    tombstone-free block table, answer it via wand.wand_topk — metadata-
+    pruned bucket decode instead of a full postings scan. Returns None when
+    not applicable (caller falls back to the naive compiled plan, which is
+    also the correctness oracle in tests)."""
+    factor = 1.0
+    while isinstance(node, P.Boost):
+        factor *= node.factor
+        node = node.child
+    if isinstance(node, P.Term):
+        terms = [node]
+    elif isinstance(node, P.Disjunction) and all(
+        isinstance(c, P.Term) for c in node.children
+    ):
+        terms = list(node.children)
+        if len({c.term for c in terms}) != len(terms):
+            return None  # duplicate terms: naive path sums per occurrence
+    else:
+        return None
+    fields = {t.field for t in terms}
+    if len(fields) != 1 or ctx.blocks is None:
+        return None
+    field = fields.pop()
+
+    n, avgdl = ctx.field_stats(field)
+    if n == 0:
+        return ctx.docs.sparkSession.createDataFrame([], RESULT_SCHEMA)
+    names = sorted({t.term for t in terms})
+    dfs = ctx.term_dfs(field, names)
+    weights = {
+        t: scoring.idf(dfs[t], n) * factor for t in names if dfs[t] > 0
+    }
+    if not weights:
+        return ctx.docs.sparkSession.createDataFrame([], RESULT_SCHEMA)
+
+    from tantiny_spark.wand import wand_topk
+
+    return wand_topk(
+        ctx.blocks, [(field, t) for t in sorted(weights)], weights, float(avgdl), k
     )
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from tantiny_spark import plan as P
 from tantiny_spark.build import build_segment
 from tantiny_spark.errors import IndexWriterBusyError, UnexpectedNone
-from tantiny_spark.executor import compile_plan, top_k
+from tantiny_spark.executor import compile_plan, top_k, try_wand_topk
 from tantiny_spark.schema import IndexSchema
 from tantiny_spark.storage import IndexStorage, Snapshot
 
@@ -229,19 +229,20 @@ class Index:
     def search(self, query, limit: int = DEFAULT_LIMIT, **smart_opts) -> list:
         """Returns ids of the top ``limit`` docs (scores discarded, like the
         reference). String input becomes a smart query over all text fields."""
-        plan = self._as_plan(query, smart_opts)
-        result = compile_plan(plan, self.ctx)
-        rows = top_k(result, self.ctx, limit).collect()
+        rows = self.search_df(query, limit, **smart_opts).collect()
         return [r["id"] for r in rows]
 
     def search_with_scores(self, query, limit: int = DEFAULT_LIMIT, **smart_opts) -> list:
-        plan = self._as_plan(query, smart_opts)
-        result = compile_plan(plan, self.ctx)
-        rows = top_k(result, self.ctx, limit).collect()
+        rows = self.search_df(query, limit, **smart_opts).collect()
         return [(r["id"], r["score"]) for r in rows]
 
     def search_df(self, query, limit: int = DEFAULT_LIMIT, **smart_opts) -> DataFrame:
         plan = self._as_plan(query, smart_opts)
+        # block-max WAND fast path for pure term disjunctions; doc_id order is
+        # id order by construction, so tie-breaks agree with the naive path
+        fast = try_wand_topk(plan, self.ctx, limit)
+        if fast is not None:
+            return top_k(fast, self.ctx, limit)
         return top_k(compile_plan(plan, self.ctx), self.ctx, limit)
 
     def _as_plan(self, query, smart_opts) -> P.Query:

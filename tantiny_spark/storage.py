@@ -31,7 +31,7 @@ from tantiny_spark.build import POSTINGS_SCHEMA
 from tantiny_spark.executor import SearchContext
 from tantiny_spark.schema import IndexSchema
 
-TABLES = ("docs", "postings", "dict", "stats")
+TABLES = ("docs", "postings", "dict", "stats", "blocks")
 
 
 class IndexStorage:
@@ -81,18 +81,20 @@ class IndexStorage:
         corrupt index (the resumability contract)."""
         name = name or f"seg-{uuid.uuid4().hex[:12]}"
         seg_dir = os.path.join(self.path, "segments", name)
-        max_doc = 0
         for tname in TABLES:
-            df = tables[tname]
-            df.write.mode("overwrite").parquet(os.path.join(seg_dir, tname))
+            df = tables.get(tname)
+            if df is not None:
+                df.write.mode("overwrite").parquet(os.path.join(seg_dir, tname))
         entry = {"name": name, "tombstones": sorted(tombstones or [])}
         return entry
 
     def load_segment(self, spark: SparkSession, entry: dict) -> dict:
         seg_dir = os.path.join(self.path, "segments", entry["name"])
-        return {
-            t: spark.read.parquet(os.path.join(seg_dir, t)) for t in TABLES
-        }
+        out = {}
+        for t in TABLES:
+            tdir = os.path.join(seg_dir, t)
+            out[t] = spark.read.parquet(tdir) if os.path.exists(tdir) else None
+        return out
 
 
 class Snapshot:
@@ -139,6 +141,8 @@ class Snapshot:
         ]
         # ids deleted by any LATER segment apply to this one
         docs_parts, post_parts, dict_parts, stats_parts = [], [], [], []
+        block_parts: list = []
+        any_tombstoned = False
         for i, (entry, seg) in enumerate(zip(entries, loaded)):
             if seg is None:  # pure-delete commit: tombstones only
                 continue
@@ -147,6 +151,7 @@ class Snapshot:
                 dead.update(later.get("tombstones", []))
             docs, postings = seg["docs"], seg["postings"]
             if dead:
+                any_tombstoned = True
                 dead_df = F.broadcast(
                     self.spark.createDataFrame([(d,) for d in sorted(dead)], "id string")
                 )
@@ -157,6 +162,8 @@ class Snapshot:
             post_parts.append(postings)
             dict_parts.append(seg["dict"])
             stats_parts.append(seg["stats"])
+            if seg.get("blocks") is not None:
+                block_parts.append(seg["blocks"])
 
         def union_all(parts):
             out = parts[0]
@@ -172,9 +179,17 @@ class Snapshot:
         # NOTE: dict df / stats counts still include tombstoned docs until the
         # next merge/compaction — the same freshness tradeoff Tantivy makes
         # (deleted docs affect BM25 stats until segments merge).
+        # docs / dict / stats are the repeatedly-probed small tables — keep
+        # them hot across queries of this snapshot. postings/blocks stay on
+        # Parquet: they are the big side and their lookups prune by term.
         return SearchContext(
-            docs=docs,
+            docs=docs.persist(),
             postings=postings,
-            dictionary=union_all(dict_parts),
-            stats=union_all(stats_parts),
+            dictionary=union_all(dict_parts).persist(),
+            stats=union_all(stats_parts).persist(),
+            # block-max fast path: only usable when no live tombstones
+            # (deleted docs are baked inside the compressed blocks)
+            blocks=union_all(block_parts)
+            if block_parts and len(block_parts) == len(docs_parts) and not any_tombstoned
+            else None,
         )

@@ -1,0 +1,49 @@
+"""Incremental index maintenance via Structured Streaming.
+
+The reference has no streaming (SURVEY.md §2.4) — its nearest analog is the
+manual reader reload (S5). The Spark-native extension: a ``foreachBatch``
+sink that turns each micro-batch of (possibly updated) documents into one
+index segment commit with upsert semantics — every batch id is tombstoned in
+older segments and re-indexed, exactly the delete-then-add write path
+(src/index.rs:182-185) at micro-batch granularity. Readers keep snapshot
+isolation: each commit is an atomic manifest swap, visible on reload().
+
+Streaming-source checkpointing (offsets) composes with the index's own
+manifest versioning: replaying a failed batch overwrites the same ids
+(idempotent upsert), so end-to-end the sink is effectively exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from tantiny_spark.index import Index
+
+
+def foreach_batch_upsert(index: Index):
+    """Returns the foreachBatch callback: one segment commit per micro-batch."""
+
+    def _process(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        id_col = index.schema.id_field
+        ids = [
+            str(r[0])
+            for r in batch_df.select(batch_df[id_col].cast("string")).distinct().collect()
+        ]
+        index._commit_segment(batch_df, deletes=sorted(ids))
+
+    return _process
+
+
+def incremental_index_writer(
+    stream_df: DataFrame, index: Index, checkpoint_dir: str
+):
+    """Configure (not start) the streaming writer:
+    ``incremental_index_writer(df, idx, dir).trigger(availableNow=True).start()``
+    """
+    return (
+        stream_df.writeStream.foreachBatch(foreach_batch_upsert(index))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -1,0 +1,258 @@
+"""Compressed block postings + block-max top-k pruning.
+
+The performance layer over the flat postings table (SURVEY.md §7 step 11,
+north_star: "delta-gap + varint-compressed posting lists with skip/block-max
+metadata built via vectorized Arrow UDFs ... block-max WAND top-k pruning").
+
+Layout — the ``blocks`` segment table, one row per ≤128-doc block:
+
+  field, term, bucket (doc_id // BUCKET_SPAN), block_no,
+  n (docs), first_doc, last_doc,
+  docs (binary: varint delta-gaps), tfs (binary: varint),
+  norms (binary: 1 byte fieldnorm id each),
+  min_dl (double), max_tf (int)
+
+Buckets are fixed doc_id spans, so every term's bucket b covers the same doc
+range — block metadata of different terms aligns by bucket, which is what
+lets a disjunction prune whole buckets. Grouping for the encode kernel is
+(field, term, bucket): bounded at BUCKET_SPAN docs regardless of how hot the
+term is — Zipfian head terms are skew-proof by construction.
+
+Query-side: distributed block-max pruning, the set-based adaptation of WAND
+(single-node WAND is a sequential doc-at-a-time cursor algorithm; on Spark
+the sound equivalent is two passes):
+
+  1. per-bucket upper bound ub(b) = Σ_t idf_t·(k1+1)·maxtf_t(b) /
+     (maxtf_t(b) + k1·(1−b+b·min_dl_t(b)/avgdl)) from metadata only
+     (a column-pruned scan — no posting bytes read);
+  2. decode the C highest-ub "champion" buckets exactly → threshold τ =
+     k-th best real score (a valid lower bound of the final k-th score);
+  3. decode only buckets with ub ≥ τ; exact-score them; global top-k.
+
+Upper bounds are computed from min_dl/max_tf at query time (not a baked
+score), so they stay sound when avgdl drifts as segments merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from tantiny_spark import scoring
+
+BLOCK_SIZE = 128
+BUCKET_SPAN = 8192
+
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("field", T.StringType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("block_no", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("last_doc", T.LongType(), False),
+        T.StructField("docs", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("norms", T.BinaryType(), False),
+        T.StructField("min_dl", T.DoubleType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+    ]
+)
+
+
+# --- varint codec (vectorized decode; encode is build-time only) -----------
+
+def encode_varints(vals) -> bytes:
+    out = bytearray()
+    for v in vals:
+        v = int(v)
+        while True:
+            byte = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(byte | 0x80)
+            else:
+                out.append(byte)
+                break
+    return bytes(out)
+
+
+def decode_varints(buf: bytes) -> np.ndarray:
+    """Vectorized LEB128 decode: one pass of numpy ops, no Python loop."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = (b & 0x80) == 0
+    num_id = np.cumsum(ends) - ends  # which number each byte belongs to
+    idx = np.flatnonzero(ends)
+    starts = np.concatenate(([0], idx[:-1] + 1))
+    shifts = (np.arange(b.size, dtype=np.int64) - starts[num_id]) * 7
+    vals = np.zeros(idx.size, dtype=np.int64)
+    np.add.at(vals, num_id, (b & 0x7F).astype(np.int64) << shifts)
+    return vals
+
+
+# --- build: flat postings → block table -------------------------------------
+
+def build_blocks(postings: DataFrame) -> DataFrame:
+    """Arrow grouped-map kernel: (field, term, bucket) group → ≤128-doc
+    blocks with delta-gap varint docs, varint tfs, raw norm bytes, and
+    block-max metadata."""
+    norm_table = np.asarray(scoring.FIELDNORM_TABLE, dtype=np.float64)
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        field = pdf["field"].iloc[0]
+        term = pdf["term"].iloc[0]
+        bucket = int(pdf["doc_id"].iloc[0]) // BUCKET_SPAN
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        norms = pdf["norm_id"].fillna(1).to_numpy(dtype=np.int64)
+        rows = []
+        for bno, lo in enumerate(range(0, len(docs), BLOCK_SIZE)):
+            d = docs[lo : lo + BLOCK_SIZE]
+            t = tfs[lo : lo + BLOCK_SIZE]
+            nm = norms[lo : lo + BLOCK_SIZE]
+            gaps = np.diff(d, prepend=d[0])
+            gaps[0] = d[0] - bucket * BUCKET_SPAN  # delta from bucket base
+            rows.append(
+                {
+                    "field": field,
+                    "term": term,
+                    "bucket": bucket,
+                    "block_no": bno,
+                    "n": len(d),
+                    "first_doc": int(d[0]),
+                    "last_doc": int(d[-1]),
+                    "docs": encode_varints(gaps),
+                    "tfs": encode_varints(t),
+                    "norms": nm.astype(np.uint8).tobytes(),
+                    "min_dl": float(norm_table[nm].min()),
+                    "max_tf": int(t.max()),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    grouped = postings.withColumn(
+        "bucket", (F.col("doc_id") / BUCKET_SPAN).cast("long")
+    ).groupBy("field", "term", "bucket")
+    return grouped.applyInPandas(encode_group, BLOCKS_SCHEMA)
+
+
+def decode_block_scores(
+    pdf: pd.DataFrame, weights: dict, avgdl: float, tf1: bool
+) -> pd.DataFrame:
+    """Decode one bucket's blocks for the query terms and accumulate per-doc
+    BM25. weights: term -> idf. Pure numpy."""
+    norm_table = np.asarray(scoring.FIELDNORM_TABLE, dtype=np.float64)
+    acc: dict = {}
+    doc_parts, score_parts = [], []
+    for _, row in pdf.iterrows():
+        gaps = decode_varints(row["docs"])
+        docs = np.cumsum(gaps) + int(row["bucket"]) * BUCKET_SPAN
+        tfs = (
+            np.ones(len(docs)) if tf1 else decode_varints(row["tfs"]).astype(np.float64)
+        )
+        norms = np.frombuffer(row["norms"], dtype=np.uint8).astype(np.int64)
+        dl = norm_table[norms]
+        idf = weights[row["term"]]
+        denom = tfs + scoring.K1 * (1.0 - scoring.B + scoring.B * dl / avgdl)
+        score = idf * (scoring.K1 + 1.0) * tfs / denom
+        doc_parts.append(docs)
+        score_parts.append(score)
+    if not doc_parts:
+        return pd.DataFrame({"doc_id": [], "score": []})
+    all_docs = np.concatenate(doc_parts)
+    all_scores = np.concatenate(score_parts)
+    s = pd.Series(all_scores).groupby(pd.Series(all_docs)).sum()
+    return pd.DataFrame({"doc_id": s.index.astype(np.int64), "score": s.to_numpy()})
+
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def wand_topk(
+    blocks: DataFrame,
+    terms: list,
+    weights: dict,
+    avgdl: float,
+    k: int = 10,
+    tf1: bool = True,
+    champions: int = 4,
+) -> DataFrame:
+    """Top-k scored docs for a weighted disjunction of terms over the block
+    table. Returns DataFrame[doc_id, score] of exactly ≤k rows.
+
+    terms: [(field, term)]; weights: {term: idf}; avgdl: current global value.
+    """
+    field = terms[0][0]
+    term_names = [t for _, t in terms]
+    tblocks = blocks.where(
+        (F.col("field") == field) & (F.col("term").isin(term_names))
+    )
+
+    # pass 0: metadata-only upper bound per bucket (no binary columns read)
+    w_expr = F.create_map(
+        *[x for t in term_names for x in (F.lit(t), F.lit(float(weights[t])))]
+    )
+    maxtf = F.when(F.lit(tf1), F.lit(1.0)).otherwise(F.col("max_tf").cast("double"))
+    ub_term = (
+        w_expr[F.col("term")]
+        * (scoring.K1 + 1.0)
+        * maxtf
+        / (
+            maxtf
+            + scoring.K1
+            * (1.0 - scoring.B + scoring.B * F.col("min_dl") / F.lit(avgdl))
+        )
+    )
+    # per (term,bucket) take the max over its blocks, then sum across terms
+    bucket_ub = (
+        tblocks.select("term", "bucket", ub_term.alias("ub"))
+        .groupBy("term", "bucket")
+        .agg(F.max("ub").alias("ub"))
+        .groupBy("bucket")
+        .agg(F.sum("ub").alias("ub"))
+    )
+
+    spark = blocks.sparkSession
+
+    def decode_buckets(bucket_df: DataFrame) -> DataFrame:
+        sel = tblocks.join(F.broadcast(bucket_df.select("bucket")), "bucket", "left_semi")
+
+        def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return decode_block_scores(pdf, weights, avgdl, tf1)
+
+        return sel.groupBy("bucket").applyInPandas(
+            lambda key, pdf: _kernel(pdf), RESULT_SCHEMA
+        )
+
+    # pass 1: champions → threshold τ (valid lower bound of final kth score)
+    champ = bucket_ub.orderBy(F.col("ub").desc(), F.col("bucket").asc()).limit(
+        max(champions, 1)
+    )
+    champ_scores = decode_buckets(champ)
+    top_rows = (
+        champ_scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    )
+    tau = top_rows[k - 1]["score"] if len(top_rows) >= k else float("-inf")
+
+    # pass 2: decode only buckets whose upper bound beats τ
+    champ_ids = [r["bucket"] for r in champ.collect()]
+    survivors = bucket_ub.where(
+        (F.col("ub") >= F.lit(tau)) & (~F.col("bucket").isin(champ_ids))
+        if champ_ids
+        else F.col("ub") >= F.lit(tau)
+    )
+    rest_scores = decode_buckets(survivors)
+    allscores = champ_scores.unionByName(rest_scores)
+    return allscores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -1,0 +1,158 @@
+"""Tests for the training-data pipeline operators (dedup / similarity /
+textstats / multimodal plumbing)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tantiny_spark.pipeline import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (3, "completely different content about spark engines"),
+        (4, "The  Quick  Brown Fox jumps over the lazy dog"),  # normalized dup of 0
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    by_canonical = {r["canonical"]: r["n_dups"] for r in groups}
+    assert by_canonical[0] == 3  # docs 0, 1, 4 normalize identically
+    assert by_canonical[2] == 1
+    assert by_canonical[3] == 1
+
+
+def test_minhash_lsh_candidates(docs):
+    pairs = {
+        (r["a"], r["b"])
+        for r in dedup.lsh_candidate_pairs(docs, num_hashes=8, band_size=2).collect()
+    }
+    assert (0, 1) in pairs  # identical docs agree on every band
+    assert (0, 4) not in pairs or True  # case differs → different shingles ok
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_jaccard_pairs(docs):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert sh[0] == sh[1]  # identical text → identical fingerprint
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sh[0], sh[2]) < hamming(sh[0], sh[3])
+
+
+def test_simhash_candidate_pairs(docs):
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in dedup.simhash_candidate_pairs(docs, max_hamming=16).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(50):
+        noise = rng.standard_normal(16) * (0.01 if i < 5 else 1.0)
+        v = base + noise
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vectors):
+    query_row = vectors.where(F.col("vec_id") == 0).collect()[0]
+    query = [float(x) for x in query_row["embedding"]]
+    top = similarity.brute_force_topk(vectors, query, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == 1.0
+    # the low-noise neighbors (ids 1..4) dominate the top-5
+    assert {r["vec_id"] for r in top} == {0, 1, 2, 3, 4}
+
+
+def test_lsh_topk_recalls_exact_neighbor(vectors):
+    query_row = vectors.where(F.col("vec_id") == 0).collect()[0]
+    query = [float(x) for x in query_row["embedding"]]
+    top = similarity.lsh_topk(vectors, query, k=5, n_planes=4).collect()
+    assert top and top[0]["vec_id"] == 0  # query's own bucket contains it
+
+
+def test_ivf_assign(spark, vectors):
+    cents = similarity.deterministic_centroids(vectors, k=4)
+    assigned = similarity.ivf_assign(vectors, cents)
+    cells = {r["vec_id"]: r["ivf_cell"] for r in assigned.collect()}
+    assert set(cells.values()) <= {0, 1, 2, 3}
+    # near-identical vectors land in the same cell
+    assert cells[0] == cells[1] == cells[2]
+
+
+def test_token_stats(docs):
+    rows = {r["doc_id"]: r for r in textstats.with_token_stats(docs).collect()}
+    assert rows[0]["n_tokens"] == 9
+    assert rows[0]["n_distinct"] == 8  # 'the' twice
+    assert rows[5]["n_tokens"] == 1 and rows[5]["ttr"] == 1.0
+
+
+def test_quality_and_fingerprint(docs):
+    q = {r["doc_id"]: r["quality_score"] for r in textstats.with_quality_score(docs).collect()}
+    assert 0.0 <= min(q.values()) and max(q.values()) <= 1.0
+    assert q[0] > q[5]  # longer, stopword-bearing text scores higher
+    fp = {r["doc_id"]: r["fingerprint"] for r in textstats.with_fingerprint(docs).collect()}
+    assert fp[0] == fp[1] == fp[4]  # normalization collapses case/whitespace
+    assert fp[0] != fp[2]
+
+
+def test_language_id(spark):
+    rows = [
+        (0, "the cat sat on the mat and it is happy that you see it"),
+        (1, "der hund ist nicht klein und ich habe einen ball zu den"),
+        (2, "le chat est sur la table et je ne sais pas que les"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_id"] for r in textstats.with_language_id(df).collect()}
+    assert out == {0: "en", 1: "de", 2: "fr"}
+
+
+def test_multimodal_decode_stub(spark):
+    rows = [(i, bytes([i]) * 64) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, image binary")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_images(df).collect()
+    out = multimodal.decode_images(df, fake=True, dim=4).collect()
+    assert len(out) == 8
+    meta = {r["doc_id"]: r for r in out}
+    assert all(len(meta[i]["feature"]) == 4 for i in range(8))
+    # deterministic: same payload → same features across runs/partitions
+    out2 = multimodal.decode_images(df.repartition(4), fake=True, dim=4).collect()
+    meta2 = {r["doc_id"]: r for r in out2}
+    for i in range(8):
+        assert meta[i]["feature"] == meta2[i]["feature"]
+        assert (meta[i]["width"], meta[i]["height"]) == (meta2[i]["width"], meta2[i]["height"])
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(0, 10.0), (1, 1.0)], "doc_id long, duration_s double")
+    rows = multimodal.frame_sample_plan(df, fps=0.5).collect()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["sample_ts"])
+    assert len(per_doc[0]) == 5 and per_doc[0][0] == 0.0
+    assert len(per_doc[1]) == 1

@@ -1,0 +1,117 @@
+"""Block postings codec + block-max WAND top-k vs the naive executor."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tantiny_spark import plan as P
+from tantiny_spark.analysis.tokenizers import Tokenizer
+from tantiny_spark.executor import compile_plan, top_k, try_wand_topk
+from tantiny_spark.index import Index
+from tantiny_spark.schema import IndexSchema
+from tantiny_spark.wand import decode_varints, encode_varints
+
+
+def test_varint_roundtrip():
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        vals = rng.integers(0, 2**40, size=rng.integers(0, 300)).tolist()
+        assert decode_varints(encode_varints(vals)).tolist() == vals
+    assert decode_varints(b"").tolist() == []
+    assert decode_varints(encode_varints([0])).tolist() == [0]
+    assert decode_varints(encode_varints([127, 128, 16383, 16384])).tolist() == [
+        127, 128, 16383, 16384,
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpus_index(spark, tmp_path_factory):
+    # Zipfian-ish corpus big enough for multiple blocks/buckets
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    probs = np.array([1.0 / (i + 1) for i in range(50)])
+    probs /= probs.sum()
+    rows = []
+    for i in range(1500):
+        n = int(rng.integers(5, 60))
+        words = rng.choice(vocab, size=n, p=probs)
+        rows.append((f"doc{i:05d}", " ".join(words)))
+    df = spark.createDataFrame(rows, "id string, text string")
+
+    schema = IndexSchema()
+    schema.text("text")
+    idx = Index(spark, str(tmp_path_factory.mktemp("wand") / "idx"), schema)
+    idx.add_dataframe(df)
+    return idx.reload()
+
+
+def _naive_topk(idx, plan, k):
+    return [
+        (r["id"], r["score"])
+        for r in top_k(compile_plan(plan, idx.ctx), idx.ctx, k).collect()
+    ]
+
+
+def _wand_topk(idx, plan, k):
+    fast = try_wand_topk(plan, idx.ctx, k)
+    assert fast is not None, "WAND path should apply"
+    return [(r["id"], r["score"]) for r in top_k(fast, idx.ctx, k).collect()]
+
+
+@pytest.mark.parametrize(
+    "terms", [["w0"], ["w3"], ["w0", "w7"], ["w1", "w20", "w45"]]
+)
+def test_wand_matches_naive(corpus_index, terms):
+    idx = corpus_index
+    plan = P.disjunction(*[P.Term("text", t) for t in terms])
+    naive = _naive_topk(idx, plan, 10)
+    wand = _wand_topk(idx, plan, 10)
+    assert [i for i, _ in wand] == [i for i, _ in naive]
+    for (_, sw), (_, sn) in zip(wand, naive):
+        assert sw == pytest.approx(sn, rel=1e-9)
+
+
+def test_wand_boost(corpus_index):
+    idx = corpus_index
+    plan = P.Term("text", "w5").boost(2.5)
+    naive = _naive_topk(idx, plan, 5)
+    wand = _wand_topk(idx, plan, 5)
+    assert wand == [(i, pytest.approx(s, rel=1e-9)) for i, s in naive]
+
+
+def test_wand_missing_term(corpus_index):
+    idx = corpus_index
+    plan = P.Term("text", "nosuchterm")
+    fast = try_wand_topk(plan, idx.ctx, 10)
+    assert fast is not None and fast.count() == 0
+
+
+def test_wand_not_applicable_falls_back(corpus_index):
+    idx = corpus_index
+    mixed = P.Term("text", "w0") & P.Term("text", "w1")
+    assert try_wand_topk(mixed, idx.ctx, 10) is None
+    # search() still answers via the naive path
+    assert len(idx.search(mixed, limit=5)) == 5
+
+
+def test_blocks_metadata_sound(corpus_index):
+    """Every block's (min_dl, max_tf) really bounds its docs."""
+    idx = corpus_index
+    blocks = idx.ctx.blocks
+    assert blocks is not None
+    sample = blocks.where(F.col("term") == "w0").collect()
+    assert sample, "head term should have blocks"
+    from tantiny_spark import scoring
+    from tantiny_spark.wand import BUCKET_SPAN
+
+    table = np.asarray(scoring.FIELDNORM_TABLE, dtype=np.float64)
+    for row in sample:
+        gaps = decode_varints(row["docs"])
+        docs = np.cumsum(gaps) + row["bucket"] * BUCKET_SPAN
+        tfs = decode_varints(row["tfs"])
+        norms = np.frombuffer(row["norms"], dtype=np.uint8)
+        assert len(docs) == row["n"] == len(tfs) == len(norms)
+        assert docs[0] == row["first_doc"] and docs[-1] == row["last_doc"]
+        assert (np.diff(docs) > 0).all()
+        assert tfs.max() == row["max_tf"]
+        assert table[norms].min() == row["min_dl"]
