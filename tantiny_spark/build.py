@@ -227,16 +227,20 @@ def build_segment(
     else:
         postings = spark.createDataFrame([], POSTINGS_SCHEMA)
 
+    # persist BEFORE the range exchange: repartitionByRange samples its input
+    # to pick boundaries, which would otherwise run the whole tokenize+groupBy
+    # lineage twice (sample pass + real pass)
+    postings = postings.persist()
     # sorted layout: term lookups prune via Parquet min/max; doc_id in the
     # range key splits Zipfian head terms across partitions instead of
     # concentrating them (skew handling, SURVEY.md §4)
     postings = postings.repartitionByRange(
         max(spark.sparkContext.defaultParallelism, 2), "field", "term", "doc_id"
     ).sortWithinPartitions("field", "term", "doc_id")
-    # dict and blocks both derive from postings — cache so the tokenize +
-    # explode + aggregate lineage runs once, not three times. (In production
-    # the storage layer materializes postings first and derives dict/blocks
-    # from the written files; MEMORY_AND_DISK cache is the local equivalent.)
+    # dict and blocks both derive from postings — keep the sorted result hot
+    # too. (In production the storage layer materializes postings to the
+    # table first and derives dict/blocks from the written files; the caches
+    # are the local-session equivalent.)
     postings = postings.persist()
 
     # --- dictionary + stats -------------------------------------------------
@@ -258,16 +262,13 @@ def build_segment(
         )
     for f in schema.string_fields + schema.facet_fields:
         stats_rows.append((f, n_docs, n_docs, 1.0))
+    # via pandas → Arrow LocalRelation: a plain Python list would go through
+    # the RDD path and spawn defaultParallelism Python workers for 2 rows
     stats = spark.createDataFrame(
-        stats_rows,
-        T.StructType(
-            [
-                T.StructField("field", T.StringType(), False),
-                T.StructField("num_docs", T.LongType(), False),
-                T.StructField("total_tokens", T.LongType(), False),
-                T.StructField("avgdl", T.DoubleType(), False),
-            ]
-        ),
+        pd.DataFrame(
+            stats_rows, columns=["field", "num_docs", "total_tokens", "avgdl"]
+        ).astype({"num_docs": "int64", "total_tokens": "int64", "avgdl": "float64"}),
+        schema="field string, num_docs long, total_tokens long, avgdl double",
     )
 
     from tantiny_spark.wand import build_blocks

@@ -110,6 +110,33 @@ def _bm25_expr(tf_col, dl_col, avgdl_col, df_col, n_col):
     return _idf_expr(df_col, n_col) * (scoring.K1 + 1.0) * tf_col / (tf_col + norm)
 
 
+def prime_stats(node: P.Query, ctx: SearchContext) -> None:
+    """Warm the stats/df memo caches for a whole plan in two batched lookups
+    per field (instead of one driver job per node during compilation)."""
+    per_field: dict = {}
+
+    def walk(n: P.Query):
+        if isinstance(n, P.Term):
+            per_field.setdefault(n.field, set()).add(n.term)
+        elif isinstance(n, P.Phrase):
+            per_field.setdefault(n.field, set()).update(n.terms)
+        elif isinstance(n, P.Facet):
+            per_field.setdefault(n.field, set()).add(n.path)
+        elif isinstance(n, (P.Conjunction, P.Disjunction)):
+            for c in n.children:
+                walk(c)
+        elif isinstance(n, P.Negation):
+            walk(n.child)
+        elif isinstance(n, P.Boost):
+            walk(n.child)
+
+    walk(node)
+    for field, terms in per_field.items():
+        ctx.field_stats(field)
+        if terms:
+            ctx.term_dfs(field, sorted(terms))
+
+
 def compile_plan(node: P.Query, ctx: SearchContext) -> DataFrame:
     """Recursively compile to DataFrame[doc_id: long, score: double]."""
     if isinstance(node, P.All):
@@ -237,16 +264,27 @@ def _phrase(node: P.Phrase, ctx: SearchContext) -> DataFrame:
 
 def _dict_expansion(ctx: SearchContext, field: str, term_predicate) -> DataFrame:
     """Automaton-style queries (regex/prefix/fuzzy): enumerate matching
-    dictionary terms, union their postings, constant score 1.0."""
-    matched = (
-        ctx.dictionary.where(F.col("field") == field)
+    dictionary terms, union their postings, constant score 1.0.
+
+    The matched term list is collected to the driver (it is a slice of the
+    term dictionary — bounded and usually tiny) and re-injected as an isin()
+    literal so the postings scan gets *term-level Parquet pushdown*, the
+    fst-dictionary-first strategy of the reference (README.md:274) rather
+    than a full field scan + semi-join."""
+    matched = [
+        r["term"]
+        for r in ctx.dictionary.where(F.col("field") == field)
         .where(term_predicate)
         .select("term")
         .distinct()
-    )
+        .collect()
+    ]
+    if not matched:
+        return ctx.docs.sparkSession.createDataFrame([], RESULT_SCHEMA)
     return (
-        ctx.postings.where(F.col("field") == field)
-        .join(F.broadcast(matched), "term", "left_semi")
+        ctx.postings.where(
+            (F.col("field") == field) & F.col("term").isin(matched)
+        )
         .select("doc_id")
         .distinct()
         .select("doc_id", F.lit(1.0).alias("score"))
@@ -322,7 +360,9 @@ def _facet(node: P.Facet, ctx: SearchContext) -> DataFrame:
     return p.select("doc_id", F.lit(scoring.idf(df, n)).alias("score"))
 
 
-def try_wand_topk(node: P.Query, ctx: SearchContext, k: int) -> DataFrame | None:
+def try_wand_topk(
+    node: P.Query, ctx: SearchContext, k: int, min_total_df: int = 100_000
+) -> DataFrame | None:
     """Block-max fast path: if the plan is a (possibly boosted) term query or
     a disjunction of term queries over ONE field, and the snapshot has a
     tombstone-free block table, answer it via wand.wand_topk — metadata-
@@ -358,6 +398,10 @@ def try_wand_topk(node: P.Query, ctx: SearchContext, k: int) -> DataFrame | None
     }
     if not weights:
         return ctx.docs.sparkSession.createDataFrame([], RESULT_SCHEMA)
+    if sum(dfs.values()) < min_total_df:
+        # short posting lists: the pruned flat scan is already cheap and the
+        # naive plan runs in one job vs WAND's champion+survivor passes
+        return None
 
     from tantiny_spark.wand import wand_topk
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from tantiny_spark import plan as P
 from tantiny_spark.build import build_segment
 from tantiny_spark.errors import IndexWriterBusyError, UnexpectedNone
-from tantiny_spark.executor import compile_plan, top_k, try_wand_topk
+from tantiny_spark.executor import compile_plan, prime_stats, top_k, try_wand_topk
 from tantiny_spark.schema import IndexSchema
 from tantiny_spark.storage import IndexStorage, Snapshot
 
@@ -161,7 +161,10 @@ class Index:
         for i, row in enumerate(rows):
             rec = [i] + [row.get(name) for name in sch.fields]
             data.append(tuple(rec))
-        return self.spark.createDataFrame(data, T.StructType(fields)).drop("__order")
+        # single-slice parallelize: the default would fan a handful of pending
+        # docs across defaultParallelism Python tasks
+        rdd = self.spark.sparkContext.parallelize(data, 1)
+        return self.spark.createDataFrame(rdd, T.StructType(fields)).drop("__order")
 
     def _commit_pending(self):
         rows, touched = self._replay_ops()
@@ -192,6 +195,59 @@ class Index:
                 "schema": self.schema.to_json(),
             }
         )
+        return version
+
+    # --- segment merge / compaction ------------------------------------------
+    def merge_segments(self) -> int:
+        """Compact all live segments into one: tombstones are physically
+        applied, dict/stats/blocks rebuilt from the surviving postings — the
+        background-merge analog of Tantivy's segment merging (surfaced via
+        commit/reload, src/index.rs:229-242). After a merge, deleted docs no
+        longer affect BM25 stats and the WAND fast path is usable again."""
+        from pyspark.sql import functions as F
+
+        from tantiny_spark.wand import build_blocks
+
+        ctx = self.snapshot.context()
+        docs = ctx.docs
+        postings = ctx.postings.persist()
+        dictionary = postings.groupBy("field", "term").agg(
+            F.count("*").cast("long").alias("df")
+        )
+        # exact per-field totals from the stored per-doc lengths
+        import pandas as pd
+
+        n_docs = docs.count()
+        stats_rows = []
+        for f in self.schema.text_fields:
+            tot_row = docs.agg(F.sum(F.col(f"{f}__len")).alias("t")).collect()[0]
+            total = int(tot_row["t"] or 0)
+            stats_rows.append((f, n_docs, total, (total / n_docs) if n_docs else 0.0))
+        for f in self.schema.string_fields + self.schema.facet_fields:
+            stats_rows.append((f, n_docs, n_docs, 1.0))
+        stats = self.spark.createDataFrame(
+            pd.DataFrame(
+                stats_rows, columns=["field", "num_docs", "total_tokens", "avgdl"]
+            ),
+            schema="field string, num_docs long, total_tokens long, avgdl double",
+        )
+        tables = {
+            "docs": docs,
+            "postings": postings,
+            "dict": dictionary,
+            "stats": stats,
+            "blocks": build_blocks(postings),
+        }
+        manifest = self.storage.read_manifest(self.storage.current_version())
+        entry = self.storage.write_segment(tables, tombstones=[])
+        version = self.storage.commit(
+            {
+                "segments": [entry],
+                "next_doc_id": manifest.get("next_doc_id", 0),
+                "schema": self.schema.to_json(),
+            }
+        )
+        postings.unpersist()
         return version
 
     # --- queries (constructor forwarding, index.rb:96-114) -------------------
@@ -238,6 +294,8 @@ class Index:
 
     def search_df(self, query, limit: int = DEFAULT_LIMIT, **smart_opts) -> DataFrame:
         plan = self._as_plan(query, smart_opts)
+        # resolve every global stat the plan needs in two batched lookups
+        prime_stats(plan, self.ctx)
         # block-max WAND fast path for pure term disjunctions; doc_id order is
         # id order by construction, so tie-breaks agree with the naive path
         fast = try_wand_topk(plan, self.ctx, limit)

@@ -152,8 +152,12 @@ class Snapshot:
             docs, postings = seg["docs"], seg["postings"]
             if dead:
                 any_tombstoned = True
+                import pandas as pd
+
                 dead_df = F.broadcast(
-                    self.spark.createDataFrame([(d,) for d in sorted(dead)], "id string")
+                    self.spark.createDataFrame(
+                        pd.DataFrame({"id": sorted(dead)}), schema="id string"
+                    )
                 )
                 docs = docs.join(dead_df, "id", "left_anti")
                 live = docs.select("doc_id")

@@ -160,6 +160,32 @@ def test_schema_persists(spark, tmp_path):
     assert reopened.search(reopened.term_query("title", "Hana-bi")) == ["tt0119250"]
 
 
+def test_merge_segments(spark, tmp_path):
+    s = IndexSchema()
+    s.text("t")
+    idx = Index(spark, str(tmp_path / "idx"), s)
+    idx.add({"id": 1, "t": "alpha beta"})
+    idx.add({"id": 2, "t": "alpha gamma"})
+    idx.add({"id": 1, "t": "alpha delta"})  # upsert
+    idx.delete(2)
+    idx.reload()
+    assert idx.search("alpha") == ["1"]
+    before = idx.search_with_scores("alpha")
+
+    idx.merge_segments()
+    idx.reload()
+    manifest = idx.snapshot.manifest
+    assert len(manifest["segments"]) == 1
+    assert idx.search("alpha") == ["1"]
+    assert idx.search("beta") == []
+    assert idx.search("delta") == ["1"]
+    # post-merge stats drop the dead docs: N=1, df(alpha)=1 → new scores
+    after = idx.search_with_scores("alpha")
+    assert after[0][0] == before[0][0] == "1"
+    # blocks usable again after merge (no tombstones)
+    assert idx.ctx.blocks is not None
+
+
 def test_deterministic_doc_ids(spark, tmp_path):
     # doc_id = global rank of id: stable across partition counts
     from tantiny_spark.build import assign_doc_ids

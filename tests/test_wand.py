@@ -53,7 +53,7 @@ def _naive_topk(idx, plan, k):
 
 
 def _wand_topk(idx, plan, k):
-    fast = try_wand_topk(plan, idx.ctx, k)
+    fast = try_wand_topk(plan, idx.ctx, k, min_total_df=0)
     assert fast is not None, "WAND path should apply"
     return [(r["id"], r["score"]) for r in top_k(fast, idx.ctx, k).collect()]
 
@@ -82,7 +82,7 @@ def test_wand_boost(corpus_index):
 def test_wand_missing_term(corpus_index):
     idx = corpus_index
     plan = P.Term("text", "nosuchterm")
-    fast = try_wand_topk(plan, idx.ctx, 10)
+    fast = try_wand_topk(plan, idx.ctx, 10, min_total_df=0)
     assert fast is not None and fast.count() == 0
 
 
