@@ -248,6 +248,24 @@ def q_smart(spark, sf_dir):
     )
 
 
+def q_postings_sample(spark, sf_dir):
+    """The posting-build aggregation itself (tokenize → posexplode →
+    groupBy(term, doc_id) → tf + first position), checkable in plain SQL."""
+    docs = _docs(spark, sf_dir)
+    ex = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    return (
+        ex.groupBy("term", "doc_id")
+        .agg(
+            F.count("*").alias("tf"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .orderBy("term", "doc_id")
+        .limit(50)
+    )
+
+
 def q_dict_topdf(spark, sf_dir):
     ts = _toks(spark, sf_dir)
     return (
@@ -369,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range": q_range,
         "facet": q_facet,
         "smart": q_smart,
+        "postings_sample": q_postings_sample,
         "dict_topdf": q_dict_topdf,
         "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
@@ -466,6 +485,13 @@ tok AS ({_SQL_TOK}),
 pref AS (SELECT doc_id FROM tok WHERE len(list_filter(ts, t -> t LIKE 'merg%')) > 0)
 SELECT a.doc_id, round(a.score + 1.0, 4) AS score
 FROM a JOIN pref ON a.doc_id = pref.doc_id
+"""
+
+    sqls["postings_sample"] = f"""
+WITH tok AS ({_SQL_TOK}),
+ex AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tok)
+SELECT term, doc_id, count(*) AS tf, min(pos) AS first_pos
+FROM ex GROUP BY term, doc_id ORDER BY term, doc_id LIMIT 50
 """
 
     sqls["dict_topdf"] = f"""

@@ -52,6 +52,7 @@ def main():
         SparkSession.builder.master("local[8]")
         .appName("contract-check")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()

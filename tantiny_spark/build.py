@@ -279,4 +279,5 @@ def build_segment(
         "dict": dictionary,
         "stats": stats,
         "blocks": build_blocks(postings),
+        "n_docs": n_docs,  # already counted by the stats aggregation
     }

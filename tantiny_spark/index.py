@@ -32,8 +32,24 @@ DEFAULT_LIMIT = 10  # index.rb:7
 
 
 class Index:
-    def __init__(self, spark: SparkSession, path: str, schema: IndexSchema | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: IndexSchema | None = None,
+        tokenizer=None,
+        exclusive_writer: bool = False,
+    ):
+        """Mirrors Index.new(path, tokenizer:, exclusive_writer:, &schema)
+        (sig/tantiny/index.rbs:7-22). ``tokenizer`` overrides the schema's
+        default analyzer; ``exclusive_writer`` takes the writer lock for the
+        life of this object (index.rb:36-43) — a second writer raises
+        IndexWriterBusyError immediately. The reference's writer_memory knob
+        has no analog: Spark's shuffle spill is the memory budget."""
         self.spark = spark
+        # local<->JVM DataFrame creation must go through Arrow (LocalRelation),
+        # not the per-row Python RDD path — runtime-settable session conf
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
         self.storage = IndexStorage(path)
         version = self.storage.current_version()
         self.snapshot = Snapshot(spark, self.storage, version)
@@ -44,9 +60,35 @@ class Index:
             self.schema = schema
         else:
             raise UnexpectedNone("schema")
+        if tokenizer is not None:
+            self.schema.default_tokenizer = tokenizer
         self._ctx = None
         self._in_txn = False
         self._pending_ops: list = []  # ordered ('add', row) / ('del', id)
+        self._exclusive = exclusive_writer
+        self._held_lock = False
+        if exclusive_writer:
+            self._acquire_lock()
+
+    def _lock_path(self) -> str:
+        return os.path.join(self.storage.path, "writer.lock")
+
+    def _acquire_lock(self):
+        try:
+            fd = os.open(self._lock_path(), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            self._held_lock = True
+        except FileExistsError:
+            raise IndexWriterBusyError("another writer holds the lock")
+
+    def _release_lock(self):
+        if self._held_lock:
+            os.unlink(self._lock_path())
+            self._held_lock = False
+
+    def close(self):
+        """Release an exclusive writer lock (if held)."""
+        self._release_lock()
 
     # --- lifecycle ----------------------------------------------------------
     @staticmethod
@@ -74,12 +116,10 @@ class Index:
         use inside an open transaction is an error, like index.rb:149-151."""
         if self._in_txn:
             raise IndexWriterBusyError("nested transaction")
-        lock = os.path.join(self.storage.path, "writer.lock")
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-        except FileExistsError:
-            raise IndexWriterBusyError("another writer holds the lock")
+        took_lock = False
+        if not self._held_lock:
+            self._acquire_lock()
+            took_lock = True
         self._in_txn = True
         try:
             yield self
@@ -87,7 +127,8 @@ class Index:
         finally:
             self._in_txn = False
             self._pending_ops = []
-            os.unlink(lock)
+            if took_lock:
+                self._release_lock()
 
     def add(self, doc) -> "Index":
         """Upsert one document — ``index << doc`` (index.rb:67-79). Documents
@@ -179,12 +220,15 @@ class Index:
         base = int(manifest.get("next_doc_id", 0))
         segments = list(manifest["segments"])
         next_doc_id = base
-        if df is not None and not df.isEmpty():
+        if df is not None:
             tables = build_segment(self.spark, df, self.schema, doc_id_base=base)
-            n = tables["docs"].count()
-            entry = self.storage.write_segment(tables, tombstones=deletes)
-            segments.append(entry)
-            next_doc_id = base + n
+            n = tables["n_docs"]
+            if n > 0:
+                entry = self.storage.write_segment(tables, tombstones=deletes)
+                segments.append(entry)
+                next_doc_id = base + n
+            elif deletes:
+                segments.append({"name": None, "tombstones": sorted(deletes)})
         elif deletes:
             # pure-delete commit: attach tombstones to an empty segment entry
             segments.append({"name": None, "tombstones": sorted(deletes)})

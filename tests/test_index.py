@@ -151,6 +151,33 @@ def test_writer_lock(spark, tmp_path):
                 pass
 
 
+def test_exclusive_writer(spark, tmp_path):
+    # index.rb:36-43 / index_spec.rb:116-126
+    s = IndexSchema()
+    s.text("t")
+    idx = Index(spark, str(tmp_path / "idx"), s, exclusive_writer=True)
+    with pytest.raises(IndexWriterBusyError):
+        Index(spark, str(tmp_path / "idx"), s, exclusive_writer=True)
+    idx.add({"id": 1, "t": "x"})  # owner can still write
+    idx.close()
+    # after release another exclusive writer can attach
+    idx2 = Index(spark, str(tmp_path / "idx"), s, exclusive_writer=True)
+    idx2.close()
+
+
+def test_default_tokenizer_override(spark, tmp_path):
+    from tantiny_spark.analysis.tokenizers import Tokenizer
+
+    s = IndexSchema()
+    s.text("t")
+    idx = Index(
+        spark, str(tmp_path / "idx"), s, tokenizer=Tokenizer.new("stemmer", language="en")
+    )
+    idx.add({"id": 1, "t": "running threes"})
+    idx.reload()
+    assert idx.search("runs") == ["1"]  # stems to 'run'
+
+
 def test_schema_persists(spark, tmp_path):
     idx = Index(spark, str(tmp_path / "idx"), movie_schema())
     idx.add(HANABI)
