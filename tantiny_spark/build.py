@@ -38,7 +38,7 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from tantiny_spark import scoring
-from tantiny_spark.analysis.udfs import tokens_udf
+from tantiny_spark.analysis.udfs import analyzed_udf
 from tantiny_spark.schema import IndexSchema
 
 POSTINGS_SCHEMA = T.StructType(
@@ -113,9 +113,13 @@ def assign_doc_ids(
     return arranged.mapInPandas(_stamp, out_schema)
 
 
-def _with_tokens(df: DataFrame, schema: IndexSchema) -> DataFrame:
+def _with_analysis(df: DataFrame, schema: IndexSchema) -> DataFrame:
+    """One Arrow-batched analyzer pass per text field: token count + the
+    complete doc-local posting tuples (see analysis.udfs.analyzed_udf)."""
     for f in schema.text_fields:
-        df = df.withColumn(f"{f}__tokens", tokens_udf(schema.tokenizer_for(f))(F.col(f)))
+        df = df.withColumn(
+            f"{f}__an", analyzed_udf(schema.tokenizer_for(f))(F.col(f))
+        )
     return df
 
 
@@ -152,10 +156,9 @@ def build_segment(
 
     projected = source.select(*cols)
     with_ids = assign_doc_ids(projected, "id", doc_id_base, num_partitions)
-    enriched = _with_tokens(with_ids, schema).cache()
+    enriched = _with_analysis(with_ids, schema).cache()
 
     # --- docs table -------------------------------------------------------
-    norm_udf = fieldnorm_id_udf()
     doc_cols = [F.col("doc_id"), F.col("id")]
     for f in schema.string_fields + schema.integer_fields + schema.double_fields + schema.date_fields:
         doc_cols.append(F.col(f))
@@ -165,27 +168,26 @@ def build_segment(
             F.expr(_ANCESTORS_EXPR.format(col=f)).alias(f"{f}__ancestors")
         )
     for f in schema.text_fields:
-        doc_cols.append(norm_udf(F.size(F.col(f"{f}__tokens"))).alias(f"{f}__norm"))
-        doc_cols.append(F.size(F.col(f"{f}__tokens")).alias(f"{f}__len"))
+        doc_cols.append(F.col(f"{f}__an.norm_id").alias(f"{f}__norm"))
+        doc_cols.append(F.col(f"{f}__an.len").alias(f"{f}__len"))
     docs = enriched.select(*doc_cols)
 
-    # --- postings ---------------------------------------------------------
+    # --- postings: pure JVM explode of the doc-local posting tuples --------
     posting_parts = []
     for f in schema.text_fields:
         exploded = (
             enriched.select(
                 F.col("doc_id"),
-                norm_udf(F.size(F.col(f"{f}__tokens"))).alias("norm_id"),
-                F.posexplode(F.col(f"{f}__tokens")).alias("pos", "term"),
-            )
-            .groupBy("term", "doc_id")
-            .agg(
-                F.count("*").cast("int").alias("tf"),
-                F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
-                F.first("norm_id").alias("norm_id"),
+                F.col(f"{f}__an.norm_id").alias("norm_id"),
+                F.explode(F.col(f"{f}__an.posts")).alias("post"),
             )
             .select(
-                F.lit(f).alias("field"), "term", "doc_id", "tf", "positions", "norm_id"
+                F.lit(f).alias("field"),
+                F.col("post.term").alias("term"),
+                "doc_id",
+                F.col("post.tf").alias("tf"),
+                F.col("post.positions").alias("positions"),
+                "norm_id",
             )
         )
         posting_parts.append(exploded)
@@ -251,7 +253,7 @@ def build_segment(
     # one aggregation job for every field's token totals + the doc count
     agg_cols = [F.count("*").alias("__n")]
     for f in schema.text_fields:
-        agg_cols.append(F.sum(F.size(F.col(f"{f}__tokens"))).alias(f"__tot_{f}"))
+        agg_cols.append(F.sum(F.col(f"{f}__an.len")).alias(f"__tot_{f}"))
     agg_row = enriched.agg(*agg_cols).collect()[0]
     n_docs = int(agg_row["__n"])
     stats_rows = []

@@ -96,49 +96,100 @@ def decode_varints(buf: bytes) -> np.ndarray:
 
 # --- build: flat postings → block table -------------------------------------
 
+def _encode_run(field, term, bucket, docs, tfs, norms, norm_table) -> list:
+    """Encode one (field, term, bucket) run of sorted doc_ids into ≤128-doc
+    block rows."""
+    if len(docs) > 1 and not (np.diff(docs) > 0).all():
+        # defensive: a coalesced-file partition could concatenate two sorted
+        # runs of the same key out of order; negative gaps must never reach
+        # the varint encoder
+        order = np.argsort(docs, kind="stable")
+        docs, tfs, norms = docs[order], tfs[order], norms[order]
+    rows = []
+    for bno, lo in enumerate(range(0, len(docs), BLOCK_SIZE)):
+        d = docs[lo : lo + BLOCK_SIZE]
+        t = tfs[lo : lo + BLOCK_SIZE]
+        nm = norms[lo : lo + BLOCK_SIZE]
+        gaps = np.diff(d, prepend=d[0])
+        gaps[0] = d[0] - bucket * BUCKET_SPAN  # delta from bucket base
+        rows.append(
+            {
+                "field": field,
+                "term": term,
+                "bucket": int(bucket),
+                "block_no": bno,
+                "n": len(d),
+                "first_doc": int(d[0]),
+                "last_doc": int(d[-1]),
+                "docs": encode_varints(gaps),
+                "tfs": encode_varints(t),
+                "norms": nm.astype(np.uint8).tobytes(),
+                "min_dl": float(norm_table[nm].min()),
+                "max_tf": int(t.max()),
+            }
+        )
+    return rows
+
+
 def build_blocks(postings: DataFrame) -> DataFrame:
-    """Arrow grouped-map kernel: (field, term, bucket) group → ≤128-doc
-    blocks with delta-gap varint docs, varint tfs, raw norm bytes, and
-    block-max metadata."""
+    """Streaming Arrow kernel over the (field, term, doc_id)-sorted postings
+    layout: each task scans its sorted partition once, slicing encode runs at
+    (field, term, bucket) boundaries with numpy — no per-group shuffle and no
+    per-group pandas materialization (the sort the storage layout needs
+    anyway IS the grouping). A run that crosses a partition boundary simply
+    yields two block sets for the same bucket, which the decoder and the
+    per-bucket max-aggregation both handle."""
     norm_table = np.asarray(scoring.FIELDNORM_TABLE, dtype=np.float64)
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        field = pdf["field"].iloc[0]
-        term = pdf["term"].iloc[0]
-        bucket = int(pdf["doc_id"].iloc[0]) // BUCKET_SPAN
-        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        norms = pdf["norm_id"].fillna(1).to_numpy(dtype=np.int64)
-        rows = []
-        for bno, lo in enumerate(range(0, len(docs), BLOCK_SIZE)):
-            d = docs[lo : lo + BLOCK_SIZE]
-            t = tfs[lo : lo + BLOCK_SIZE]
-            nm = norms[lo : lo + BLOCK_SIZE]
-            gaps = np.diff(d, prepend=d[0])
-            gaps[0] = d[0] - bucket * BUCKET_SPAN  # delta from bucket base
-            rows.append(
-                {
-                    "field": field,
-                    "term": term,
-                    "bucket": bucket,
-                    "block_no": bno,
-                    "n": len(d),
-                    "first_doc": int(d[0]),
-                    "last_doc": int(d[-1]),
-                    "docs": encode_varints(gaps),
-                    "tfs": encode_varints(t),
-                    "norms": nm.astype(np.uint8).tobytes(),
-                    "min_dl": float(norm_table[nm].min()),
-                    "max_tf": int(t.max()),
-                }
-            )
-        return pd.DataFrame(rows)
+    def encode_stream(batches):
+        pend = None  # carry-over tail: (field, term, bucket, docs, tfs, norms)
+        out: list = []
 
-    grouped = postings.withColumn(
-        "bucket", (F.col("doc_id") / BUCKET_SPAN).cast("long")
-    ).groupBy("field", "term", "bucket")
-    return grouped.applyInPandas(encode_group, BLOCKS_SCHEMA)
+        def flush_runs(field, term, bucket, docs, tfs, norms):
+            out.extend(_encode_run(field, term, bucket, docs, tfs, norms, norm_table))
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            fields = pdf["field"].to_numpy()
+            terms = pdf["term"].to_numpy()
+            docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+            tfs = pdf["tf"].to_numpy(dtype=np.int64)
+            norms = pdf["norm_id"].fillna(1).to_numpy(dtype=np.int64)
+            buckets = docs // BUCKET_SPAN
+            # run boundaries where (field, term, bucket) changes
+            change = np.flatnonzero(
+                (fields[1:] != fields[:-1])
+                | (terms[1:] != terms[:-1])
+                | (buckets[1:] != buckets[:-1])
+            )
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [len(docs)]))
+            for s, e in zip(starts, ends):
+                key = (fields[s], terms[s], buckets[s])
+                if pend is not None and pend[0] == key:
+                    pend = (
+                        key,
+                        np.concatenate((pend[1], docs[s:e])),
+                        np.concatenate((pend[2], tfs[s:e])),
+                        np.concatenate((pend[3], norms[s:e])),
+                    )
+                    continue
+                if pend is not None:
+                    flush_runs(pend[0][0], pend[0][1], pend[0][2], pend[1], pend[2], pend[3])
+                pend = (key, docs[s:e].copy(), tfs[s:e].copy(), norms[s:e].copy())
+            if out:
+                yield pd.DataFrame(out)
+                out = []
+        if pend is not None:
+            flush_runs(pend[0][0], pend[0][1], pend[0][2], pend[1], pend[2], pend[3])
+        if out:
+            yield pd.DataFrame(out)
+
+    sorted_postings = postings.select(
+        "field", "term", "doc_id", "tf", "norm_id"
+    )
+    return sorted_postings.mapInPandas(encode_stream, BLOCKS_SCHEMA)
 
 
 def decode_block_scores(
