@@ -30,6 +30,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -135,10 +136,21 @@ def build_segment(
     schema: IndexSchema,
     doc_id_base: int = 0,
     num_partitions: Optional[int] = None,
+    work_dir: Optional[str] = None,
 ) -> dict:
     """Run the full build pipeline over ``source`` (one column per schema
-    field, id column named per schema.id_field). Returns the four segment
-    DataFrames. Pure transformation — the caller (storage layer) commits."""
+    field, id column named per schema.id_field). Returns the segment tables.
+    Pure transformation — the caller (storage layer) commits.
+
+    ``work_dir``: staging directory for the materialize-then-derive pattern —
+    the analyzed rows land in Parquet once and every derived table reads the
+    columnar files back (column-pruned, JVM-only). Without it the analyzed
+    rows are memory-persisted instead; at scale (and in the benchmarks) the
+    staging path wins: no giant nested-struct InMemoryRelation churning the
+    heap, and the tokenizer runs exactly once either way. ``dict`` and
+    ``blocks`` are returned as CALLABLES over the stored postings table —
+    the storage layer writes postings first and derives both from the
+    written files (see storage.write_segment)."""
     sid = schema.id_field
     cols = [F.col(sid).cast("string").alias("id")]
     for f in schema.string_fields:
@@ -156,7 +168,12 @@ def build_segment(
 
     projected = source.select(*cols)
     with_ids = assign_doc_ids(projected, "id", doc_id_base, num_partitions)
-    enriched = _with_analysis(with_ids, schema).cache()
+    if work_dir is not None:
+        staged = os.path.join(work_dir, "enriched")
+        _with_analysis(with_ids, schema).write.mode("overwrite").parquet(staged)
+        enriched = spark.read.parquet(staged)
+    else:
+        enriched = _with_analysis(with_ids, schema).persist()
 
     # --- docs table -------------------------------------------------------
     doc_cols = [F.col("doc_id"), F.col("id")]
@@ -229,26 +246,27 @@ def build_segment(
     else:
         postings = spark.createDataFrame([], POSTINGS_SCHEMA)
 
-    # persist BEFORE the range exchange: repartitionByRange samples its input
-    # to pick boundaries, which would otherwise run the whole tokenize+groupBy
-    # lineage twice (sample pass + real pass)
-    postings = postings.persist()
     # sorted layout: term lookups prune via Parquet min/max; doc_id in the
     # range key splits Zipfian head terms across partitions instead of
-    # concentrating them (skew handling, SURVEY.md §4)
+    # concentrating them (skew handling, SURVEY.md §4). The range sampler and
+    # the real pass each re-scan the explode — a cheap column-pruned read of
+    # the staged analyzed Parquet (or of the persisted rows without staging).
     postings = postings.repartitionByRange(
         max(spark.sparkContext.defaultParallelism, 2), "field", "term", "doc_id"
     ).sortWithinPartitions("field", "term", "doc_id")
-    # dict and blocks both derive from postings — keep the sorted result hot
-    # too. (In production the storage layer materializes postings to the
-    # table first and derives dict/blocks from the written files; the caches
-    # are the local-session equivalent.)
-    postings = postings.persist()
 
-    # --- dictionary + stats -------------------------------------------------
-    dictionary = postings.groupBy("field", "term").agg(
-        F.count("*").cast("long").alias("df")
-    )
+    # --- dictionary + blocks: derived from the STORED postings files -------
+    # (callables over the written table; storage.write_segment invokes them
+    # after the postings write so neither re-runs the build lineage)
+    def derive_dict(stored: DataFrame) -> DataFrame:
+        return stored.groupBy("field", "term").agg(
+            F.count("*").cast("long").alias("df")
+        )
+
+    def derive_blocks(stored: DataFrame) -> DataFrame:
+        from tantiny_spark.wand import build_blocks
+
+        return build_blocks(stored)
 
     # one aggregation job for every field's token totals + the doc count
     agg_cols = [F.count("*").alias("__n")]
@@ -273,13 +291,11 @@ def build_segment(
         schema="field string, num_docs long, total_tokens long, avgdl double",
     )
 
-    from tantiny_spark.wand import build_blocks
-
     return {
         "docs": docs,
         "postings": postings,
-        "dict": dictionary,
+        "dict": derive_dict,  # callable(stored postings) -> DataFrame
         "stats": stats,
-        "blocks": build_blocks(postings),
+        "blocks": derive_blocks,  # callable(stored postings) -> DataFrame
         "n_docs": n_docs,  # already counted by the stats aggregation
     }

@@ -221,14 +221,25 @@ class Index:
         segments = list(manifest["segments"])
         next_doc_id = base
         if df is not None:
-            tables = build_segment(self.spark, df, self.schema, doc_id_base=base)
-            n = tables["n_docs"]
-            if n > 0:
-                entry = self.storage.write_segment(tables, tombstones=deletes)
-                segments.append(entry)
-                next_doc_id = base + n
-            elif deletes:
-                segments.append({"name": None, "tombstones": sorted(deletes)})
+            import shutil
+            import uuid as uuid_mod
+
+            staging = os.path.join(
+                self.storage.path, "staging", uuid_mod.uuid4().hex[:12]
+            )
+            try:
+                tables = build_segment(
+                    self.spark, df, self.schema, doc_id_base=base, work_dir=staging
+                )
+                n = tables["n_docs"]
+                if n > 0:
+                    entry = self.storage.write_segment(tables, tombstones=deletes)
+                    segments.append(entry)
+                    next_doc_id = base + n
+                elif deletes:
+                    segments.append({"name": None, "tombstones": sorted(deletes)})
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
         elif deletes:
             # pure-delete commit: attach tombstones to an empty segment entry
             segments.append({"name": None, "tombstones": sorted(deletes)})

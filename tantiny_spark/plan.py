@@ -15,11 +15,8 @@ Mirrors the reference's 10-type query surface and composition rules
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass, field as dc_field
 from datetime import date, datetime
-from typing import Union
-
 from tantiny_spark.errors import UnsupportedField, UnsupportedRange
 from tantiny_spark.schema import IndexSchema
 
@@ -267,7 +264,7 @@ def facet_query(schema: IndexSchema, field, path: str, boost: float = DEFAULT_BO
     )
 
 
-def smart_query(
+def smart_query(  # noqa: C901
     schema: IndexSchema, fields, query_string: str,
     fuzzy_distance: int | None = None, boost: float = DEFAULT_BOOST,
 ) -> Query:
@@ -290,6 +287,3 @@ def smart_query(
     if not field_queries:
         return Empty()
     return disjunction(*field_queries).boost(boost)
-
-
-_PREFIX_REGEX_RE = re.compile(r"^(?P<lit>(?:[^\\.\[\]\(\)\{\}\*\+\?\|\^\$]|\\.)*)\.\*$")

@@ -36,12 +36,10 @@ def _checkpoint_dir(storage: IndexStorage) -> str:
     return d
 
 
-def _lineage_checksums(tables: dict) -> dict:
+def _lineage_checksums(docs, postings) -> dict:
     """Order-insensitive content checksums: equal across partition layouts
     and parallelism levels, so local[8] and local[32] builds can be proven
     identical."""
-    docs = tables["docs"]
-    postings = tables["postings"]
     doc_row = docs.agg(
         F.count("*").alias("n"),
         F.sum(F.crc32(F.col("id"))).alias("crc"),
@@ -91,11 +89,19 @@ def resumable_build(
             continue
         t0 = time.time()
         shard_df = sharded.where(F.col("__shard") == k).drop("__shard")
-        tables = build_segment(
-            spark, shard_df, schema, doc_id_base=k * SHARD_CAPACITY
-        )
-        entry = storage.write_segment(tables, name=f"seg-part-{k:05d}")
-        metrics = _lineage_checksums(tables)
+        staging = os.path.join(storage.path, "staging", f"part-{k:05d}")
+        try:
+            tables = build_segment(
+                spark, shard_df, schema, doc_id_base=k * SHARD_CAPACITY,
+                work_dir=staging,
+            )
+            entry = storage.write_segment(tables, name=f"seg-part-{k:05d}")
+        finally:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+        stored = storage.load_segment(spark, entry)
+        metrics = _lineage_checksums(stored["docs"], stored["postings"])
         record = {
             "shard": k,
             "segment": entry["name"],

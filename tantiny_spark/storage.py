@@ -78,13 +78,30 @@ class IndexStorage:
     ) -> dict:
         """Persist one segment's tables; returns its manifest entry. Does NOT
         commit — a crash here leaves an unreferenced directory, never a
-        corrupt index (the resumability contract)."""
+        corrupt index (the resumability contract).
+
+        Materialize-then-derive: DataFrame values are written directly;
+        callable values are invoked with the freshly-written postings table
+        (dict/blocks derive from the stored files instead of re-running the
+        build lineage or holding giant in-memory caches)."""
         name = name or f"seg-{uuid.uuid4().hex[:12]}"
         seg_dir = os.path.join(self.path, "segments", name)
+        deferred = []
         for tname in TABLES:
             df = tables.get(tname)
-            if df is not None:
-                df.write.mode("overwrite").parquet(os.path.join(seg_dir, tname))
+            if df is None:
+                continue
+            if callable(df):
+                deferred.append((tname, df))
+                continue
+            df.write.mode("overwrite").parquet(os.path.join(seg_dir, tname))
+        if deferred:
+            spark = tables["postings"].sparkSession
+            stored_postings = spark.read.parquet(os.path.join(seg_dir, "postings"))
+            for tname, fn in deferred:
+                fn(stored_postings).write.mode("overwrite").parquet(
+                    os.path.join(seg_dir, tname)
+                )
         entry = {"name": name, "tombstones": sorted(tombstones or [])}
         return entry
 

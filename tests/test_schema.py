@@ -64,6 +64,19 @@ def test_coercion():
     assert s.coerce("t", None) is None
 
 
+def test_iso8601_date_coercion():
+    # helpers_spec.rb:5-8 — dates ingest as ISO-8601 strings
+    from datetime import datetime
+
+    s = IndexSchema()
+    s.date("d")
+    assert s.coerce("d", "1998-12-01T00:00:00+00:00") == datetime(
+        1998, 12, 1, tzinfo=__import__("datetime").timezone.utc
+    )
+    assert s.coerce("d", "2022-01-05T10:30:00Z").hour == 10
+    assert s.coerce("d", datetime(2000, 1, 1)) == datetime(2000, 1, 1)
+
+
 def test_roundtrip_json():
     s = IndexSchema(default_tokenizer=Tokenizer.new("stemmer", language="en"))
     s.id("k")
