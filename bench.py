@@ -143,6 +143,15 @@ def main():
             q_total += dt
             result_hash.update((name + ":" + ",".join(hits)).encode())
 
+        # batched execution: the cluster-throughput number (one job amortizes
+        # scheduling across the whole query batch)
+        tb = time.time()
+        batch_results = index.search_many({n: q for n, q in suite}, limit=10)
+        batch_sec = time.time() - tb
+        timings["q_batch_all"] = round(batch_sec, 3)
+        for name, _ in suite:
+            result_hash.update(("batch:" + name + ":" + ",".join(batch_results[name])).encode())
+
         total = build_sec + q_total
         print(
             json.dumps(
@@ -155,6 +164,7 @@ def main():
                     "n_docs": n_docs,
                     "docs_per_sec": round(n_docs / build_sec, 1),
                     "queries_per_sec": round(len(suite) / q_total, 2),
+                    "batched_queries_per_sec": round(len(suite) / batch_sec, 2),
                     "cpus": cpus,
                     "repl": repl,
                     # identical across parallelism levels = determinism evidence

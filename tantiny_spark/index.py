@@ -358,6 +358,42 @@ class Index:
             return top_k(fast, self.ctx, limit)
         return top_k(compile_plan(plan, self.ctx), self.ctx, limit)
 
+    def search_many(self, queries: dict, limit: int = DEFAULT_LIMIT) -> dict:
+        """Execute a batch of queries as ONE Spark job: each plan compiles to
+        a tagged doc-set, the union is ranked per query with a single window.
+        This is how query *throughput* scales on a cluster — per-query job
+        overhead is paid once per batch, not once per query. Returns
+        {name: [ids...]} with the same deterministic ordering as search()."""
+        from pyspark.sql import Window, functions as F
+
+        tagged = []
+        for name, q in queries.items():
+            plan = self._as_plan(q, {})
+            prime_stats(plan, self.ctx)
+            tagged.append(
+                compile_plan(plan, self.ctx).select(
+                    F.lit(name).alias("query"), "doc_id", "score"
+                )
+            )
+        unioned = tagged[0]
+        for t in tagged[1:]:
+            unioned = unioned.unionByName(t)
+        ids = self.ctx.docs.select("doc_id", "id")
+        w = Window.partitionBy("query").orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        rows = (
+            unioned.join(ids, "doc_id")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= limit)
+            .select("query", "id", "rank")
+            .collect()
+        )
+        out: dict = {name: [] for name in queries}
+        for r in sorted(rows, key=lambda r: (r["query"], r["rank"])):
+            out[r["query"]].append(r["id"])
+        return out
+
     def _as_plan(self, query, smart_opts) -> P.Query:
         if isinstance(query, P.Query):
             return query
