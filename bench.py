@@ -12,10 +12,17 @@ Prints ONE JSON line:
 
 Env knobs:
   SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS     local[N] (default 32)
+  SPARK_GRAFT_CPUS     local[N] (default 8 — measured sweet spot on this
+                       shared 32-core box: every pandas-UDF stage runs N JVM
+                       task threads + N Arrow Python workers, and beyond ~16
+                       total processes the single shared heap/memory bus
+                       thrashes: 500k-doc build = 39 s at local[8] vs 87 s at
+                       local[16] vs 268 s at local[32]. Real executors each
+                       own their cores/memory, so a cluster does not hit
+                       this; see BENCH/BASELINE.md.)
   SPARK_GRAFT_REPL     deterministic corpus replication factor (default 1) —
-                       used by the two-parallelism scaling study to get a
-                       build long enough to measure (BENCH/BASELINE.md)
+                       used by the scaling study to get a build long enough
+                       to measure (BENCH/BASELINE.md)
 """
 
 from __future__ import annotations
@@ -85,7 +92,7 @@ QUERY_SUITE = [
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     repl = int(os.environ.get("SPARK_GRAFT_REPL", "1"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
