@@ -343,6 +343,52 @@ def q_lang_dist(spark, sf_dir):
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
+def q_events_hourly(spark, sf_dir):
+    """Tumbling time-window aggregation over the events stream table (the
+    batch shape of the Structured Streaming windowed-agg path)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # hour bucket via epoch arithmetic: timezone-independent in both engines
+    return (
+        ev.groupBy(
+            F.col("event_type"),
+            F.floor(F.unix_timestamp(F.col("ts")) / 3600).alias("hour_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_knn_join(spark, sf_dir):
+    """k-NN join: top-3 cosine neighbors for each of the first 20 vectors —
+    brute-force pairwise scoring + per-query window rank (the exact-verify
+    stage of an ANN pipeline)."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    qd = F.col("qv").cast("array<double>")
+    nd = F.col("nv").cast("array<double>")
+    dot = F.aggregate(F.zip_with(qd, nd, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    norm_q = F.sqrt(F.aggregate(qd, F.lit(0.0), lambda a, x: a + x * x))
+    norm_n = F.sqrt(F.aggregate(nd, F.lit(0.0), lambda a, x: a + x * x))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(dot / (norm_q * norm_n), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("qid", "nid", "cosine", "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 # --------------------------------------------------------------------------
@@ -400,6 +446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "lang_dist": q_lang_dist,
+        "events_hourly": q_events_hourly,
+        "knn_join": q_knn_join,
     }
 
 
@@ -585,5 +633,28 @@ FROM documents
 """
 
     sqls["lang_dist"] = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+    sqls["events_hourly"] = """
+SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hour_bucket,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    sqls["knn_join"] = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+  FROM q, embeddings e WHERE q.qid != e.vec_id
+),
+ranked AS (
+  SELECT qid, nid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 3
+"""
 
     return sqls
