@@ -140,7 +140,8 @@ def q_boolean_not(spark, sf_dir):
 
 def q_phrase(spark, sf_dir):
     """Positional phrase "batch batch": adjacency via pos_b = pos_a + 1,
-    scored BM25 with tf = phrase frequency."""
+    scored BM25 with tf = phrase frequency and idf summed PER TERM OCCURRENCE
+    (Tantivy's Bm25Weight::for_terms; 'batch' appears twice ⇒ 2·idf)."""
     docs = _docs(spark, sf_dir)
     ex = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
@@ -168,7 +169,9 @@ def q_phrase(spark, sf_dir):
         .select(
             "doc_id",
             F.col("tf").cast("long").alias("phrase_tf"),
-            F.round(_bm25(F.col("dl"), F.col("df"), F.col("tf")), 4).alias("score"),
+            # idf enters multiplicatively ⇒ per-occurrence sum for the
+            # repeated term is exactly 2× the single-idf value
+            F.round(2.0 * _bm25(F.col("dl"), F.col("df"), F.col("tf")), 4).alias("score"),
         )
     )
 
@@ -297,7 +300,11 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    return dedup.jaccard_pairs(_docs(spark, sf_dir), shingle_n=2, threshold=0.05)
+    # max_shingle_df caps the hot-shingle self-join (the 100 TB skew guard);
+    # the oracle applies the identical cap
+    return dedup.jaccard_pairs(
+        _docs(spark, sf_dir), shingle_n=2, threshold=0.05, max_shingle_df=100
+    )
 
 
 def q_simhash(spark, sf_dir):
@@ -390,6 +397,124 @@ def q_knn_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# engine-routed queries: these certify Index / compile_plan / search_df
+# ITSELF against the DuckDB oracle (not a parallel re-implementation). The
+# oracle mirrors the engine exactly: BM25 over the 1-byte-QUANTIZED fieldnorm
+# (Lucene-SmallFloat table literal in the SQL), exact avgdl, tf=1 terms,
+# per-occurrence phrase idf, and the pinned (score desc, id-STRING asc)
+# top-k tie-break.
+# --------------------------------------------------------------------------
+
+_ENGINE_IX: dict = {}
+
+
+def _engine_index(spark, sf_dir):
+    """Build the real index over documents.parquet once per (session, sf_dir);
+    every engine_* query answers through Index.search_df on these segment
+    tables."""
+    key = (id(spark), os.path.abspath(sf_dir))
+    ix = _ENGINE_IX.get(key)
+    if ix is None:
+        from tantiny_spark.index import Index
+        from tantiny_spark.schema import IndexSchema
+
+        schema = IndexSchema()
+        schema.id("doc_id")
+        schema.text("text")
+        schema.string("lang")
+        schema.integer("n_chars")
+        schema.facet("src")
+        path = os.path.join(tempfile.mkdtemp(prefix="tantiny_contract_"), "idx")
+        ix = Index(spark, path, schema)
+        ix.add_dataframe(
+            _docs(spark, sf_dir).select(
+                "doc_id", "text", "lang", "n_chars",
+                F.concat(F.lit("/"), "lang", F.lit("/"), "source").alias("src"),
+            )
+        )
+        ix.reload()
+        _ENGINE_IX[key] = ix
+    return ix
+
+
+def _engine_topk(ix, q, k: int = 10):
+    return ix.search_df(q, limit=k).select(
+        "id", F.round("score", 4).alias("score")
+    )
+
+
+def q_engine_term_topk(spark, sf_dir):
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.term_query("text", "vector"))
+
+
+def q_engine_phrase(spark, sf_dir):
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.phrase_query("text", "batch batch"))
+
+
+def q_engine_smart(spark, sf_dir):
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.smart_query(["text"], "spark merg"))
+
+
+def q_engine_bool_and(spark, sf_dir):
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(
+        ix, ix.term_query("text", "spark") & ix.term_query("text", "merge")
+    )
+
+
+def q_engine_fuzzy(spark, sf_dir):
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.fuzzy_term_query("text", "spork", 1))
+
+
+def q_engine_string_term(spark, sf_dir):
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.term_query("lang", "en"))
+
+
+# --- engine-oracle SQL helpers ---------------------------------------------
+
+_SQL_NORMTBL = "[" + ",".join(str(v) for v in scoring.FIELDNORM_TABLE) + "]"
+# quantized doc length: decode(encode(dl)) through the SmallFloat table
+# (t is the 256-entry literal; nid = largest id with t[id] <= dl, 1-based
+# list_extract)
+_SQL_DLQ = "t[list_max(list_filter(range(256), i -> t[i+1] <= dl)) + 1]::DOUBLE"
+
+
+def _sql_engine_term(term: str) -> str:
+    """Per-doc engine term-query score: tf=1 BM25 over the QUANTIZED dl.
+    Yields columns (id VARCHAR, score DOUBLE)."""
+    return f"""
+SELECT CAST(m.doc_id AS VARCHAR) AS id, {_sql_bm25(dl=_SQL_DLQ)} AS score
+FROM (SELECT doc_id, len(ts)::DOUBLE AS dl FROM tok WHERE list_contains(ts, '{term}')) m,
+     (SELECT count(*)::DOUBLE AS df FROM tok WHERE list_contains(ts, '{term}')) d,
+     s, tbl
+"""
+
+
+_SQL_ENGINE_PRELUDE = f"""
+WITH tok AS ({_SQL_TOK}),
+tbl AS (SELECT {_SQL_NORMTBL} AS t),
+s AS ({_SQL_STATS}),
+ex AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tok)
+"""
+
+
+def _sql_engine_topk(body: str) -> str:
+    """Wrap a (id, score) relation with the engine's pinned top-k: order by
+    the UNROUNDED score desc then id-string asc, display rounded."""
+    return f"""{_SQL_ENGINE_PRELUDE},
+q AS ({body})
+SELECT id, round(score, 4) AS score
+FROM (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 10)
+ORDER BY score DESC, id ASC
+"""
+
+
+# --------------------------------------------------------------------------
 # driver entry points
 # --------------------------------------------------------------------------
 
@@ -448,6 +573,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_dist": q_lang_dist,
         "events_hourly": q_events_hourly,
         "knn_join": q_knn_join,
+        "engine_term_topk": q_engine_term_topk,
+        "engine_phrase": q_engine_phrase,
+        "engine_smart": q_engine_smart,
+        "engine_bool_and": q_engine_bool_and,
+        "engine_fuzzy": q_engine_fuzzy,
+        "engine_string_term": q_engine_string_term,
     }
 
 
@@ -492,7 +623,7 @@ ph AS (SELECT a.doc_id, count(*)::DOUBLE AS tf
 dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM tok),
 d AS (SELECT count(*)::DOUBLE AS df FROM tok WHERE list_contains(ts, 'batch')),
 s AS ({_SQL_STATS})
-SELECT ph.doc_id, tf::BIGINT AS phrase_tf, round({_sql_bm25(tf='tf')}, 4) AS score
+SELECT ph.doc_id, tf::BIGINT AS phrase_tf, round(2.0 * ({_sql_bm25(tf='tf')}), 4) AS score
 FROM ph JOIN dl ON ph.doc_id = dl.doc_id, d, s
 """
 
@@ -551,7 +682,7 @@ ORDER BY df DESC, term ASC LIMIT 20
 
     sqls["corpus_stats"] = f"""
 WITH tok AS ({_SQL_TOK})
-SELECT count(*) AS num_docs, sum(len(ts)) AS total_tokens,
+SELECT count(*) AS num_docs, sum(len(ts))::BIGINT AS total_tokens,
        round(sum(len(ts))::DOUBLE / count(*), 6) AS avgdl
 FROM tok
 """
@@ -583,7 +714,10 @@ SELECT doc_id, {mh} FROM ex GROUP BY doc_id
     sqls["jaccard_pairs"] = f"""
 WITH tok AS ({_SQL_TOK}),
 sh AS (SELECT doc_id, {shingle2} AS shs FROM tok WHERE len(ts) >= 2),
-ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+ex0 AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+-- hot-shingle cap (df > 100 dropped), the same skew guard the Spark side applies
+ex AS (SELECT ex0.* FROM ex0
+       JOIN (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 100) keep USING (s)),
 sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -593,6 +727,29 @@ FROM inter JOIN sizes na ON inter.a = na.doc_id JOIN sizes nb ON inter.b = nb.do
 WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 6) >= 0.05
 """
 
+    # simhash: md5-by-construction so every bit is reproducible in SQL —
+    # bit j of the high-8-bytes integer lives in hex char 16-(j/4), bit j%4
+    sqls["simhash"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+bitsum AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), 16 - (j // 4), 1)) - 1)
+                        >> (j % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM tok, range(64) r(j) GROUP BY doc_id, j
+),
+val AS (
+  SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::HUGEINT << j) ELSE 0::HUGEINT END) AS v
+  FROM bitsum GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(CASE WHEN v >= (1::HUGEINT << 63) THEN (v - (1::HUGEINT << 64))::BIGINT
+                     ELSE v::BIGINT END, 0) AS simhash
+FROM documents d LEFT JOIN val ON d.doc_id = val.doc_id
+"""
+
     sqls["cosine_topk"] = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
@@ -600,6 +757,31 @@ SELECT vec_id,
              / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                 * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cosine
 FROM embeddings, q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+    # lsh_topk: the hyperplanes are deterministic (seed 42) — inline the same
+    # float literals the Spark side uses; the query bucket is the bucket of
+    # vec_id=0 computed by the same expression
+    from tantiny_spark.pipeline.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, 4, 42)
+    bucket_expr = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in plane)
+        + f"]::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    sqls["lsh_topk"] = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings
+),
+q AS (SELECT embedding::DOUBLE[] AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+FROM bucketed, q WHERE bucket = qbucket
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
@@ -656,5 +838,52 @@ ranked AS (
 )
 SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 3
 """
+
+    # --- engine-routed oracles (mirror Index.search_df exactly) -------------
+    sqls["engine_term_topk"] = _sql_engine_topk(_sql_engine_term("vector"))
+
+    sqls["engine_bool_and"] = _sql_engine_topk(f"""
+SELECT a.id, a.score + b.score AS score
+FROM ({_sql_engine_term('spark')}) a JOIN ({_sql_engine_term('merge')}) b USING (id)
+""")
+
+    sqls["engine_phrase"] = _sql_engine_topk(f"""
+SELECT CAST(ph.doc_id AS VARCHAR) AS id,
+       2.0 * ({_sql_bm25(dl=_SQL_DLQ, tf='tf')}) AS score
+FROM (SELECT a.doc_id, count(*)::DOUBLE AS tf
+      FROM (SELECT doc_id, pos FROM ex WHERE term = 'batch') a
+      JOIN (SELECT doc_id, pos FROM ex WHERE term = 'batch') b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.doc_id) ph
+JOIN (SELECT doc_id, len(ts)::DOUBLE AS dl FROM tok) dl0 ON ph.doc_id = dl0.doc_id,
+     (SELECT count(*)::DOUBLE AS df FROM tok WHERE list_contains(ts, 'batch')) d,
+     s, tbl
+""")
+
+    sqls["engine_smart"] = _sql_engine_topk(f"""
+SELECT a.id, a.score + 1.0 AS score
+FROM ({_sql_engine_term('spark')}) a
+JOIN (SELECT CAST(doc_id AS VARCHAR) AS id FROM tok
+      WHERE len(list_filter(ts, x -> x LIKE 'merg%')) > 0) p USING (id)
+""")
+
+    # distance-1 OSA (engine) ≡ distance-1 Damerau-Levenshtein: any single
+    # edit including one adjacent transposition
+    sqls["engine_fuzzy"] = _sql_engine_topk("""
+SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id, 1.0::DOUBLE AS score
+FROM (SELECT doc_id, unnest(ts) AS term FROM tok) e
+WHERE damerau_levenshtein(term, 'spork') <= 1
+""")
+
+    # string-field term: tf=1, dl=avgdl=1 by construction (the engine stores
+    # norm_id=1 and num_docs=total_tokens for string fields)
+    sqls["engine_string_term"] = _sql_engine_topk(f"""
+SELECT CAST(m.doc_id AS VARCHAR) AS id,
+       ln(1.0 + (n - df + 0.5) / (df + 0.5)) * ({K1} + 1.0) * 1.0
+       / (1.0 + {K1} * (1.0 - {B} + {B} * 1.0 / 1.0)) AS score
+FROM (SELECT doc_id FROM documents WHERE lang = 'en') m,
+     (SELECT count(*)::DOUBLE AS df FROM documents WHERE lang = 'en') d,
+     (SELECT count(*)::DOUBLE AS n FROM documents) nn
+""")
 
     return sqls

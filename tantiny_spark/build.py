@@ -53,7 +53,7 @@ POSTINGS_SCHEMA = T.StructType(
 
 def assign_doc_ids(
     df: DataFrame, order_col: str = "id", doc_id_base: int = 0,
-    num_partitions: Optional[int] = None,
+    num_partitions: Optional[int] = None, cleanup: Optional[list] = None,
 ) -> DataFrame:
     """Deterministic, parallelism-invariant doc_id = doc_id_base + global rank
     of ``order_col``.
@@ -72,6 +72,10 @@ def assign_doc_ids(
         order_col
     )
     arranged = arranged.cache()
+    if cleanup is not None:
+        # caller unpersists once the stamped output has been fully consumed
+        # (long-running writers must not accumulate cached relations)
+        cleanup.append(arranged)
     counts = (
         arranged.groupBy(F.spark_partition_id().alias("pid")).count().collect()
     )
@@ -264,12 +268,17 @@ def build_segment(
         cols.append(F.col(f).cast("string").alias(f))
 
     projected = source.select(*cols)
-    with_ids = assign_doc_ids(projected, "id", doc_id_base, num_partitions)
+    cached: list = []
+    with_ids = assign_doc_ids(projected, "id", doc_id_base, num_partitions, cleanup=cached)
     stream_df = with_ids.mapInPandas(_flat_analyzer(schema), _flat_stream_schema(schema))
     if work_dir is not None:
         staged_path = os.path.join(work_dir, "analyzed")
         stream_df.write.mode("overwrite").parquet(staged_path)
         staged = spark.read.parquet(staged_path)
+        # the staging write was the single pass over the tokenizer; the
+        # doc-id-ordered input cache has no further consumers — release it
+        for c in cached:
+            c.unpersist()
     else:
         staged = stream_df.persist()
 

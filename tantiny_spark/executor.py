@@ -61,6 +61,16 @@ class SearchContext:
         self._stats_cache: dict = {}
         self._df_cache: dict = {}
 
+    def release(self) -> None:
+        """Unpersist the cached hot tables (docs/dictionary/stats). Called by
+        Index.reload() so long-running readers don't accumulate one cached
+        relation set per snapshot generation."""
+        for df in (self.docs, self.dictionary, self.stats):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
     def field_stats(self, field: str) -> tuple:
         """(num_docs, avgdl) for a field across live segments."""
         hit = self._stats_cache.get(field)
@@ -249,9 +259,9 @@ def _phrase(node: P.Phrase, ctx: SearchContext) -> DataFrame:
         "doc_id", "norm_id", F.size(inter).alias("phrase_tf")
     ).where(F.col("phrase_tf") > 0)
 
-    # summed idf over the phrase's distinct terms (Lucene/Tantivy multi-term
-    # weight), phrase frequency as tf
-    idf_sum = sum(scoring.idf(dfs[t], n) for t in set(terms))
+    # summed idf over ALL phrase terms INCLUDING repeats (Tantivy's
+    # Bm25Weight::for_terms sums per occurrence), phrase frequency as tf
+    idf_sum = sum(scoring.idf(dfs[t], n) for t in terms)
     tf = F.col("phrase_tf").cast("double")
     norm = scoring.K1 * (
         1.0 - scoring.B + scoring.B * _decode_norm(F.col("norm_id")) / F.lit(float(avgdl))
@@ -262,29 +272,44 @@ def _phrase(node: P.Phrase, ctx: SearchContext) -> DataFrame:
     )
 
 
+MAX_EXPANSION_LITERALS = 10_000
+
+
 def _dict_expansion(ctx: SearchContext, field: str, term_predicate) -> DataFrame:
     """Automaton-style queries (regex/prefix/fuzzy): enumerate matching
     dictionary terms, union their postings, constant score 1.0.
 
-    The matched term list is collected to the driver (it is a slice of the
-    term dictionary — bounded and usually tiny) and re-injected as an isin()
-    literal so the postings scan gets *term-level Parquet pushdown*, the
-    fst-dictionary-first strategy of the reference (README.md:274) rather
-    than a full field scan + semi-join."""
-    matched = [
-        r["term"]
-        for r in ctx.dictionary.where(F.col("field") == field)
+    Typical patterns match a tiny dictionary slice, which is collected and
+    re-injected as an isin() literal so the postings scan gets *term-level
+    Parquet pushdown* — the fst-dictionary-first strategy of the reference
+    (README.md:274) rather than a full field scan. A pathological pattern
+    (`.*`, one-letter prefix on a web-scale dictionary) could match millions
+    of terms, so the collect is CAPPED: fetching MAX_EXPANSION_LITERALS+1
+    rows detects overflow, and the fallback is a semi-join of the postings
+    against the matched dictionary slice — fully distributed, no driver
+    materialization (AQE picks broadcast vs shuffle by actual size)."""
+    matched_df = (
+        ctx.dictionary.where(F.col("field") == field)
         .where(term_predicate)
         .select("term")
         .distinct()
-        .collect()
-    ]
-    if not matched:
+    )
+    head = matched_df.limit(MAX_EXPANSION_LITERALS + 1).collect()
+    if not head:
         return ctx.docs.sparkSession.createDataFrame([], RESULT_SCHEMA)
-    return (
-        ctx.postings.where(
-            (F.col("field") == field) & F.col("term").isin(matched)
+    if len(head) <= MAX_EXPANSION_LITERALS:
+        matched = [r["term"] for r in head]
+        return (
+            ctx.postings.where(
+                (F.col("field") == field) & F.col("term").isin(matched)
+            )
+            .select("doc_id")
+            .distinct()
+            .select("doc_id", F.lit(1.0).alias("score"))
         )
+    return (
+        ctx.postings.where(F.col("field") == field)
+        .join(matched_df, "term", "left_semi")
         .select("doc_id")
         .distinct()
         .select("doc_id", F.lit(1.0).alias("score"))

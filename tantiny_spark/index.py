@@ -96,10 +96,14 @@ class Index:
         return Index(spark, path, schema)
 
     def reload(self) -> "Index":
-        """Refresh the reader snapshot (index.rb:63-65)."""
+        """Refresh the reader snapshot (index.rb:63-65). The previous
+        snapshot's cached tables are unpersisted — a streaming writer calling
+        reload() per micro-batch must not accumulate cached relations."""
         self.snapshot = Snapshot(
             self.spark, self.storage, self.storage.current_version()
         )
+        if self._ctx is not None:
+            self._ctx.release()
         self._ctx = None
         return self
 

@@ -108,10 +108,24 @@ def lsh_candidate_pairs(
 def jaccard_pairs(
     df: DataFrame, text: str = "text", key: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
-    inverted-index join (shingle → docs) so only co-shingled pairs meet."""
+    inverted-index join (shingle → docs) so only co-shingled pairs meet.
+
+    ``max_shingle_df`` is the skew guard for web scale: a shingle shared by
+    1M docs would otherwise create a 10¹² intra-group pair blowup in the
+    self-join. Shingles with document frequency above the cap carry ~zero
+    Jaccard signal (they inflate every union equally) and are dropped BEFORE
+    the join; doc sizes are computed over the same filtered universe so the
+    ratio stays a true Jaccard over the surviving shingle space. At 100 TB
+    always set a cap (or verify only lsh_candidate_pairs output)."""
     sh = df.select(F.col(key), F.explode(shingles_col(F.col(text), shingle_n)).alias("s"))
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("s").agg(F.count("*").alias("sdf"))
+        sh = sh.join(
+            dfreq.where(F.col("sdf") <= max_shingle_df).select("s"), "s", "left_semi"
+        )
     sizes = sh.groupBy(key).agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -135,38 +149,61 @@ def jaccard_pairs(
 
 
 def simhash64(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word tokens (vectorized numpy inside an Arrow
-    batch): per token take 64 bits of md5, weight ±1, sign of the column sum.
-    Near-duplicates differ in a small Hamming distance."""
+    """64-bit SimHash over word tokens: per token take the high 8 bytes of
+    md5 (big-endian), weight ±1 per occurrence, sign of the column sum.
+    Near-duplicates differ in a small Hamming distance.
+
+    Vectorized per Arrow batch — md5 runs once per UNIQUE batch token (Zipfian
+    text makes the vocabulary tiny next to the token stream), the 64-bit
+    expansion is one numpy broadcast into a (vocab × 64) ±1 matrix, and the
+    per-doc accumulation is a single np.add.at gather-sum. No per-row/per-
+    token Python in the hot path. md5-based by construction so the DuckDB
+    oracle can reproduce every bit (see __spark_entry__ `simhash`)."""
     import hashlib
 
     @F.pandas_udf(T.LongType())
     def _simhash(series: pd.Series) -> pd.Series:
-        cache: dict = {}
-
-        def token_bits(tok: str) -> np.ndarray:
-            got = cache.get(tok)
-            if got is None:
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                got = np.array([(h >> j) & 1 for j in range(64)], dtype=np.int64)
-                cache[tok] = got
-            return got
-
-        def sim(txt) -> int:
+        n = len(series)
+        out = np.zeros(n, dtype=np.int64)
+        vocab: dict = {}
+        doc_idx: list = []
+        tok_idx: list = []
+        tok_counts = np.zeros(n, dtype=np.int64)
+        for i, txt in enumerate(series):
             if not isinstance(txt, str) or not txt:
-                return 0
+                continue
             toks = txt.lower().split()
-            acc = np.zeros(64, dtype=np.int64)
+            tok_counts[i] = len(toks)
             for t in toks:
-                acc += token_bits(t) * 2 - 1
-            bits = (acc > 0).astype(np.uint64)
-            val = 0
-            for j in range(64):
-                val |= int(bits[j]) << j
-            # two's-complement into signed 64-bit for LongType
-            return val - (1 << 64) if val >= (1 << 63) else val
-
-        return series.map(sim)
+                j = vocab.get(t)
+                if j is None:
+                    j = len(vocab)
+                    vocab[t] = j
+                doc_idx.append(i)
+                tok_idx.append(j)
+        if not vocab:
+            return pd.Series(out)
+        hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for t in vocab
+            ),
+            dtype=np.uint64,
+            count=len(vocab),
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            np.int64
+        )  # (vocab, 64), bit j in column j
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, np.asarray(doc_idx), bits[np.asarray(tok_idx)])
+        # Σ(2·bit−1) = 2·Σbit − n_tokens
+        acc = 2 * acc - tok_counts[:, None]
+        fingerprint = (
+            ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
+            .sum(axis=1, dtype=np.uint64)
+        )
+        out = fingerprint.view(np.int64)  # two's-complement into LongType
+        return pd.Series(out)
 
     return df.select(F.col(key), _simhash(F.col(text)).alias("simhash"))
 

@@ -17,14 +17,14 @@ Semantics pinned by the reference (SURVEY.md §2.5):
   decoded through a fixed table before entering the formula; avgdl is exact
   (total_tokens / num_docs).
 
-Fieldnorm quantization: values 0..40 are EXACT; larger values are rounded
-down onto a geometric grid (ratio ≈ 1.0855, 256 levels reaching ~2^31).
-Every document shorter than 41 tokens — which includes all of the
-reference's spec fixtures — therefore scores with its exact length. Parity
-note: Tantivy uses a Lucene-SmallFloat-shaped table with the same exact-
-below-41 property; the geometric tail here follows the same design but is
-our own pinned constant (the crate source is not available in-sandbox to
-copy the exact tail values, and no spec fixture exercises it).
+Fieldnorm quantization: the Lucene SmallFloat ``byte4`` code, the exact
+encoding behind Tantivy's fieldnorm table (tantivy src/fieldnorm/code.rs
+ports Lucene's SmallFloat.intToByte4/byte4ToInt — both public sources).
+24 free values, then a 3-bit-mantissa / 5-bit-exponent float: lengths 0..40
+decode EXACTLY (so every reference spec fixture, all <41 tokens, scores with
+its true length); longer docs round down to the same 256-level grid Tantivy
+uses, so >40-token documents — i.e. all realistic web documents — score
+byte-identically to the reference design (table[255] = 2013265944).
 """
 
 from __future__ import annotations
@@ -34,22 +34,25 @@ import math
 K1 = 1.2
 B = 0.75
 
-# --- fieldnorm byte table -------------------------------------------------
-_NUM_EXACT = 41  # lengths 0..40 stored exactly
+# --- fieldnorm byte table (Lucene SmallFloat byte4 / Tantivy fieldnorm) ----
+_NUM_EXACT = 41  # lengths 0..40 decode exactly (free values + subnormal+shift-0 runs)
+_NUM_FREE = 24  # 255 - intToByte4(i32::MAX): Lucene SmallFloat's free-value count
 
 
 def _build_table() -> list[int]:
-    table = list(range(_NUM_EXACT))
-    # geometric tail: 215 steps from 40 up to ~2^31
-    ratio = (2.0**31 / 40.0) ** (1.0 / (256 - _NUM_EXACT))
-    value = 40.0
-    for _ in range(_NUM_EXACT, 256):
-        value *= ratio
-        table.append(int(value))
-    # enforce strict monotonicity (rounding could create plateaus early on)
-    for i in range(1, 256):
-        if table[i] <= table[i - 1]:
-            table[i] = table[i - 1] + 1
+    """byte4ToInt(b) for b in 0..255: b<24 literal; else 3 mantissa bits
+    (implicit leading 1 unless subnormal) shifted by the 5-bit exponent,
+    offset back by the free-value count."""
+    table = []
+    for b in range(256):
+        if b < _NUM_FREE:
+            table.append(b)
+            continue
+        e = b - _NUM_FREE
+        bits = e & 0x07
+        shift = (e >> 3) - 1
+        decoded = bits if shift < 0 else (bits | 0x08) << shift
+        table.append(_NUM_FREE + decoded)
     return table
 
 FIELDNORM_TABLE: list[int] = _build_table()

@@ -20,30 +20,50 @@ from pyspark.sql import DataFrame
 from tantiny_spark.index import Index
 
 
-def foreach_batch_upsert(index: Index):
-    """Returns the foreachBatch callback: one segment commit per micro-batch."""
+def foreach_batch_upsert(index: Index, order_col: str | None = None):
+    """Returns the foreachBatch callback: one segment commit per micro-batch.
+
+    Upsert means ONE live row per id: a CDC/update stream can carry several
+    versions of the same id inside one micro-batch, and tombstones only
+    delete from OLDER segments — so the batch itself is deduplicated to
+    last-wins before indexing. ``order_col`` picks the winner (highest value
+    wins, e.g. an update timestamp); without one, the winner among exact
+    same-id rows is arbitrary-but-deterministic (max by all columns' struct
+    order), which only matters if a batch truly carries conflicting rows."""
 
     def _process(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
+        from pyspark.sql import Window, functions as F
+
         id_col = index.schema.id_field
+        order = F.col(order_col).desc() if order_col else F.struct(
+            *[F.col(c) for c in batch_df.columns]
+        ).desc()
+        w = Window.partitionBy(F.col(id_col).cast("string")).orderBy(order)
+        deduped = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         ids = [
             str(r[0])
             for r in batch_df.select(batch_df[id_col].cast("string")).distinct().collect()
         ]
-        index._commit_segment(batch_df, deletes=sorted(ids))
+        index._commit_segment(deduped, deletes=sorted(ids))
 
     return _process
 
 
 def incremental_index_writer(
-    stream_df: DataFrame, index: Index, checkpoint_dir: str
+    stream_df: DataFrame, index: Index, checkpoint_dir: str,
+    order_col: str | None = None,
 ):
     """Configure (not start) the streaming writer:
     ``incremental_index_writer(df, idx, dir).trigger(availableNow=True).start()``
     """
     return (
-        stream_df.writeStream.foreachBatch(foreach_batch_upsert(index))
+        stream_df.writeStream.foreachBatch(foreach_batch_upsert(index, order_col))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

@@ -306,4 +306,17 @@ def wand_topk(
     )
     rest_scores = decode_buckets(survivors)
     allscores = champ_scores.unionByName(rest_scores)
-    return allscores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    # keep ALL docs tied with the k-th score (rank, not row_number): the final
+    # tie-break is id-STRING asc, applied by top_k — doc_id order only equals
+    # id order within a single segment, so truncating here by doc_id would
+    # return different ids than the naive path on multi-segment snapshots.
+    # The single-partition window is fine: its input is only the decoded docs
+    # of τ-surviving buckets, already a tiny pruned set.
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc())
+    return (
+        allscores.withColumn("__r", F.rank().over(w))
+        .where(F.col("__r") <= k)
+        .select("doc_id", "score")
+    )
