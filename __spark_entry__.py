@@ -475,6 +475,33 @@ def q_engine_string_term(spark, sf_dir):
     return _engine_topk(ix, ix.term_query("lang", "en"))
 
 
+def q_engine_stemmed_de(spark, sf_dir):
+    """Non-English slice through the engine: index the lang='de' documents
+    with the German Snowball stemmer and query a stemmed term. No SQL oracle
+    (Snowball stemming is not expressible in DuckDB) → the driver records the
+    weaker rows-only check; the stemmer itself is pinned by golden pytest
+    (tests/test_stemmers.py)."""
+    from tantiny_spark.analysis.tokenizers import Tokenizer
+    from tantiny_spark.index import Index
+    from tantiny_spark.schema import IndexSchema
+
+    key = ("de", id(spark), os.path.abspath(sf_dir))
+    ix = _ENGINE_IX.get(key)
+    if ix is None:
+        schema = IndexSchema()
+        schema.id("doc_id")
+        schema.text("text", tokenizer=Tokenizer.new("stemmer", language="de"))
+        path = os.path.join(tempfile.mkdtemp(prefix="tantiny_contract_de_"), "idx")
+        ix = Index(spark, path, schema)
+        ix.add_dataframe(
+            _docs(spark, sf_dir).where(F.col("lang") == "de").select("doc_id", "text")
+        )
+        ix.reload()
+        _ENGINE_IX[key] = ix
+    # query-side analysis runs the same stemmer: 'sparking' → stem 'spark'
+    return _engine_topk(ix, ix.term_query("text", "spark"))
+
+
 # --- engine-oracle SQL helpers ---------------------------------------------
 
 _SQL_NORMTBL = "[" + ",".join(str(v) for v in scoring.FIELDNORM_TABLE) + "]"
@@ -579,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_bool_and": q_engine_bool_and,
         "engine_fuzzy": q_engine_fuzzy,
         "engine_string_term": q_engine_string_term,
+        "engine_stemmed_de": q_engine_stemmed_de,
     }
 
 

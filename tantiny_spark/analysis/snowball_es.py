@@ -101,48 +101,34 @@ def stem(word: str) -> str:
         return word.translate(_ACCENT_FOLD)
     rv, r1, r2 = _regions(word)
 
-    # step 0: attached pronoun
+    # step 0: attached pronoun — longest pronoun, then the preceding verb
+    # suffix must lie in RV: (a) accented forms → delete pronoun + un-accent,
+    # (b) plain forms → delete pronoun, (c) yendo preceded by u (the u need
+    # not be in RV) → delete pronoun. No backtracking to shorter pronouns.
     for pron in _PRONOUNS:
         if not word.endswith(pron):
             continue
         base = word[: -len(pron)]
-        matched = False
+        done = False
         for pre in _PRON_PRE_A:
-            if base.endswith(pre) and len(base) - len(pre) >= rv - 0 and _in_r(word, pre + pron, rv):
+            if base.endswith(pre) and len(base) - len(pre) >= rv:
                 word = base[: -len(pre)] + _PRON_FOLD[pre]
-                matched = True
+                done = True
                 break
-        if not matched:
+        if not done:
             for pre in _PRON_PRE_B:
-                if base.endswith(pre) and _in_r(word, pre + pron, rv):
-                    if pre == "iendo" and base[: -len(pre)].endswith("u"):
-                        pass  # covered by plain iendo too — same deletion
+                if base.endswith(pre) and len(base) - len(pre) >= rv:
                     word = base
-                    matched = True
+                    done = True
                     break
-        if not matched and word.endswith("yendo" + pron) and _in_r(
-            word, "yendo" + pron, rv
-        ) is False:
-            pass
-        # (c) yendo preceded by u: the yendo must be in RV, the u need not be
-        if not matched:
-            suf = "yendo" + pron
-            if (
-                word.endswith(suf)
-                and len(word) - len(pron) - len("yendo") >= 1
-                and word[len(word) - len(suf) - 1] == "u"
-                and len(word) - len(suf) >= rv - 5  # yendo inside RV
-                and _in_r(word, suf, rv) or (
-                    word.endswith(suf)
-                    and word[len(word) - len(suf) - 1] == "u"
-                    and len(word) - len(pron) - 5 >= rv
-                )
-            ):
-                word = word[: -len(pron)]
-                matched = True
-        break  # longest pronoun only
-    else:
-        pass
+        if (
+            not done
+            and base.endswith("yendo")
+            and len(base) - 5 >= rv
+            and base[:-5].endswith("u")
+        ):
+            word = base
+        break
 
     rv, r1, r2 = _regions(word)
     step1_done = False

@@ -22,7 +22,19 @@ from dataclasses import dataclass
 from functools import lru_cache
 
 from tantiny_spark.errors import UnknownTokenizer
-from tantiny_spark.analysis import porter2, snowball_ru
+from tantiny_spark.analysis import (
+    porter2,
+    snowball_da,
+    snowball_de,
+    snowball_es,
+    snowball_fr,
+    snowball_it,
+    snowball_nl,
+    snowball_no,
+    snowball_pt,
+    snowball_ru,
+    snowball_sv,
+)
 
 # Tantivy's SimpleTokenizer splits on char::is_alphanumeric() boundaries.
 # Python's \w also matches '_', which is NOT alphanumeric, hence [^\W_].
@@ -39,8 +51,17 @@ SUPPORTED_LANGUAGES = (
 )
 
 _STEMMERS = {
+    "da": snowball_da.stem,
+    "de": snowball_de.stem,
     "en": porter2.stem,
+    "es": snowball_es.stem,
+    "fr": snowball_fr.stem,
+    "it": snowball_it.stem,
+    "nl": snowball_nl.stem,
+    "no": snowball_no.stem,
+    "pt": snowball_pt.stem,
     "ru": snowball_ru.stem,
+    "sv": snowball_sv.stem,
 }
 
 
@@ -107,7 +128,8 @@ def _stem_fn(language: str):
     if base is None:
         raise NotImplementedError(
             f"Stemmer language '{language}' is recognized (helpers.rs:18-40) but "
-            "only en/ru are implemented in this engine so far."
+            "not implemented yet: of the 18 reference languages, "
+            f"{sorted(_STEMMERS)} are available; ar/el/fi/hu/ro/ta/tr remain."
         )
     return _cached_stemmer(language)
 
