@@ -120,11 +120,31 @@ def _bm25_expr(tf_col, dl_col, avgdl_col, df_col, n_col):
     return _idf_expr(df_col, n_col) * (scoring.K1 + 1.0) * tf_col / (tf_col + norm)
 
 
+def prime_stats_many(nodes: list, ctx: SearchContext) -> None:
+    """Warm the stats/df caches for a whole query BATCH: one dictionary
+    lookup per distinct field across all plans (search_many pays the driver
+    round-trips once per batch, not once per query)."""
+    per_field: dict = {}
+    for node in nodes:
+        _collect_stat_keys(node, per_field)
+    for field, terms in per_field.items():
+        ctx.field_stats(field)
+        if terms:
+            ctx.term_dfs(field, sorted(terms))
+
+
 def prime_stats(node: P.Query, ctx: SearchContext) -> None:
     """Warm the stats/df memo caches for a whole plan in two batched lookups
     per field (instead of one driver job per node during compilation)."""
     per_field: dict = {}
+    _collect_stat_keys(node, per_field)
+    for field, terms in per_field.items():
+        ctx.field_stats(field)
+        if terms:
+            ctx.term_dfs(field, sorted(terms))
 
+
+def _collect_stat_keys(node: P.Query, per_field: dict) -> None:
     def walk(n: P.Query):
         if isinstance(n, P.Term):
             per_field.setdefault(n.field, set()).add(n.term)
@@ -141,10 +161,6 @@ def prime_stats(node: P.Query, ctx: SearchContext) -> None:
             walk(n.child)
 
     walk(node)
-    for field, terms in per_field.items():
-        ctx.field_stats(field)
-        if terms:
-            ctx.term_dfs(field, sorted(terms))
 
 
 def compile_plan(node: P.Query, ctx: SearchContext) -> DataFrame:

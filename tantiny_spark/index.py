@@ -370,10 +370,13 @@ class Index:
         {name: [ids...]} with the same deterministic ordering as search()."""
         from pyspark.sql import Window, functions as F
 
+        from tantiny_spark.executor import prime_stats_many
+
+        plans = {name: self._as_plan(q, {}) for name, q in queries.items()}
+        # one batched dictionary/stats lookup per field for the WHOLE batch
+        prime_stats_many(list(plans.values()), self.ctx)
         tagged = []
-        for name, q in queries.items():
-            plan = self._as_plan(q, {})
-            prime_stats(plan, self.ctx)
+        for name, plan in plans.items():
             tagged.append(
                 compile_plan(plan, self.ctx).select(
                     F.lit(name).alias("query"), "doc_id", "score"

@@ -217,7 +217,12 @@ def decode_block_scores(
         return pd.DataFrame({"doc_id": [], "score": []})
     all_docs = np.concatenate(doc_parts)
     all_scores = np.concatenate(score_parts)
-    s = pd.Series(all_scores).groupby(pd.Series(all_docs)).sum()
+    # deterministic summation order: sort contributions within each doc so
+    # equal-input docs produce bit-identical sums no matter how the shuffle
+    # ordered the block rows (float addition is not associative)
+    order = np.lexsort((all_scores, all_docs))
+    all_docs, all_scores = all_docs[order], all_scores[order]
+    s = pd.Series(all_scores).groupby(pd.Series(all_docs), sort=True).sum()
     return pd.DataFrame({"doc_id": s.index.astype(np.int64), "score": s.to_numpy()})
 
 
@@ -273,7 +278,17 @@ def wand_topk(
         .agg(F.sum("ub").alias("ub"))
     )
 
-    spark = blocks.sparkSession
+    def decode_bucket_ids(bucket_ids: list) -> DataFrame:
+        # literal isin → (field, term, bucket) Parquet pushdown on the block
+        # table; no join needed for the (tiny) champion set
+        sel = tblocks.where(F.col("bucket").isin(bucket_ids))
+
+        def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return decode_block_scores(pdf, weights, avgdl, tf1)
+
+        return sel.groupBy("bucket").applyInPandas(
+            lambda key, pdf: _kernel(pdf), RESULT_SCHEMA
+        )
 
     def decode_buckets(bucket_df: DataFrame) -> DataFrame:
         sel = tblocks.join(F.broadcast(bucket_df.select("bucket")), "bucket", "left_semi")
@@ -285,11 +300,17 @@ def wand_topk(
             lambda key, pdf: _kernel(pdf), RESULT_SCHEMA
         )
 
-    # pass 1: champions → threshold τ (valid lower bound of final kth score)
-    champ = bucket_ub.orderBy(F.col("ub").desc(), F.col("bucket").asc()).limit(
-        max(champions, 1)
-    )
-    champ_scores = decode_buckets(champ)
+    # job 1 (metadata only, no posting bytes): champion bucket ids
+    champ_ids = [
+        r["bucket"]
+        for r in bucket_ub.orderBy(F.col("ub").desc(), F.col("bucket").asc())
+        .limit(max(champions, 1))
+        .collect()
+    ]
+
+    # job 2: decode champions exactly → threshold τ (valid lower bound of the
+    # final kth score)
+    champ_scores = decode_bucket_ids(champ_ids)
     top_rows = (
         champ_scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
@@ -297,12 +318,18 @@ def wand_topk(
     )
     tau = top_rows[k - 1]["score"] if len(top_rows) >= k else float("-inf")
 
-    # pass 2: decode only buckets whose upper bound beats τ
-    champ_ids = [r["bucket"] for r in champ.collect()]
+    # final job: decode only buckets whose upper bound beats τ. The bound is
+    # evaluated JVM-side while exact scores come from the numpy decoder, so
+    # the same arithmetic can differ in the last ulp across engines — a
+    # relative epsilon keeps the pruning sound (a doc scoring exactly τ must
+    # never lose its bucket to cross-engine rounding). Decoding a handful of
+    # extra borderline buckets costs nothing in correctness: survivors are
+    # exact-scored anyway.
+    tau_safe = tau - abs(tau) * 1e-9 - 1e-12
     survivors = bucket_ub.where(
-        (F.col("ub") >= F.lit(tau)) & (~F.col("bucket").isin(champ_ids))
+        (F.col("ub") >= F.lit(tau_safe)) & (~F.col("bucket").isin(champ_ids))
         if champ_ids
-        else F.col("ub") >= F.lit(tau)
+        else F.col("ub") >= F.lit(tau_safe)
     )
     rest_scores = decode_buckets(survivors)
     allscores = champ_scores.unionByName(rest_scores)

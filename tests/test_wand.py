@@ -115,3 +115,50 @@ def test_blocks_metadata_sound(corpus_index):
         assert (np.diff(docs) > 0).all()
         assert tfs.max() == row["max_tf"]
         assert table[norms].min() == row["min_dl"]
+
+
+@pytest.fixture(scope="module")
+def multiseg_index(spark, tmp_path_factory):
+    """Multi-segment snapshot with NON-lexicographic id/doc_id alignment:
+    two add_dataframe commits append disjoint doc_id ranges, and the ids are
+    crafted so string order disagrees with insertion order across segments.
+    Ties at the k boundary are common (tf=1 + quantized norms), so the WAND
+    truncation must rank ties inclusively and leave the final id-asc
+    tie-break to top_k (ADVICE round 1)."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    probs = np.array([1.0 / (i + 1) for i in range(30)])
+    probs /= probs.sum()
+
+    def mkrows(prefix, n, start):
+        rows = []
+        for i in range(n):
+            ln = int(rng.integers(5, 40))
+            words = rng.choice(vocab, size=ln, p=probs)
+            # zz-prefixed ids in segment 1, aa-prefixed in segment 2:
+            # lexicographic order is the REVERSE of doc_id order
+            rows.append((f"{prefix}{start + i:05d}", " ".join(words)))
+        return rows
+
+    schema = IndexSchema()
+    schema.text("text")
+    idx = Index(spark, str(tmp_path_factory.mktemp("wandms") / "idx"), schema)
+    idx.add_dataframe(spark.createDataFrame(mkrows("zz", 700, 0), "id string, text string"))
+    idx.add_dataframe(spark.createDataFrame(mkrows("aa", 700, 0), "id string, text string"))
+    return idx.reload()
+
+
+@pytest.mark.parametrize("terms", [["w0"], ["w0", "w5"], ["w2", "w11", "w25"]])
+def test_wand_matches_naive_multisegment(multiseg_index, terms):
+    idx = multiseg_index
+    # two segments present, no tombstones → block fast path usable
+    assert idx.ctx.blocks is not None
+    plan = P.disjunction(*[P.Term("text", t) for t in terms])
+    for k in (5, 10, 25):
+        naive = _naive_topk(idx, plan, k)
+        fast = try_wand_topk(plan, idx.ctx, k, min_total_df=0)
+        assert fast is not None
+        wand = [(r["id"], r["score"]) for r in top_k(fast, idx.ctx, k).collect()]
+        assert [i for i, _ in wand] == [i for i, _ in naive]
+        for (_, sw), (_, sn) in zip(wand, naive):
+            assert sw == pytest.approx(sn, rel=1e-9)
