@@ -1,0 +1,212 @@
+"""Snowball Romanian stemmer, pure Python.
+
+Re-implements the published Snowball Romanian algorithm
+(https://snowballstem.org/algorithms/romanian/stemmer.html), the algorithm
+behind Tantivy's ``Stemmer::new(Language::Romanian)`` via rust-stemmers
+(reference language table: /root/reference/src/helpers.rs:18-40).
+
+The original algorithm is written over the cedilla forms ş/ţ; modern
+comma-below forms ș/ț are normalized to cedilla on input so both spellings
+stem identically.
+"""
+
+from __future__ import annotations
+
+VOWELS = set("aăâeiîou")
+
+_COMMA_TO_CEDILLA = str.maketrans("șț", "şţ")
+
+
+def _prelude(word: str) -> str:
+    word = word.translate(_COMMA_TO_CEDILLA)
+    chars = list(word)
+    n = len(chars)
+    for i in range(1, n - 1):
+        if chars[i] in ("u", "i") and chars[i - 1] in VOWELS and chars[i + 1] in VOWELS:
+            chars[i] = chars[i].upper()
+    return "".join(chars)
+
+
+def _regions(word: str) -> tuple[int, int, int]:
+    n = len(word)
+
+    def is_v(i):
+        return word[i] in VOWELS
+
+    rv = n
+    if n >= 2:
+        if not is_v(1):
+            for i in range(2, n):
+                if is_v(i):
+                    rv = i + 1
+                    break
+        elif is_v(0) and is_v(1):
+            for i in range(2, n):
+                if not is_v(i):
+                    rv = i + 1
+                    break
+        else:
+            rv = 3
+    r1 = n
+    for i in range(1, n):
+        if not is_v(i) and is_v(i - 1):
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if not is_v(i) and is_v(i - 1):
+            r2 = i + 1
+            break
+    return rv, r1, r2
+
+
+def _in_r(word: str, suffix: str, r: int) -> bool:
+    return word.endswith(suffix) and len(word) - len(suffix) >= r
+
+
+# step 0: plural removal — (suffix, replacement, condition)
+_STEP0 = sorted(
+    [
+        ("ul", "", None), ("ului", "", None),
+        ("aua", "a", None),
+        ("ea", "e", None), ("ele", "e", None), ("elor", "e", None),
+        ("ii", "i", None), ("iua", "i", None), ("iei", "i", None),
+        ("iile", "i", None), ("iilor", "i", None), ("ilor", "i", None),
+        ("ile", "i", "not_ab"),
+        ("atei", "at", None),
+        ("aţie", "aţi", None), ("aţia", "aţi", None),
+    ],
+    key=lambda x: len(x[0]), reverse=True,
+)
+
+# step 1: combining suffixes, applied repeatedly (suffix → replacement)
+_STEP1 = sorted(
+    [(s, "abil") for s in ("abilitate", "abilitati", "abilităi", "abilităţi")]
+    + [("ibilitate", "ibil")]
+    + [(s, "iv") for s in ("ivitate", "ivitati", "ivităi", "ivităţi")]
+    + [(s, "ic") for s in (
+        "icitate", "icitati", "icităi", "icităţi", "icator", "icatori",
+        "iciv", "iciva", "icive", "icivi", "icivă",
+        "ical", "icala", "icale", "icali", "icală")]
+    + [(s, "at") for s in (
+        "ativ", "ativa", "ative", "ativi", "ativă", "aţiune",
+        "atoare", "ator", "atori", "ătoare", "ător", "ători")]
+    + [(s, "it") for s in (
+        "itiv", "itiva", "itive", "itivi", "itivă", "iţiune",
+        "itoare", "itor", "itori")],
+    key=lambda x: len(x[0]), reverse=True,
+)
+
+# step 2: standard suffixes in R2
+_STEP2_DELETE = sorted(
+    ("at", "ata", "ată", "ati", "ate", "ut", "uta", "ută", "uti", "ute",
+     "it", "ita", "ită", "iti", "ite", "ic", "ica", "ice", "ici", "ică",
+     "abil", "abila", "abile", "abili", "abilă",
+     "ibil", "ibila", "ibile", "ibili", "ibilă",
+     "oasa", "oasă", "oase", "os", "osi", "oşi",
+     "ant", "anta", "ante", "anti", "antă", "ator", "atori",
+     "itate", "itati", "ităi", "ităţi",
+     "iv", "iva", "ive", "ivi", "ivă"),
+    key=len, reverse=True,
+)
+_STEP2_IST = ("işti", "isme", "ista", "iste", "isti", "istă", "ism", "ist")
+
+# step 3: verb suffixes in RV
+_STEP3_COND = sorted(  # delete if preceded (in RV) by a consonant or u
+    ("are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
+     "ească", "ez", "ezi", "ează", "esc", "eşti", "eşte", "ăsc", "ăşti",
+     "ăşte", "am", "ai", "au", "eam", "eai", "eau", "iam", "iai", "iau",
+     "ui", "aşi", "arăm", "arăţi", "ară", "uşi", "urăm", "urăţi", "ură",
+     "işi", "irăm", "irăţi", "iră", "âi", "âşi", "ârăm", "ârăţi", "âră",
+     "asem", "aseşi", "ase", "aserăm", "aserăţi", "aseră",
+     "isem", "iseşi", "ise", "iserăm", "iserăţi", "iseră",
+     "âsem", "âseşi", "âse", "âserăm", "âserăţi", "âseră",
+     "usem", "useşi", "use", "userăm", "userăţi", "useră"),
+    key=len, reverse=True,
+)
+_STEP3_UNCOND = sorted(
+    ("ăm", "aţi", "em", "eţi", "im", "iţi", "âm", "âţi",
+     "seşi", "serăm", "serăţi", "seră", "sei", "se",
+     "sesem", "seseşi", "sese", "seserăm", "seserăţi", "seseră"),
+    key=len, reverse=True,
+)
+
+
+def stem(word: str) -> str:
+    word = word.translate(_COMMA_TO_CEDILLA)
+    if len(word) <= 2:
+        return word
+    word = _prelude(word)
+    rv, r1, r2 = _regions(word)
+
+    # --- step 0: plurals ------------------------------------------------------
+    for suf, rep, cond in _STEP0:
+        if _in_r(word, suf, r1):
+            if cond == "not_ab" and word[: -len(suf)].endswith("ab"):
+                break
+            word = word[: -len(suf)] + rep
+            break
+
+    # --- step 1: combining suffixes (repeat) -----------------------------------
+    changed_any = False
+    while True:
+        for suf, rep in _STEP1:
+            if _in_r(word, suf, r1):
+                word = word[: -len(suf)] + rep
+                changed_any = True
+                break
+        else:
+            break
+
+    # --- step 2: standard suffixes ----------------------------------------------
+    step2_done = False
+    best = None
+    for suf in _STEP2_DELETE:
+        if _in_r(word, suf, r2) and (best is None or len(suf) > len(best[0])):
+            best = (suf, "del")
+    for suf in ("iune", "iuni"):
+        if _in_r(word, suf, r2) and word[: -len(suf)].endswith("ţ") and (
+            best is None or len(suf) > len(best[0])
+        ):
+            best = (suf, "tiune")
+    for suf in _STEP2_IST:
+        if _in_r(word, suf, r2) and (best is None or len(suf) > len(best[0])):
+            best = (suf, "ist")
+    if best is not None:
+        suf, act = best
+        if act == "del":
+            word = word[: -len(suf)]
+        elif act == "tiune":
+            word = word[: -len(suf) - 1] + "t"
+        else:
+            word = word[: -len(suf)] + "ist"
+        step2_done = True
+
+    # --- step 3: verb suffixes (only if steps 1 and 2 removed nothing) ----------
+    if not changed_any and not step2_done:
+        best3 = None
+        for suf in _STEP3_COND:
+            if _in_r(word, suf, rv) and (best3 is None or len(suf) > len(best3[0])):
+                best3 = (suf, "cond")
+        for suf in _STEP3_UNCOND:
+            if _in_r(word, suf, rv) and (best3 is None or len(suf) > len(best3[0])):
+                best3 = (suf, "uncond")
+        if best3 is not None:
+            suf, act = best3
+            base = word[: -len(suf)]
+            if act == "uncond":
+                word = base
+            else:
+                # preceded in RV by a consonant or u
+                if len(base) - 1 >= rv and (
+                    base[-1:] == "u" or (base[-1:] and base[-1] not in VOWELS)
+                ):
+                    word = base
+
+    # --- step 4: final vowel ------------------------------------------------------
+    for suf in ("ie", "a", "e", "i", "ă"):
+        if _in_r(word, suf, rv):
+            word = word[: -len(suf)]
+            break
+
+    return word.replace("I", "i").replace("U", "u")

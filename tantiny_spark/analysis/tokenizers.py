@@ -27,11 +27,13 @@ from tantiny_spark.analysis import (
     snowball_da,
     snowball_de,
     snowball_es,
+    snowball_fi,
     snowball_fr,
     snowball_it,
     snowball_nl,
     snowball_no,
     snowball_pt,
+    snowball_ro,
     snowball_ru,
     snowball_sv,
 )
@@ -55,11 +57,13 @@ _STEMMERS = {
     "de": snowball_de.stem,
     "en": porter2.stem,
     "es": snowball_es.stem,
+    "fi": snowball_fi.stem,
     "fr": snowball_fr.stem,
     "it": snowball_it.stem,
     "nl": snowball_nl.stem,
     "no": snowball_no.stem,
     "pt": snowball_pt.stem,
+    "ro": snowball_ro.stem,
     "ru": snowball_ru.stem,
     "sv": snowball_sv.stem,
 }
@@ -129,7 +133,7 @@ def _stem_fn(language: str):
         raise NotImplementedError(
             f"Stemmer language '{language}' is recognized (helpers.rs:18-40) but "
             "not implemented yet: of the 18 reference languages, "
-            f"{sorted(_STEMMERS)} are available; ar/el/fi/hu/ro/ta/tr remain."
+            f"{sorted(_STEMMERS)} are available; ar/el/hu/ta/tr remain."
         )
     return _cached_stemmer(language)
 

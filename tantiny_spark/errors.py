@@ -48,3 +48,11 @@ class UnknownTokenizer(TantinyError):
 
 class IndexWriterBusyError(TantinyError):
     """Another writer holds the index lock (errors.rb:6-13)."""
+
+
+class UnsupportedRegexSyntax(TantinyError):
+    """The pattern uses a Java-regex extension that Rust's regex crate (the
+    reference's engine, src/query.rs:101-117) rejects: backreferences,
+    lookaround, possessive quantifiers, or conditionals. The reference would
+    raise on these patterns, so accepting them here would silently diverge —
+    the supported dialect is the common Rust∩Java subset."""

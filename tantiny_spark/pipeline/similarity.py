@@ -98,6 +98,29 @@ def ivf_assign(
     return df.withColumn("ivf_cell", _assign(F.col(vec)))
 
 
+def ivf_topk(
+    df: DataFrame, centroids: np.ndarray, query: list, k: int = 10,
+    n_probe: int = 2, vec: str = "embedding", key: str = "vec_id",
+) -> DataFrame:
+    """IVF probe query — the read side of the coarse quantizer: rank the
+    centroids by cosine against the query (driver-side numpy over a tiny
+    matrix), scan ONLY the ``n_probe`` nearest cells, exact-score the
+    survivors. At scale the vector table is written partitioned by
+    ``ivf_cell``, so the cell filter is partition pruning: a 100 TB ANN
+    query touches n_probe/n_cells of the data. ``n_probe = len(centroids)``
+    degrades to exact brute force (useful as a recall oracle in tests)."""
+    cents = centroids.astype(np.float64)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    order = np.argsort(-(cn @ qn), kind="stable")
+    probe = [int(c) for c in order[: max(n_probe, 1)]]
+    assigned = df if "ivf_cell" in df.columns else ivf_assign(df, centroids, vec, key)
+    return brute_force_topk(
+        assigned.where(F.col("ivf_cell").isin(probe)), query, k, vec, key
+    )
+
+
 def deterministic_centroids(df: DataFrame, k: int, vec: str = "embedding",
                             key: str = "vec_id", sample: int = 1024) -> np.ndarray:
     """k-means++-style seeding from a deterministic ordered sample (first

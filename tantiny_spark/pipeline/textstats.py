@@ -1,15 +1,14 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
-All JVM-side (built-in functions only — no Python in the hot path), so they
-run inside whole-stage codegen and scale linearly with executors: token
-counting, quality scoring, document fingerprinting, and an n-gram language-ID
-heuristic (the one Python stage, Arrow-batched).
+All JVM-side (built-in functions only — NO Python anywhere, including the
+language-ID heuristic), so every operator runs inside whole-stage codegen
+and scales linearly with executors: token counting, quality scoring,
+document fingerprinting, stopword-profile language ID.
 """
 
 from __future__ import annotations
 
-import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, functions as F
 
 # whitespace+punctuation word splitter shared by all stats
 TOKEN_SPLIT = r"[^0-9A-Za-z]+"
@@ -83,24 +82,27 @@ def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
 
 
 def with_language_id(df: DataFrame, text: str = "text") -> DataFrame:
-    """Stopword-profile language ID (Arrow-batched pandas UDF; the profiles
-    are tiny so the heavy lifting is a set intersection per row-batch)."""
-
-    profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
-
-    def _lang(series: pd.Series) -> pd.Series:
-        def ident(txt):
-            if not isinstance(txt, str) or not txt:
-                return "und"
-            words = set(txt.lower().split()[:200])
-            best, best_hits = "und", 0
-            for lang in sorted(profiles):
-                hits = len(words & profiles[lang])
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            return best
-
-        return series.map(ident)
-
-    udf = F.pandas_udf(_lang, T.StringType())
-    return df.withColumn("lang_id", udf(F.col(text)))
+    """Stopword-profile language ID — fully JVM-side column arithmetic (no
+    Python in the path at all): the profiles are tiny literal arrays, so
+    per-language hit counts are array_intersect sizes over the first 200
+    distinct tokens and the argmax is a folded CASE chain inside whole-stage
+    codegen. Semantics identical to the scalar reference: iterate languages
+    in sorted order, strictly-greater hit count wins, 'und' when nothing
+    matches."""
+    col = F.col(text)
+    words = F.array_distinct(
+        F.slice(
+            F.filter(F.split(F.lower(F.coalesce(col, F.lit(""))), r"\s+"),
+                     lambda t: t != ""),
+            1, 200,
+        )
+    )
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(_LANG_PROFILES):
+        profile = F.array(*[F.lit(w) for w in sorted(_LANG_PROFILES[lang])])
+        hits = F.size(F.array_intersect(words, profile))
+        new_best = F.when(hits > best_hits, F.lit(lang)).otherwise(best)
+        new_hits = F.when(hits > best_hits, hits).otherwise(best_hits)
+        best, best_hits = new_best, new_hits
+    return df.withColumn("lang_id", best)

@@ -15,9 +15,15 @@ Mirrors the reference's 10-type query surface and composition rules
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field as dc_field
 from datetime import date, datetime
-from tantiny_spark.errors import UnsupportedField, UnsupportedRange
+from tantiny_spark.errors import (
+    UnsupportedField,
+    UnsupportedRange,
+    UnsupportedRegexSyntax,
+)
 from tantiny_spark.schema import IndexSchema
 
 DEFAULT_BOOST = 1.0
@@ -205,10 +211,32 @@ def phrase_query(schema: IndexSchema, fields, phrase: str, boost: float = DEFAUL
     return disjunction(*queries).boost(boost)
 
 
+# Java-only regex constructs that Rust's regex crate rejects (reference
+# engine: src/query.rs:101-117). The executor evaluates patterns with Java's
+# rlike, so accepting these would silently diverge from the reference, which
+# ERRORS on them — raise the same way instead. Everything else (literals,
+# classes, alternation, repetition, anchors, \d \w \s, (?i) flags, \p{..})
+# means the same thing in both dialects.
+_JAVA_ONLY_REGEX = re.compile(
+    r"""
+    \\[1-9]              # backreference \1..\9
+    | \(\?=  | \(\?!    # lookahead
+    | \(\?<= | \(\?<!   # lookbehind
+    | \(\?>               # atomic group
+    | [*+?]\+              # possessive quantifiers *+ ++ ?+
+    | \\k<                # named backreference
+    """,
+    re.VERBOSE,
+)
+
+
 def regex_query(schema: IndexSchema, fields, pattern: str, boost: float = DEFAULT_BOOST) -> Query:
+    pattern = str(pattern)
+    if _JAVA_ONLY_REGEX.search(pattern):
+        raise UnsupportedRegexSyntax(pattern)
     return _construct(
         schema, _text_and_strings(schema), fields,
-        lambda f: Regex(f, str(pattern)), boost,
+        lambda f: Regex(f, pattern), boost,
     )
 
 

@@ -104,6 +104,21 @@ def test_ivf_assign(spark, vectors):
     assert cells[0] == cells[1] == cells[2]
 
 
+def test_ivf_topk_probe_query(vectors):
+    """Probing ALL cells must equal exact brute force (recall oracle); a
+    1-cell probe must still find the query's own near-identical cluster."""
+    cents = similarity.deterministic_centroids(vectors, k=4)
+    query_row = vectors.where(F.col("vec_id") == 0).collect()[0]
+    query = [float(x) for x in query_row["embedding"]]
+    exact = similarity.brute_force_topk(vectors, query, k=5).collect()
+    full_probe = similarity.ivf_topk(vectors, cents, query, k=5, n_probe=4).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in full_probe] == [
+        (r["vec_id"], r["cosine"]) for r in exact
+    ]
+    one_probe = similarity.ivf_topk(vectors, cents, query, k=5, n_probe=1).collect()
+    assert one_probe and one_probe[0]["vec_id"] == 0
+
+
 def test_token_stats(docs):
     rows = {r["doc_id"]: r for r in textstats.with_token_stats(docs).collect()}
     assert rows[0]["n_tokens"] == 9
@@ -156,3 +171,29 @@ def test_frame_sample_plan(spark):
         per_doc.setdefault(r["doc_id"], []).append(r["sample_ts"])
     assert len(per_doc[0]) == 5 and per_doc[0][0] == 0.0
     assert len(per_doc[1]) == 1
+
+
+def test_jaccard_hot_shingle_cap_bounds_the_join(spark):
+    """A universal shingle shared by every doc must not create the n² pair
+    blowup when max_shingle_df is set (the 100 TB skew guard): with the cap,
+    the hot shingle is dropped before the self-join and no spurious pairs
+    survive; without it, every doc pair meets."""
+    import pandas as pd
+
+    from tantiny_spark.pipeline import dedup
+
+    n = 60
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(n),
+                # every doc shares the bigram "the cat"; everything else unique
+                "text": [f"the cat u{i} v{i} w{i}" for i in range(n)],
+            }
+        )
+    )
+    uncapped = dedup.jaccard_pairs(docs, shingle_n=2, threshold=0.0)
+    assert uncapped.count() == n * (n - 1) // 2  # quadratic: every pair meets
+
+    capped = dedup.jaccard_pairs(docs, shingle_n=2, threshold=0.0, max_shingle_df=10)
+    assert capped.count() == 0  # hot shingle dropped → no co-shingled pairs

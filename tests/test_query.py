@@ -231,3 +231,22 @@ def test_operator_type_check(spark, tmp_path):
         idx.all_query() & "not a query"
     with pytest.raises(TypeError):
         idx.all_query() | 42
+
+
+def test_regex_rejects_java_only_dialect():
+    """The reference's Rust regex engine (src/query.rs:101-117) errors on
+    backreferences, lookaround, possessive quantifiers and atomic groups;
+    accepting them via Java rlike would silently diverge, so regex_query
+    raises the same way on the non-portable constructs and accepts the
+    common Rust∩Java subset."""
+    from tantiny_spark import plan as P
+    from tantiny_spark.errors import UnsupportedRegexSyntax
+    from tantiny_spark.schema import IndexSchema
+
+    schema = IndexSchema()
+    schema.text("text")
+    for bad in (r"(\w+) \1", "(?=foo)bar", "(?<!x)y", "a*+b", "(?>atomic)"):
+        with pytest.raises(UnsupportedRegexSyntax):
+            P.regex_query(schema, "text", bad)
+    for good in ("a+b", r"\d{2,3}", "(?i)case", r"\p{L}+", "a|b|c"):
+        P.regex_query(schema, "text", good)

@@ -14,8 +14,9 @@ import pytest
 
 from tantiny_spark.analysis import tokenizers
 from tantiny_spark.analysis import (
-    snowball_da, snowball_de, snowball_es, snowball_fr, snowball_it,
-    snowball_nl, snowball_no, snowball_pt, snowball_sv,
+    snowball_da, snowball_de, snowball_es, snowball_fi, snowball_fr,
+    snowball_it, snowball_nl, snowball_no, snowball_pt, snowball_ro,
+    snowball_sv,
 )
 
 GOLDENS = {
@@ -127,6 +128,29 @@ GOLDENS = {
         "protégé": "proteg",  # un_accent
         "mangeait": "mang",
     },
+    "fi": {
+        "taloissa": "talo",
+        "talossa": "talo",
+        "taloja": "talo",
+        "kaupungissa": "kaupung",
+        "kaupunki": "kaupunk",  # step-6(b) cX tidy
+        "kirjansa": "kirj",  # nsa possessive, then step-6(b)
+        "edellytyksillä": "edellytyks",
+        "suurimman": "suurim",  # n case, step-6(b), undouble mm
+        "puun": "puun",  # R1 empty: untouched
+    },
+    "ro": {
+        "abilitate": "abil",
+        "contabilitate": "contabil",
+        "românii": "român",
+        "copilului": "copil",
+        "lucrează": "lucr",
+        "mergeau": "merg",
+        "orașul": "oraş",  # comma-below normalized to cedilla
+        "activitate": "activ",  # step-1 ivitate → iv
+        "cartea": "cart",  # ea → e, then step-4 final vowel
+        "frumoasă": "frumoas",
+    },
     "nl": {
         "lichamelijk": "licham",
         "lichamelijke": "licham",
@@ -146,6 +170,7 @@ _MODULES = {
     "da": snowball_da, "no": snowball_no, "sv": snowball_sv,
     "de": snowball_de, "es": snowball_es, "pt": snowball_pt,
     "it": snowball_it, "fr": snowball_fr, "nl": snowball_nl,
+    "fi": snowball_fi, "ro": snowball_ro,
 }
 
 
@@ -174,12 +199,12 @@ def test_tokenizer_registry_routes_all_implemented_languages():
     text = "Nationalität"
     tok = tokenizers.Tokenizer.new("stemmer", language="de")
     assert tok.terms(text) == ["nationalitat"]
-    for lang in ("da", "no", "sv", "de", "es", "pt", "it", "fr", "nl", "en", "ru"):
+    for lang in ("da", "no", "sv", "de", "es", "pt", "it", "fr", "nl", "fi", "ro", "en", "ru"):
         tokenizers.Tokenizer.new("stemmer", language=lang).terms("test")
 
 
 def test_unimplemented_languages_raise_loudly():
-    for lang in ("ar", "el", "fi", "hu", "ro", "ta", "tr"):
+    for lang in ("ar", "el", "hu", "ta", "tr"):
         tok = tokenizers.Tokenizer.new("stemmer", language=lang)  # recognized
         with pytest.raises(NotImplementedError):
             tok.terms("some words")
