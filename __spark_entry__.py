@@ -325,6 +325,14 @@ def q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(e, [float(x) for x in query], k=10, n_planes=4)
 
 
+def q_cosine_dedup(spark, sf_dir):
+    """Embedding near-dup pairs: LSH-bucketed candidates + exact cosine
+    verify — the embedding analog of MinHash-LSH dedup."""
+    return similarity.cosine_near_dup_pairs(
+        _emb(spark, sf_dir), dim=64, threshold=0.3, n_planes=4
+    )
+
+
 def q_token_stats(spark, sf_dir):
     out = textstats.with_token_stats(_docs(spark, sf_dir))
     return out.select(
@@ -593,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "cosine_dedup": q_cosine_dedup,
         "lsh_topk": q_lsh_topk,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -811,6 +820,20 @@ SELECT vec_id,
                 * sqrt(list_dot_product(qv, qv))), 6) AS cosine
 FROM bucketed, q WHERE bucket = qbucket
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+    sqls["cosine_dedup"] = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings
+)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 6) AS cosine
+FROM bucketed l JOIN bucketed r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 6) >= 0.3
 """
 
     regex_tok = "list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), t -> t != '')"

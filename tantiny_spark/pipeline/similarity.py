@@ -78,6 +78,37 @@ def lsh_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame, dim: int, threshold: float = 0.95,
+    n_planes: int = 8, seed: int = 42,
+    vec: str = "embedding", key: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: sign-random-projection buckets bound
+    the candidate set (pairs only meet inside a bucket — no n² blowup), then
+    exact cosine verifies each candidate against ``threshold``. All JVM-side
+    (plane dot products are zip_with/aggregate over literal arrays, the
+    verify is the same expression as brute_force_topk). Standard LSH recall
+    tradeoff: a near-dup pair straddling a hyperplane is missed — raise
+    recall by lowering n_planes or OR-ing several seeds."""
+    bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec)
+    left = bucketed.select(
+        F.col(key).alias("a"), F.col(vec).alias("va"), F.col("lsh_bucket").alias("ba")
+    )
+    right = bucketed.select(
+        F.col(key).alias("b"), F.col(vec).alias("vb"), F.col("lsh_bucket").alias("bb")
+    )
+    va = F.col("va").cast("array<double>")
+    vb = F.col("vb").cast("array<double>")
+    cosine = _dot(va, vb) / (_norm(va) * _norm(vb))
+    return (
+        left.join(
+            right, (F.col("ba") == F.col("bb")) & (F.col("a") < F.col("b"))
+        )
+        .select("a", "b", F.round(cosine, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_assign(
     df: DataFrame, centroids: np.ndarray, vec: str = "embedding", key: str = "vec_id",
 ) -> DataFrame:

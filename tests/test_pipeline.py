@@ -197,3 +197,27 @@ def test_jaccard_hot_shingle_cap_bounds_the_join(spark):
 
     capped = dedup.jaccard_pairs(docs, shingle_n=2, threshold=0.0, max_shingle_df=10)
     assert capped.count() == 0  # hot shingle dropped → no co-shingled pairs
+
+
+def test_cosine_near_dup_pairs(spark):
+    """Planted near-duplicate embeddings land in the same LSH bucket and
+    survive the exact-cosine verify; unrelated vectors do not pair."""
+    import numpy as np
+    import pandas as pd
+
+    from tantiny_spark.pipeline import similarity
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = [base, base + 1e-3 * rng.standard_normal(16)]  # near-dup pair
+    rows += [rng.standard_normal(16) for _ in range(20)]  # unrelated
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(len(rows)), "embedding": [list(map(float, r)) for r in rows]}
+        )
+    )
+    pairs = similarity.cosine_near_dup_pairs(
+        df, dim=16, threshold=0.99, n_planes=4
+    ).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(0, 1)}
+    assert pairs[0]["cosine"] > 0.999
