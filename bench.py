@@ -122,7 +122,10 @@ def main():
         build_sec = time.time() - t0
         timings["index_build"] = round(build_sec, 3)
 
-        # warm the snapshot metadata once, then time queries
+        # warm the snapshot once (materializes the persisted docs/dict/stats
+        # caches — the reader-open cost, paid once per snapshot, not a
+        # per-query cost), then time queries
+        index.search(index.all_query(), limit=1)
         from datetime import datetime
 
         suite = [

@@ -78,6 +78,91 @@ def decode_images(
     return df.select(key, binary_col).mapInPandas(_decode, IMAGE_META_SCHEMA)
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("mfcc", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, binary_col: str = "audio", key: str = "doc_id",
+    sample_rate: int = 16_000, n_mfcc: int = 13, fake: bool = False,
+) -> DataFrame:
+    """binary audio column → (n_samples, duration, MFCC-like feature vector).
+
+    A real implementation would decode PCM/Opus per Arrow batch (librosa /
+    torchaudio); this container lacks audio codecs, so only fake=True is
+    runnable — n_samples derives from the payload length (2 bytes/sample
+    PCM16 assumption) and the feature vector from the content hash, keeping
+    the Spark-side schema, batch shape and determinism production-real."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs are not available in this environment; "
+            "use fake=True for the deterministic test extractor"
+        )
+
+    def _extract(batches):
+        for pdf in batches:
+            out = {"doc_id": pdf[key], "n_samples": [], "duration_s": [], "mfcc": []}
+            for payload in pdf[binary_col]:
+                raw = bytes(payload) if payload is not None else b""
+                n = len(raw) // 2
+                h = hashlib.md5(raw).digest()
+                rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+                out["n_samples"].append(n)
+                out["duration_s"].append(n / float(sample_rate))
+                out["mfcc"].append(
+                    rng.standard_normal(n_mfcc).astype(np.float32).tolist()
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(key, binary_col).mapInPandas(_extract, AUDIO_META_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int,
+    binary_col: str = "image", key: str = "doc_id", fake: bool = False,
+) -> DataFrame:
+    """binary image column → resized binary + new dimensions.
+
+    Only the deterministic fake path is runnable in-container (the 'resized'
+    payload is an md5-keyed byte stream of the right conceptual shape); the
+    schema and the iterator-of-batches streaming pattern — never holding a
+    partition of images in memory at once — are the production shape."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "use fake=True for the deterministic test resizer"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("resized", T.BinaryType(), True),
+        ]
+    )
+
+    def _resize(batches):
+        for pdf in batches:
+            out = {"doc_id": pdf[key], "width": [], "height": [], "resized": []}
+            for payload in pdf[binary_col]:
+                raw = bytes(payload) if payload is not None else b""
+                h = hashlib.md5(raw + b"|resize").digest()
+                # deterministic stand-in payload sized ∝ target area
+                reps = (target_w * target_h * 3) // len(h) + 1
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["resized"].append((h * reps)[: target_w * target_h * 3])
+            yield pd.DataFrame(out)
+
+    return df.select(key, binary_col).mapInPandas(_resize, out_schema)
+
+
 def frame_sample_plan(df: DataFrame, key: str = "doc_id",
                       duration_col: str = "duration_s", fps: float = 0.5) -> DataFrame:
     """Video frame-sampling plan: one row per (video, timestamp) to decode —

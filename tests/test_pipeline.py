@@ -221,3 +221,38 @@ def test_cosine_near_dup_pairs(spark):
     ).collect()
     assert {(r["a"], r["b"]) for r in pairs} == {(0, 1)}
     assert pairs[0]["cosine"] > 0.999
+
+
+def test_audio_features_stub(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "audio": [b"\x00\x01" * 16000, b""]})
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_audio_features(df).collect()
+    rows = {r["doc_id"]: r for r in multimodal.extract_audio_features(
+        df, fake=True, n_mfcc=4).collect()}
+    assert rows[0]["n_samples"] == 16000
+    assert rows[0]["duration_s"] == pytest.approx(1.0)
+    assert len(rows[0]["mfcc"]) == 4
+    assert rows[1]["n_samples"] == 0
+    # determinism across partitionings
+    rows2 = {r["doc_id"]: r for r in multimodal.extract_audio_features(
+        df.repartition(3), fake=True, n_mfcc=4).collect()}
+    assert rows2[0]["mfcc"] == rows[0]["mfcc"]
+
+
+def test_resize_images_stub(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "image": [b"imgbytes0", b"imgbytes1"]})
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(df, 8, 8).collect()
+    rows = {r["doc_id"]: r for r in multimodal.resize_images(
+        df, 8, 8, fake=True).collect()}
+    assert rows[0]["width"] == 8 and rows[0]["height"] == 8
+    assert len(rows[0]["resized"]) == 8 * 8 * 3
+    assert rows[0]["resized"] != rows[1]["resized"]  # content-keyed
