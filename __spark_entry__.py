@@ -483,6 +483,33 @@ def q_engine_string_term(spark, sf_dir):
     return _engine_topk(ix, ix.term_query("lang", "en"))
 
 
+def q_engine_prefix(spark, sf_dir):
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.prefix_query("text", "sp"))
+
+
+def q_engine_regex(spark, sf_dir):
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.regex_query("text", "s[a-z]*k"))
+
+
+def q_engine_range(spark, sf_dir):
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.range_query("n_chars", (100, 200)))
+
+
+def q_engine_facet(spark, sf_dir):
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.facet_query("src", "/en"))
+
+
+def q_engine_bool_or(spark, sf_dir):
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(
+        ix, ix.term_query("text", "hash") | ix.term_query("text", "window")
+    )
+
+
 def q_engine_stemmed_de(spark, sf_dir):
     """Non-English slice through the engine: index the lang='de' documents
     with the German Snowball stemmer and query a stemmed term. No SQL oracle
@@ -615,6 +642,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_bool_and": q_engine_bool_and,
         "engine_fuzzy": q_engine_fuzzy,
         "engine_string_term": q_engine_string_term,
+        "engine_prefix": q_engine_prefix,
+        "engine_regex": q_engine_regex,
+        "engine_range": q_engine_range,
+        "engine_facet": q_engine_facet,
+        "engine_bool_or": q_engine_bool_or,
         "engine_stemmed_de": q_engine_stemmed_de,
     }
 
@@ -924,6 +956,38 @@ JOIN (SELECT CAST(doc_id AS VARCHAR) AS id FROM tok
 SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id, 1.0::DOUBLE AS score
 FROM (SELECT doc_id, unnest(ts) AS term FROM tok) e
 WHERE damerau_levenshtein(term, 'spork') <= 1
+""")
+
+    sqls["engine_prefix"] = _sql_engine_topk("""
+SELECT CAST(doc_id AS VARCHAR) AS id, 1.0::DOUBLE AS score FROM tok
+WHERE len(list_filter(ts, x -> x LIKE 'sp%')) > 0
+""")
+
+    sqls["engine_regex"] = _sql_engine_topk("""
+SELECT CAST(doc_id AS VARCHAR) AS id, 1.0::DOUBLE AS score FROM tok
+WHERE len(list_filter(ts, x -> regexp_matches(x, '^s[a-z]*k$'))) > 0
+""")
+
+    sqls["engine_range"] = _sql_engine_topk("""
+SELECT CAST(doc_id AS VARCHAR) AS id, 1.0::DOUBLE AS score
+FROM documents WHERE n_chars BETWEEN 100 AND 200
+""")
+
+    # facet score = idf literal (tf=1 Basic postings on the ancestor path)
+    sqls["engine_facet"] = _sql_engine_topk("""
+SELECT CAST(m.doc_id AS VARCHAR) AS id,
+       ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS score
+FROM (SELECT doc_id FROM documents WHERE lang = 'en') m,
+     (SELECT count(*)::DOUBLE AS df FROM documents WHERE lang = 'en') d,
+     (SELECT count(*)::DOUBLE AS n FROM documents) nn
+""")
+
+    sqls["engine_bool_or"] = _sql_engine_topk(f"""
+SELECT id, sum(score) AS score FROM (
+  SELECT * FROM ({_sql_engine_term('hash')})
+  UNION ALL
+  SELECT * FROM ({_sql_engine_term('window')})
+) GROUP BY id
 """)
 
     # string-field term: tf=1, dl=avgdl=1 by construction (the engine stores
