@@ -354,6 +354,21 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-style pre-tokenizer token estimate (GPT-2 split pattern minus
+    lookahead — the RE2/Java/Rust-common subset)."""
+    return textstats.with_bpe_token_count(_docs(spark, sf_dir)).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS rolling k-gram scheme), exploded to
+    (doc_id, fp) rows for order-insensitive cross-engine hashing."""
+    out = textstats.with_winnow_fingerprints(_docs(spark, sf_dir), k=8, w=5)
+    return out.select("doc_id", F.explode("fingerprints").alias("fp"))
+
+
 def q_lang_dist(spark, sf_dir):
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n_docs"))
 
@@ -633,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
+        "bpe_token_count": q_bpe_token_count,
+        "winnow": q_winnow,
         "lang_dist": q_lang_dist,
         "events_hourly": q_events_hourly,
         "knn_join": q_knn_join,
@@ -895,6 +912,38 @@ FROM tok
     sqls["fingerprint"] = r"""
 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
 FROM documents
+"""
+
+    from tantiny_spark.pipeline.textstats import BPE_SPLIT_PATTERN
+
+    bpe_sql_pattern = BPE_SPLIT_PATTERN.replace("'", "''")
+    sqls["bpe_token_count"] = f"""
+SELECT doc_id,
+       len(list_filter(regexp_extract_all(text, '{bpe_sql_pattern}', 0),
+                       p -> trim(p) != '')) AS n_bpe_tokens
+FROM documents
+"""
+
+    # winnowing: k=8, w=5 — mirror the Spark expression exactly (1-based
+    # substring, md5 k-grams, window minima, distinct)
+    _k, _w = 8, 5
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    grams = (
+        f"CASE WHEN length({norm}) >= {_k} THEN "
+        f"list_transform(range(1, length({norm}) - {_k - 2}), "
+        f"i -> md5(substring({norm}, i, {_k}))) ELSE [] END"
+    )
+    sqls["winnow"] = f"""
+WITH g AS (SELECT doc_id, {grams} AS grams FROM documents),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= {_w} THEN
+           list_distinct(list_transform(range(1, len(grams) - {_w - 2}),
+                         i -> list_min(grams[i : i + {_w - 1}])))
+         ELSE [] END AS fps
+  FROM g
+)
+SELECT doc_id, unnest(fps) AS fp FROM wins
 """
 
     sqls["lang_dist"] = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"

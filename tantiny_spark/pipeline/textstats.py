@@ -81,6 +81,59 @@ def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(normalized))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the Rust/Java/RE2-common
+# subset (the original's trailing-space lookahead dropped): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def with_bpe_token_count(df: DataFrame, text: str = "text") -> DataFrame:
+    """Estimate LLM-tokenizer token counts with a BPE-style pre-tokenizer
+    regex (the public GPT-2 split pattern, minus its lookahead so the same
+    pattern runs on Java regex, RE2 and Rust). This is the budget-planning
+    counter of a training pipeline: ~pre-tokenizer granularity, no vocab
+    needed, pure JVM regexp_extract_all inside codegen."""
+    pieces = F.regexp_extract_all(F.col(text), F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+    non_ws = F.filter(pieces, lambda p: F.trim(p) != "")
+    return df.withColumn("n_bpe_tokens", F.size(non_ws))
+
+
+def with_winnow_fingerprints(
+    df: DataFrame, text: str = "text", k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    scheme): hash every k-char-gram of the normalized text, slide a window
+    of w hashes, keep each window's minimum — a position-robust fingerprint
+    set that survives local edits (the rolling-hash fingerprinting of a
+    near-dup pipeline). md5 stands in for the rolling hash so the DuckDB
+    oracle reproduces it bit-for-bit; everything is JVM array expressions."""
+    # bind the grams array ONCE via a single-element transform lambda —
+    # referencing the grams expression directly in each window slice would
+    # re-evaluate the whole md5 k-gram array per window index (O(L²) md5s)
+    windows = F.expr(
+        f"transform(array({_grams_sql(text, k)}), g -> "
+        f"CASE WHEN size(g) >= {w} THEN "
+        f"transform(sequence(1, size(g) - {w - 1}), i -> array_min(slice(g, i, {w}))) "
+        f"ELSE array() END)[0]"
+    )
+    return df.withColumn("fingerprints", F.array_distinct(windows))
+
+
+def _norm_sql(text: str) -> str:
+    return f"trim(regexp_replace(lower({text}), '\\\\s+', ' '))"
+
+
+def _grams_sql(text: str, k: int) -> str:
+    # sequence(1, 0) is DESCENDING [1,0] in Spark, never empty — guard short
+    # texts explicitly
+    return (
+        f"CASE WHEN length({_norm_sql(text)}) >= {k} THEN "
+        f"transform(sequence(1, length({_norm_sql(text)}) - {k - 1}), "
+        f"i -> md5(substring({_norm_sql(text)}, i, {k}))) "
+        f"ELSE array() END"
+    )
+
+
 def with_language_id(df: DataFrame, text: str = "text") -> DataFrame:
     """Stopword-profile language ID — fully JVM-side column arithmetic (no
     Python in the path at all): the profiles are tiny literal arrays, so

@@ -256,3 +256,53 @@ def test_resize_images_stub(spark):
     assert rows[0]["width"] == 8 and rows[0]["height"] == 8
     assert len(rows[0]["resized"]) == 8 * 8 * 3
     assert rows[0]["resized"] != rows[1]["resized"]  # content-keyed
+
+
+def test_bpe_token_count(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["hello world, it's 2026!", ""]})
+    )
+    rows = {r["doc_id"]: r["n_bpe_tokens"]
+            for r in textstats.with_bpe_token_count(df).collect()}
+    # pieces: hello | world | , | it | 's | 2026 | !
+    assert rows[0] == 7
+    assert rows[1] == 0
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    """Spark winnowing ≡ the straightforward pure-Python MOSS scheme."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    texts = ["the quick brown fox jumps over the lazy dog", "ab", "aaaa bbbb aaaa"]
+
+    def winnow(text, k=5, w=4):
+        norm = _re.sub(r"\s+", " ", text.lower()).strip()
+        grams = [
+            hashlib.md5(norm[i:i + k].encode()).hexdigest()
+            for i in range(max(len(norm) - k + 1, 0))
+        ]
+        wins = [min(grams[i:i + w]) for i in range(max(len(grams) - w + 1, 0))]
+        seen = []
+        for x in wins:
+            if x not in seen:
+                seen.append(x)
+        return seen
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {r["doc_id"]: r["fingerprints"]
+           for r in textstats.with_winnow_fingerprints(df, k=5, w=4).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == winnow(t), i
+    # local edits leave most fingerprints intact (the winnowing property)
+    edited = texts[0].replace("lazy", "hazy")
+    df2 = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [edited]}))
+    fp2 = textstats.with_winnow_fingerprints(df2, k=5, w=4).collect()[0]["fingerprints"]
+    overlap = len(set(got[0]) & set(fp2)) / len(set(got[0]))
+    assert overlap > 0.5
