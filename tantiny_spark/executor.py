@@ -52,6 +52,10 @@ class SearchContext:
     dictionary: DataFrame
     stats: DataFrame
     blocks: DataFrame | None = None  # compressed block postings (wand.py)
+    # slim persisted (doc_id, id) projection: the only per-query hot join.
+    # The full docs table is NOT cached — at web scale it can't be, and
+    # range/negation scans want Parquet fast-field pushdown instead.
+    ids: DataFrame | None = None
 
     def __post_init__(self):
         # memoized global stats / doc-freq lookups: the "Weight" phase. One
@@ -62,14 +66,20 @@ class SearchContext:
         self._df_cache: dict = {}
 
     def release(self) -> None:
-        """Unpersist the cached hot tables (docs/dictionary/stats). Called by
+        """Unpersist the cached hot tables (ids/dictionary/stats). Called by
         Index.reload() so long-running readers don't accumulate one cached
         relation set per snapshot generation."""
-        for df in (self.docs, self.dictionary, self.stats):
+        for df in (self.ids, self.dictionary, self.stats):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:
                 pass
+
+    @property
+    def id_map(self) -> DataFrame:
+        return self.ids if self.ids is not None else self.docs.select("doc_id", "id")
 
     def field_stats(self, field: str) -> tuple:
         """(num_docs, avgdl) for a field across live segments."""
@@ -455,9 +465,8 @@ def top_k(result: DataFrame, ctx: SearchContext, limit: int = 10) -> DataFrame:
     """Deterministic top-k: score desc, then id asc (the reference's heap tie
     order is incidental; ours is pinned). Compiles to TakeOrderedAndProject —
     per-partition partial top-k, no global sort."""
-    ids = ctx.docs.select("doc_id", "id")
     return (
-        result.join(ids, "doc_id")
+        result.join(ctx.id_map, "doc_id")
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(limit)
         .select("id", "score")

@@ -385,7 +385,7 @@ class Index:
         unioned = tagged[0]
         for t in tagged[1:]:
             unioned = unioned.unionByName(t)
-        ids = self.ctx.docs.select("doc_id", "id")
+        ids = self.ctx.id_map
         w = Window.partitionBy("query").orderBy(
             F.col("score").desc(), F.col("id").asc()
         )

@@ -200,11 +200,15 @@ class Snapshot:
         # NOTE: dict df / stats counts still include tombstoned docs until the
         # next merge/compaction — the same freshness tradeoff Tantivy makes
         # (deleted docs affect BM25 stats until segments merge).
-        # docs / dict / stats are the repeatedly-probed small tables — keep
-        # them hot across queries of this snapshot. postings/blocks stay on
-        # Parquet: they are the big side and their lookups prune by term.
+        # The repeatedly-probed SMALL tables stay hot: the (doc_id, id) map
+        # (every top-k joins it), the dictionary and the stats. The full docs
+        # table is deliberately NOT cached — at web scale it cannot be, and
+        # range/negation want Parquet scans with fast-field min/max pushdown
+        # rather than a full in-memory relation. postings/blocks likewise
+        # stay on Parquet: term lookups prune them.
         return SearchContext(
-            docs=docs.persist(),
+            docs=docs,
+            ids=docs.select("doc_id", "id").persist(),
             postings=postings,
             dictionary=union_all(dict_parts).persist(),
             stats=union_all(stats_parts).persist(),
