@@ -105,6 +105,12 @@ def assign_doc_ids(
 
 DOC_SENTINEL = "__doc__"
 
+# sizing targets for the two wide exchanges: ~100k docs per doc-id-sort
+# partition (~120 MB of web text) and ~64 MB of staged parquet per postings
+# sort partition (≈ 250-400 MB decompressed — sorts stay in memory)
+DOCS_PER_PARTITION = 100_000
+POSTINGS_BYTES_PER_PARTITION = 64 << 20
+
 
 def _flat_stream_schema(schema: IndexSchema) -> T.StructType:
     """Union row schema for the single-pass analyzer stream: one 'doc' row
@@ -268,6 +274,16 @@ def build_segment(
         cols.append(F.col(f).cast("string").alias(f))
 
     projected = source.select(*cols)
+    # Size the wide exchanges to the DATA, not defaultParallelism: at 8
+    # shuffle partitions a 1.5M-doc build spills its sorts to disk and the
+    # build goes super-linear (measured: postings sort 4.3s at 100k docs but
+    # 139s at 1.5M before this fix). One cheap count scan prices the doc-id
+    # exchange; the postings exchange is priced from the staged file bytes.
+    n_input = projected.count()
+    if num_partitions is None:
+        num_partitions = max(
+            spark.sparkContext.defaultParallelism, (n_input // DOCS_PER_PARTITION) + 1
+        )
     cached: list = []
     with_ids = assign_doc_ids(projected, "id", doc_id_base, num_partitions, cleanup=cached)
     stream_df = with_ids.mapInPandas(_flat_analyzer(schema), _flat_stream_schema(schema))
@@ -344,8 +360,20 @@ def build_segment(
     # concentrating them (skew handling, SURVEY.md §4). The range sampler and
     # the real pass each re-scan the explode — a cheap column-pruned read of
     # the staged analyzed Parquet (or of the persisted rows without staging).
+    # Partition count scales with the staged bytes so each partition's sort
+    # fits in memory at any corpus size.
+    n_post_parts = max(spark.sparkContext.defaultParallelism, 2)
+    if work_dir is not None:
+        staged_bytes = 0
+        for root, _, files in os.walk(staged_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    staged_bytes += os.path.getsize(os.path.join(root, f))
+        n_post_parts = max(
+            n_post_parts, (staged_bytes // POSTINGS_BYTES_PER_PARTITION) + 1
+        )
     postings = postings.repartitionByRange(
-        max(spark.sparkContext.defaultParallelism, 2), "field", "term", "doc_id"
+        n_post_parts, "field", "term", "doc_id"
     ).sortWithinPartitions("field", "term", "doc_id")
 
     # --- dictionary + blocks: derived from the STORED postings files -------
