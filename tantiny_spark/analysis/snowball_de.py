@@ -25,7 +25,9 @@ def _prelude(word: str) -> str:
 
 
 def _regions(word: str) -> tuple[int, int]:
-    lowered = [(c.lower() in VOWELS) for c in word]
+    # marked U/Y (prelude) are uppercase and so NOT in VOWELS — they count
+    # as consonants here, which is the whole point of the marking
+    lowered = [(c in VOWELS) for c in word]
     r1 = len(word)
     for i in range(1, len(word)):
         if not lowered[i] and lowered[i - 1]:
@@ -45,8 +47,8 @@ def _in_r(word: str, suffix: str, r: int) -> bool:
 
 
 def stem(word: str) -> str:
-    if len(word) <= 2:
-        return word.replace("ß", "ss")
+    # no early length guard: the postlude (ß→ss, umlaut fold) applies to
+    # every word, however short; regions are empty so no suffix matches
     word = _prelude(word)
     r1, r2 = _regions(word)
 

@@ -45,15 +45,17 @@ _STEP3_SIMPLE = sorted(
     key=len, reverse=True,
 )
 
+# illative -hVn: only these six — no 'hun'/'hyn', so u/y-stem forms fall
+# through to the bare 'n' rule (protects verbs like 'puhun'; oracle-verified)
 _HXN = {
     "han": "a", "hen": "e", "hin": "i", "hon": "o",
-    "hun": "u", "hyn": "y", "hän": "ä", "hön": "ö",
+    "hän": "ä", "hön": "ö",
 }
 
 
 def stem(word: str) -> str:
-    if len(word) <= 2:
-        return word
+    # no early length guard: the final consonant undoubling is not region-
+    # limited and applies to words of any length ('bb' → 'b')
     r1, r2 = _regions(word)
 
     # --- step 1: particles etc ----------------------------------------------
@@ -93,9 +95,10 @@ def stem(word: str) -> str:
         word = word[:-2]
 
     # --- step 3: cases ----------------------------------------------------------
-    # among semantics: the LONGEST suffix matching within R1 commits; its
-    # condition is then tested and, on failure, nothing happens (no fallback
-    # to a shorter suffix)
+    # conditions are part of MATCHING here: a longer suffix whose side
+    # condition fails falls through to shorter alternatives (verified against
+    # the compiled oracle: 'kaliden' strips 'n', not nothing), unlike the
+    # commit-on-longest amongs elsewhere
     step3_removed = False
     _step3_all = sorted(
         [(s, "hxn") for s in _HXN]
@@ -114,6 +117,8 @@ def stem(word: str) -> str:
         if kind == "hxn":
             if base.endswith(_HXN[suf]):
                 word, step3_removed = base, True
+            break  # hVn commits on string match: condition failure removes
+            # nothing and does NOT fall through to 'n' (oracle-verified)
         elif kind == "vi":
             if (
                 len(base) >= 2
@@ -137,7 +142,8 @@ def stem(word: str) -> str:
             if word[-2:] in _LONG_VOWELS or word.endswith("ie"):
                 word = word[:-1]
             step3_removed = True
-        break  # the longest match commits either way
+        if step3_removed:
+            break  # else: condition failed — try the next shorter suffix
 
     # --- step 4: other endings (comparatives etc), in R2 -----------------------
     for suf in ("impi", "impa", "impä", "immi", "imma", "immä", "eja", "ejä"):
@@ -167,11 +173,13 @@ def stem(word: str) -> str:
     r1, r2 = _regions(word)
     if _in_r(word, word[-2:], r1) and word[-2:] in _LONG_VOWELS:
         word = word[:-1]
+    # setlimit-to-R1 semantics: the consonant BEFORE the deleted vowel is
+    # part of the pattern, so it too must lie inside R1 (len-2 >= r1)
     if (
         len(word) >= 2
         and word[-1] in set("aäei")
         and word[-2] not in VOWELS
-        and len(word) - 1 >= r1
+        and len(word) - 2 >= r1
     ):
         word = word[:-1]
     if _in_r(word, "oj", r1) or _in_r(word, "uj", r1):

@@ -18,22 +18,51 @@ VOWELS = set("aeiouyâàëéêèïîôûù")
 
 
 def _prelude(word: str) -> str:
-    """Mark u/i between vowels, y next to a vowel, and u after q as
-    consonants (uppercase)."""
+    """Diaeresis vowels are re-spelled with an H marker (ë→He, ï→Hi) so the
+    algorithm sees a consonant + plain vowel — the 'e' of 'He' then takes the
+    ordinary e-deletions and a dangling H is dropped in the postlude. Then
+    mark u/i between vowels, y next to a vowel, and u after q as consonants
+    (uppercase). The marking pass runs FIRST, with ë/ï still counting as
+    vowels (the left-to-right scan of the published prelude sees an
+    unconverted ë/ï to its right as a vowel, and a converted one to its left
+    as plain e/i — also a vowel), then the He/Hi re-spelling applies."""
     chars = list(word)
-    n = len(chars)
-
-    def is_v(i):
-        return chars[i] in VOWELS
-
-    for i in range(n):
+    i = 0
+    while i < len(chars):
         c = chars[i]
-        if c in ("u", "i") and 0 < i < n - 1 and is_v(i - 1) and is_v(i + 1):
-            chars[i] = c.upper()
-        elif c == "y" and ((i > 0 and is_v(i - 1)) or (i < n - 1 and is_v(i + 1))):
+        nxt = chars[i + 1] if i + 1 < len(chars) else ""
+        after = chars[i + 2] if i + 2 < len(chars) else ""
+        # the ë/ï re-spelling fires as soon as the cursor reaches the char
+        # (before vowel-anchored marking — decisive for word-INITIAL ë/ï,
+        # oracle-verified; provably equivalent mid-word)
+        # cursor lands ON the inserted vowel, which may then anchor the
+        # marking of the following char ('ëui' → 'HeUi', oracle-verified)
+        if c == "ë":
+            chars[i : i + 1] = ["H", "e"]
+            i += 1
+            continue
+        if c == "ï":
+            chars[i : i + 1] = ["H", "i"]
+            i += 1
+            continue
+        # a vowel at the cursor marks the char AFTER it — u/i (only when a
+        # vowel follows them) or y (unconditionally); the cursor then jumps
+        # past the marked char, so that char is never re-examined
+        if c in VOWELS and (
+            (nxt in ("u", "i") and after in VOWELS) or nxt == "y"
+        ):
+            chars[i + 1] = nxt.upper() if nxt != "y" else "Y"
+            i += 2
+            continue
+        if c == "y" and nxt in VOWELS:
             chars[i] = "Y"
-        elif c == "u" and i > 0 and chars[i - 1] == "q":
+            i += 1
+            continue
+        if c == "u" and i > 0 and chars[i - 1] == "q":
             chars[i] = "U"
+            i += 1
+            continue
+        i += 1
     return "".join(chars)
 
 
@@ -86,7 +115,7 @@ _STEP2B_DELETE_RV = sorted(
     key=len, reverse=True,
 )
 _STEP2B_E_GROUP = sorted(
-    ("â", "ât", "âtes", "a", "ai", "aIent", "ais", "ait", "ant", "ante",
+    ("âmes", "ât", "âtes", "a", "ai", "aIent", "ais", "ait", "ant", "ante",
      "antes", "ants", "as", "asse", "assent", "asses", "assiez", "assions"),
     key=len, reverse=True,
 )
@@ -234,8 +263,8 @@ def _standard_suffix(word: str, rv: int, r1: int, r2: int) -> tuple[str, bool, b
 
 
 def stem(word: str) -> str:
-    if len(word) <= 2:
-        return word
+    # no early length guard: the residual-s rule is region-free and applies
+    # to words of any length ('cs' → 'c', oracle-verified)
     word = _prelude(word)
     rv, r1, r2 = _regions(word)
 
@@ -243,13 +272,15 @@ def stem(word: str) -> str:
 
     if not succeeded:
         # step 2a: verb suffixes beginning i — in RV, preceded by a
-        # non-vowel itself in RV
+        # non-vowel itself in RV; the H diaeresis marker does NOT qualify
+        # (protects ï/ë re-spellings from verb stripping, oracle-verified)
         done2 = False
         for suf in _STEP2A:
             if (
                 _in_r(word, suf, rv)
                 and len(word) - len(suf) - 1 >= rv
                 and word[-len(suf) - 1] not in VOWELS
+                and word[-len(suf) - 1] != "H"
             ):
                 word = word[: -len(suf)]
                 done2 = True
@@ -281,7 +312,10 @@ def stem(word: str) -> str:
             word = word[:-1] + "c"
     else:
         # step 4: residual suffix (runs even after a fail-through ment rule)
-        if word.endswith("s") and len(word) >= 2 and word[-2] not in set("aiouès"):
+        if word.endswith("s") and len(word) >= 2 and (
+            word[-2] not in set("aiouès")
+            or word[-3:-1] == "Hi"  # a marked ï does not protect the s
+        ):
             word = word[:-1]
         # among within RV, longest first
         if (
@@ -300,8 +334,6 @@ def stem(word: str) -> str:
             else:
                 if _in_r(word, "e", rv):
                     word = word[:-1]
-                elif _in_r(word, "ë", rv) and word[:-1].endswith("gu"):
-                    word = word[:-1]
 
     # step 5: un_double (always)
     for suf in ("enn", "onn", "ett", "ell", "eill"):
@@ -318,4 +350,6 @@ def stem(word: str) -> str:
     if n_nonv >= 1 and i >= 0 and word[i] in ("é", "è"):
         word = word[:i] + "e" + word[i + 1 :]
 
+    # postlude: restore surviving diaeresis pairs, drop a dangling H marker
+    word = word.replace("Hi", "ï").replace("He", "ë").replace("H", "")
     return word.replace("I", "i").replace("U", "u").replace("Y", "y")

@@ -95,7 +95,9 @@ _STEP2_VERB = sorted(
      "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti", "irete",
      "irò", "irono", "isca", "iscano", "isce", "isci", "isco", "iscono",
      "issero", "ita", "ite", "iti", "ito", "iva", "ivamo", "ivano", "ivate",
-     "ivi", "ivo", "ono", "uta", "ute", "uti", "uto"),
+     "ivi", "ivo", "ono", "uta", "ute", "uti", "uto",
+     # apocopated infinitives (parlar, finir) — in the published among
+     "ar", "ir"),
     key=len, reverse=True,
 )
 

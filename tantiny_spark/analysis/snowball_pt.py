@@ -82,7 +82,9 @@ _STEP2_VERB = sorted(
 
 def stem(word: str) -> str:
     if len(word) <= 2:
-        return word
+        # regions are empty so no suffix can match, but the unconditional
+        # residual-form ç→c rewrite still applies (no length guard upstream)
+        return word[:-1] + "c" if word.endswith("ç") else word
     # prelude: nasalised vowels are marked so they count as vowel + mark
     word = word.replace("ã", "a~").replace("õ", "o~")
     rv, r1, r2 = _regions(word)

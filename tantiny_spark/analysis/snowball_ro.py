@@ -5,20 +5,22 @@ Re-implements the published Snowball Romanian algorithm
 behind Tantivy's ``Stemmer::new(Language::Romanian)`` via rust-stemmers
 (reference language table: /root/reference/src/helpers.rs:18-40).
 
-The original algorithm is written over the cedilla forms ş/ţ; modern
-comma-below forms ș/ț are normalized to cedilla on input so both spellings
-stem identically.
+The algorithm (as compiled into rust-stemmers 1.x / Tantivy 0.16 and
+PostgreSQL's dict_snowball) is written over the legacy cedilla forms ş/ţ
+with NO folding of the modern comma-below spellings ș/ț — comma-form text
+passes through the cedilla suffix tables unmatched, exactly as in the
+reference engine. (Snowball 3.0, 2024, later added comma folding; the
+reference predates it.) Verified byte-exact against the compiled Snowball
+oracle (scripts/snowball_oracle.py).
 """
 
 from __future__ import annotations
 
 VOWELS = set("aăâeiîou")
 
-_COMMA_TO_CEDILLA = str.maketrans("șț", "şţ")
 
 
 def _prelude(word: str) -> str:
-    word = word.translate(_COMMA_TO_CEDILLA)
     chars = list(word)
     n = len(chars)
     for i in range(1, n - 1):
@@ -71,6 +73,7 @@ _STEP0 = sorted(
         ("aua", "a", None),
         ("ea", "e", None), ("ele", "e", None), ("elor", "e", None),
         ("ii", "i", None), ("iua", "i", None), ("iei", "i", None),
+        ("ia", "i", None),
         ("iile", "i", None), ("iilor", "i", None), ("ilor", "i", None),
         ("ile", "i", "not_ab"),
         ("atei", "at", None),
@@ -133,7 +136,6 @@ _STEP3_UNCOND = sorted(
 
 
 def stem(word: str) -> str:
-    word = word.translate(_COMMA_TO_CEDILLA)
     if len(word) <= 2:
         return word
     word = _prelude(word)
@@ -204,9 +206,14 @@ def stem(word: str) -> str:
                     word = base
 
     # --- step 4: final vowel ------------------------------------------------------
+    # among semantics: the longest matching suffix commits; if it falls
+    # outside RV nothing is removed (no fallback to a shorter suffix —
+    # verified against the compiled oracle: '-ie' crossing the RV boundary
+    # keeps the word intact)
     for suf in ("ie", "a", "e", "i", "ă"):
-        if _in_r(word, suf, rv):
-            word = word[: -len(suf)]
+        if word.endswith(suf):
+            if _in_r(word, suf, rv):
+                word = word[: -len(suf)]
             break
 
     return word.replace("I", "i").replace("U", "u")

@@ -66,6 +66,14 @@ class IndexSchema:
     def text(self, name: str, tokenizer: Tokenizer | None = None) -> "IndexSchema":
         self.text_fields.append(name)
         if tokenizer is not None:
+            # validate at schema-definition time: a wrong type here would
+            # otherwise only surface deep inside an executor-side UDF
+            if not isinstance(tokenizer, Tokenizer):
+                raise TypeError(
+                    f"text field '{name}': tokenizer must be a Tokenizer "
+                    f"(e.g. Tokenizer.new('stemmer', language='de')), got "
+                    f"{type(tokenizer).__name__}"
+                )
             self.field_tokenizers[name] = tokenizer
         return self
 

@@ -146,7 +146,10 @@ GOLDENS = {
         "copilului": "copil",
         "lucrează": "lucr",
         "mergeau": "merg",
-        "orașul": "oraş",  # comma-below normalized to cedilla
+        "orașul": "oraș",  # comma-below passes through untouched (the
+        # algorithm's cedilla suffix tables simply don't see ș/ț — matching
+        # the compiled Snowball behind the reference engine, which predates
+        # Snowball 3.0's cedilla folding)
         "activitate": "activ",  # step-1 ivitate → iv
         "cartea": "cart",  # ea → e, then step-4 final vowel
         "frumoasă": "frumoas",
@@ -214,3 +217,22 @@ def test_stemming_is_deterministic_and_pure():
     for lang, mod in _MODULES.items():
         for w in GOLDENS.get(lang, {}):
             assert mod.stem(w) == mod.stem(w)
+
+
+def test_oracle_goldens():
+    """3,900 (word, stem) pairs per-language, generated once against the
+    compiled Snowball oracle (PostgreSQL dict_snowball — the same published
+    algorithms rust-stemmers compiles for Tantivy) and pinned as fixture
+    data. See scripts/snowball_oracle.py for the generation harness; every
+    implemented language was verified byte-exact on 50k+ random
+    suffix-dense words before pinning."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "snowball_goldens.json")
+    with open(path, encoding="utf-8") as f:
+        goldens = json.load(f)
+    for lang, pairs in goldens.items():
+        fn = tokenizers._STEMMERS[lang]
+        bad = [(w, fn(w), s) for w, s in pairs.items() if fn(w) != s]
+        assert not bad, f"{lang}: {bad[:5]}"
