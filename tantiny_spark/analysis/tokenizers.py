@@ -29,6 +29,7 @@ from tantiny_spark.analysis import (
     snowball_es,
     snowball_fi,
     snowball_fr,
+    snowball_hu,
     snowball_it,
     snowball_nl,
     snowball_no,
@@ -36,6 +37,7 @@ from tantiny_spark.analysis import (
     snowball_ro,
     snowball_ru,
     snowball_sv,
+    snowball_tr,
 )
 
 # Tantivy's SimpleTokenizer splits on char::is_alphanumeric() boundaries.
@@ -66,6 +68,8 @@ _STEMMERS = {
     "ro": snowball_ro.stem,
     "ru": snowball_ru.stem,
     "sv": snowball_sv.stem,
+    "hu": snowball_hu.stem,
+    "tr": snowball_tr.stem,
 }
 
 
@@ -133,7 +137,7 @@ def _stem_fn(language: str):
         raise NotImplementedError(
             f"Stemmer language '{language}' is recognized (helpers.rs:18-40) but "
             "not implemented yet: of the 18 reference languages, "
-            f"{sorted(_STEMMERS)} are available; ar/el/hu/ta/tr remain."
+            f"{sorted(_STEMMERS)} are available; ar/el/ta remain."
         )
     return _cached_stemmer(language)
 

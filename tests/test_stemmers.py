@@ -202,12 +202,13 @@ def test_tokenizer_registry_routes_all_implemented_languages():
     text = "Nationalität"
     tok = tokenizers.Tokenizer.new("stemmer", language="de")
     assert tok.terms(text) == ["nationalitat"]
-    for lang in ("da", "no", "sv", "de", "es", "pt", "it", "fr", "nl", "fi", "ro", "en", "ru"):
+    for lang in ("da", "no", "sv", "de", "es", "pt", "it", "fr", "nl", "fi",
+                 "ro", "en", "ru", "hu", "tr"):
         tokenizers.Tokenizer.new("stemmer", language=lang).terms("test")
 
 
 def test_unimplemented_languages_raise_loudly():
-    for lang in ("ar", "el", "hu", "ta", "tr"):
+    for lang in ("ar", "el", "ta"):
         tok = tokenizers.Tokenizer.new("stemmer", language=lang)  # recognized
         with pytest.raises(NotImplementedError):
             tok.terms("some words")
@@ -236,3 +237,47 @@ def test_oracle_goldens():
         fn = tokenizers._STEMMERS[lang]
         bad = [(w, fn(w), s) for w, s in pairs.items() if fn(w) != s]
         assert not bad, f"{lang}: {bad[:5]}"
+
+
+def test_turkish_goldens():
+    """Hand-checked Turkish pairs (suffix chains, vowel harmony, devoicing,
+    reserved words) — cross-verified against the compiled Snowball oracle."""
+    from tantiny_spark.analysis import snowball_tr
+
+    for word, expected in {
+        "kitapları": "kitap",
+        "evimden": "ev",
+        "arabalarında": "araba",
+        "gözlerimde": "göz",
+        "çocuklarımmış": "çocuk",
+        "okuldaki": "okul",
+        "okuldakiler": "okuldaki",  # verb -lAr stops noun stemming
+        "güneşin": "güneş",
+        "evlerinizden": "ev",
+        "arabayla": "araba",
+        "kitabı": "kitap",  # final devoicing b → p
+        "ağaçtan": "ağaç",
+        "evdekilerin": "ev",
+        "geliyormuş": "geliyor",
+        "adım": "ad",  # reserved word: no harmonic vowel appended
+        "tek": "tek",  # single syllable: untouched
+    }.items():
+        assert snowball_tr.stem(word) == expected, word
+
+
+def test_hungarian_goldens():
+    """Hand-checked Hungarian pairs — cross-verified against the compiled
+    Snowball oracle."""
+    from tantiny_spark.analysis import snowball_hu
+
+    for word, expected in {
+        "babakocsik": "babakocs",
+        "házzal": "ház",  # instrumental assimilation + undouble
+        "vízzel": "víz",
+        "fákkal": "fák",
+        "babától": "bab",  # case + v_ending + owner 'a'
+        "gyerekkel": "gyer",
+        "kővé": "kő",
+        "babánként": "bab",
+    }.items():
+        assert snowball_hu.stem(word) == expected, word
