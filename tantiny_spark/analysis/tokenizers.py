@@ -26,6 +26,7 @@ from tantiny_spark.analysis import (
     porter2,
     snowball_da,
     snowball_de,
+    snowball_el,
     snowball_es,
     snowball_fi,
     snowball_fr,
@@ -68,6 +69,7 @@ _STEMMERS = {
     "ro": snowball_ro.stem,
     "ru": snowball_ru.stem,
     "sv": snowball_sv.stem,
+    "el": snowball_el.stem,
     "hu": snowball_hu.stem,
     "tr": snowball_tr.stem,
 }
@@ -137,7 +139,7 @@ def _stem_fn(language: str):
         raise NotImplementedError(
             f"Stemmer language '{language}' is recognized (helpers.rs:18-40) but "
             "not implemented yet: of the 18 reference languages, "
-            f"{sorted(_STEMMERS)} are available; ar/el/ta remain."
+            f"{sorted(_STEMMERS)} are available; ar/ta remain."
         )
     return _cached_stemmer(language)
 

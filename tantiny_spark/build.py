@@ -68,22 +68,30 @@ def assign_doc_ids(
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 2)
-    arranged = df.repartitionByRange(num_partitions, F.col(order_col)).sortWithinPartitions(
-        order_col
-    )
-    arranged = arranged.cache()
-    if cleanup is not None:
-        # caller unpersists once the stamped output has been fully consumed
-        # (long-running writers must not accumulate cached relations)
-        cleanup.append(arranged)
-    counts = (
-        arranged.groupBy(F.spark_partition_id().alias("pid")).count().collect()
-    )
-    offsets = {}
-    acc = doc_id_base
-    for row in sorted(counts, key=lambda r: r["pid"]):
-        offsets[row["pid"]] = acc
-        acc += row["count"]
+    if num_partitions == 1:
+        # small-input fast path: one partition needs no range sampling and
+        # no per-partition count job — the offset is just doc_id_base.
+        # Identical ids to the general path (global rank is partition-
+        # layout-invariant); saves two fixed driver jobs per segment.
+        arranged = df.coalesce(1).sortWithinPartitions(order_col)
+        offsets = {0: doc_id_base}
+    else:
+        arranged = df.repartitionByRange(
+            num_partitions, F.col(order_col)
+        ).sortWithinPartitions(order_col)
+        arranged = arranged.cache()
+        if cleanup is not None:
+            # caller unpersists once the stamped output has been fully
+            # consumed (long-running writers must not accumulate caches)
+            cleanup.append(arranged)
+        counts = (
+            arranged.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+        )
+        offsets = {}
+        acc = doc_id_base
+        for row in sorted(counts, key=lambda r: r["pid"]):
+            offsets[row["pid"]] = acc
+            acc += row["count"]
     offsets_b = spark.sparkContext.broadcast(offsets)
 
     out_schema = T.StructType(
@@ -281,11 +289,24 @@ def build_segment(
     # exchange; the postings exchange is priced from the staged file bytes.
     n_input = projected.count()
     if num_partitions is None:
-        num_partitions = max(
-            spark.sparkContext.defaultParallelism, (n_input // DOCS_PER_PARTITION) + 1
-        )
+        if n_input <= DOCS_PER_PARTITION:
+            # the whole input fits one doc-id-sort partition: take the
+            # fast path in assign_doc_ids (no sampling / counting jobs)
+            num_partitions = 1
+        else:
+            num_partitions = max(
+                spark.sparkContext.defaultParallelism,
+                (n_input // DOCS_PER_PARTITION) + 1,
+            )
     cached: list = []
     with_ids = assign_doc_ids(projected, "id", doc_id_base, num_partitions, cleanup=cached)
+    if num_partitions == 1:
+        # ids were stamped on a single partition; spread the rows back out
+        # so the analyzer still uses every core (ids are already assigned,
+        # so the round-robin layout cannot affect them)
+        with_ids = with_ids.repartition(
+            max(spark.sparkContext.defaultParallelism, 2)
+        )
     stream_df = with_ids.mapInPandas(_flat_analyzer(schema), _flat_stream_schema(schema))
     if work_dir is not None:
         staged_path = os.path.join(work_dir, "analyzed")

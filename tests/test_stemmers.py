@@ -203,12 +203,12 @@ def test_tokenizer_registry_routes_all_implemented_languages():
     tok = tokenizers.Tokenizer.new("stemmer", language="de")
     assert tok.terms(text) == ["nationalitat"]
     for lang in ("da", "no", "sv", "de", "es", "pt", "it", "fr", "nl", "fi",
-                 "ro", "en", "ru", "hu", "tr"):
+                 "ro", "en", "ru", "hu", "tr", "el"):
         tokenizers.Tokenizer.new("stemmer", language=lang).terms("test")
 
 
 def test_unimplemented_languages_raise_loudly():
-    for lang in ("ar", "el", "ta"):
+    for lang in ("ar", "ta"):
         tok = tokenizers.Tokenizer.new("stemmer", language=lang)  # recognized
         with pytest.raises(NotImplementedError):
             tok.terms("some words")
@@ -281,3 +281,25 @@ def test_hungarian_goldens():
         "babánként": "bab",
     }.items():
         assert snowball_hu.stem(word) == expected, word
+
+
+def test_greek_goldens():
+    """Hand-checked Greek pairs (accent folding, irregulars, verb suffix
+    restores) — cross-verified against the compiled Snowball oracle."""
+    from tantiny_spark.analysis import snowball_el
+
+    for word, expected in {
+        "υπολογιστές": "υπολογ",
+        "ΥΠΟΛΟΓΙΣΤΕΣ": "υπολογ",  # uppercase input folds
+        "παιδιού": "παιδ",
+        "τραγούδια": "τραγουδ",
+        "άνθρωπος": "ανθρωπ",
+        "ανθρώπους": "ανθρωπ",
+        "θάλασσες": "θαλασσ",
+        "καθεστωτος": "καθεστ",  # irregular (step 1)
+        "γεγονοτων": "γεγον",
+        "δανειζεις": "δανει",  # S1 exception restores ι
+        "γεμιζεις": "γεμ",
+        "ας": "ασ",  # short word: only character folding
+    }.items():
+        assert snowball_el.stem(word) == expected, word
