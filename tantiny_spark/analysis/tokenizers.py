@@ -38,6 +38,7 @@ from tantiny_spark.analysis import (
     snowball_ro,
     snowball_ru,
     snowball_sv,
+    snowball_ta,
     snowball_tr,
 )
 
@@ -72,6 +73,7 @@ _STEMMERS = {
     "el": snowball_el.stem,
     "hu": snowball_hu.stem,
     "tr": snowball_tr.stem,
+    "ta": snowball_ta.stem,
 }
 
 
@@ -139,7 +141,7 @@ def _stem_fn(language: str):
         raise NotImplementedError(
             f"Stemmer language '{language}' is recognized (helpers.rs:18-40) but "
             "not implemented yet: of the 18 reference languages, "
-            f"{sorted(_STEMMERS)} are available; ar/ta remain."
+            f"{sorted(_STEMMERS)} are available; ar remains."
         )
     return _cached_stemmer(language)
 

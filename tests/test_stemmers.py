@@ -203,15 +203,31 @@ def test_tokenizer_registry_routes_all_implemented_languages():
     tok = tokenizers.Tokenizer.new("stemmer", language="de")
     assert tok.terms(text) == ["nationalitat"]
     for lang in ("da", "no", "sv", "de", "es", "pt", "it", "fr", "nl", "fi",
-                 "ro", "en", "ru", "hu", "tr", "el"):
+                 "ro", "en", "ru", "hu", "tr", "el", "ta"):
         tokenizers.Tokenizer.new("stemmer", language=lang).terms("test")
 
 
 def test_unimplemented_languages_raise_loudly():
-    for lang in ("ar", "ta"):
+    for lang in ("ar",):
         tok = tokenizers.Tokenizer.new("stemmer", language=lang)  # recognized
         with pytest.raises(NotImplementedError):
             tok.terms("some words")
+
+
+def test_tamil_goldens():
+    """Hand-checked Tamil pairs — cross-verified against the compiled
+    Snowball oracle (plural/case/tense suffix chains, fix_endings)."""
+    from tantiny_spark.analysis import snowball_ta
+
+    for word, expected in {
+        "புத்தகங்கள்": "புத்தகம்",   # plural -kal, ng->m fix
+        "மரங்களில்": "மரங்",        # case -il, then plural
+        "அவர்கள்": "அவர்",          # plural after -r
+        "படித்தான்": "படி",          # tense -aan + fix
+        "மக்களுக்கு": "மக்கள்",      # dative -ukku
+        "பேசுகிறேன்": "பேசு",        # present participle chain
+    }.items():
+        assert snowball_ta.stem(word) == expected, word
 
 
 def test_stemming_is_deterministic_and_pure():
