@@ -24,6 +24,7 @@ from functools import lru_cache
 from tantiny_spark.errors import UnknownTokenizer
 from tantiny_spark.analysis import (
     porter2,
+    snowball_ar,
     snowball_da,
     snowball_de,
     snowball_el,
@@ -57,6 +58,7 @@ SUPPORTED_LANGUAGES = (
 )
 
 _STEMMERS = {
+    "ar": snowball_ar.stem,
     "da": snowball_da.stem,
     "de": snowball_de.stem,
     "en": porter2.stem,
@@ -136,13 +138,7 @@ class Tokenizer:
 
 
 def _stem_fn(language: str):
-    base = _STEMMERS.get(language)
-    if base is None:
-        raise NotImplementedError(
-            f"Stemmer language '{language}' is recognized (helpers.rs:18-40) but "
-            "not implemented yet: of the 18 reference languages, "
-            f"{sorted(_STEMMERS)} are available; ar remains."
-        )
+    # All 18 reference languages (helpers.rs:18-40) are implemented.
     return _cached_stemmer(language)
 
 

@@ -203,15 +203,35 @@ def test_tokenizer_registry_routes_all_implemented_languages():
     tok = tokenizers.Tokenizer.new("stemmer", language="de")
     assert tok.terms(text) == ["nationalitat"]
     for lang in ("da", "no", "sv", "de", "es", "pt", "it", "fr", "nl", "fi",
-                 "ro", "en", "ru", "hu", "tr", "el", "ta"):
+                 "ro", "en", "ru", "hu", "tr", "el", "ta", "ar"):
         tokenizers.Tokenizer.new("stemmer", language=lang).terms("test")
 
 
-def test_unimplemented_languages_raise_loudly():
-    for lang in ("ar",):
-        tok = tokenizers.Tokenizer.new("stemmer", language=lang)  # recognized
-        with pytest.raises(NotImplementedError):
-            tok.terms("some words")
+def test_all_reference_languages_implemented():
+    for lang in tokenizers.SUPPORTED_LANGUAGES:
+        tok = tokenizers.Tokenizer.new("stemmer", language=lang)
+        tok.terms("test")
+
+
+def test_arabic_goldens():
+    """Hand-checked Arabic pairs — cross-verified against the compiled
+    Snowball oracle (articles, pronouns, verb affixes, hamza folding)."""
+    from tantiny_spark.analysis import snowball_ar
+
+    for word, expected in {
+        "الكتاب": "كتاب",       # definite article
+        "بالكتاب": "كتاب",      # b+article
+        "يكتبون": "يكتب",       # verb plural
+        "مدرسة": "مدرس",        # ta marbuta
+        "قالوا": "قال",          # verb -uu
+        "فقال": "قال",           # conjunction f-
+        "سيكتب": "يكتب",        # future s-
+        "يستكتبون": "استكتب",   # yst -> ast
+        "مستشفى": "مستشفي",     # alef maqsura
+        "سؤال": "سوال",          # hamza carrier folding
+        "قرأ": "قرء",            # final hamza
+    }.items():
+        assert snowball_ar.stem(word) == expected, word
 
 
 def test_tamil_goldens():
