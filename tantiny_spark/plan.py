@@ -229,11 +229,103 @@ _JAVA_ONLY_REGEX = re.compile(
     re.VERBOSE,
 )
 
+# POSIX classes (Rust's regex crate accepts them inside brackets; Java
+# spells them \p{..}) and Unicode script names (Rust: \p{Greek}, Java:
+# \p{IsGreek}). General categories (L, Lu, Nd, ...) are spelt the same.
+_POSIX_TO_JAVA = {
+    "alpha": r"\p{Alpha}", "digit": r"\p{Digit}", "alnum": r"\p{Alnum}",
+    "upper": r"\p{Upper}", "lower": r"\p{Lower}", "space": r"\p{Space}",
+    "punct": r"\p{Punct}", "xdigit": r"\p{XDigit}", "cntrl": r"\p{Cntrl}",
+    "graph": r"\p{Graph}", "print": r"\p{Print}", "blank": r"\p{Blank}",
+    "word": r"\w", "ascii": r"\p{ASCII}",
+}
+_GENERAL_CATEGORIES = {
+    "L", "Lu", "Ll", "Lt", "Lm", "Lo", "M", "Mn", "Mc", "Me",
+    "N", "Nd", "Nl", "No", "P", "Pc", "Pd", "Ps", "Pe", "Pi", "Pf", "Po",
+    "S", "Sm", "Sc", "Sk", "So", "Z", "Zs", "Zl", "Zp",
+    "C", "Cc", "Cf", "Co", "Cn",
+}
+
+
+def translate_rust_regex(pattern: str) -> str:
+    r"""Rewrite a Rust-regex-dialect pattern (reference: src/query.rs:101-117,
+    the regex crate) so Java's Pattern (Spark ``rlike``) evaluates it with
+    identical semantics.
+
+    - ``(?P<name>`` -> ``(?<name>`` (named groups)
+    - ``[[:alpha:]]`` et al -> ``\p{Alpha}`` (POSIX classes)
+    - ``\p{Greek}`` script names -> ``\p{IsGreek}`` (general categories
+      are shared syntax and pass through)
+    - ``&&`` inside a character class is literal in Rust but set
+      intersection in Java -> escape it
+    Java-only constructs the reference would reject raise
+    UnsupportedRegexSyntax before this point.
+    """
+    out = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            if nxt in "pP" and pattern[i + 2: i + 3] == "{":
+                end = pattern.find("}", i + 3)
+                if end != -1:
+                    name = pattern[i + 3: end]
+                    if name not in _GENERAL_CATEGORIES and name.isalpha() and len(name) > 2 and not name.startswith("Is"):
+                        out.append("\\" + nxt + "{Is" + name + "}")
+                    else:
+                        out.append(pattern[i: end + 1])
+                    i = end + 1
+                    continue
+            out.append(pattern[i: i + 2])
+            i += 2
+            continue
+        if not in_class:
+            if pattern.startswith("(?P<", i):
+                out.append("(?<")
+                i += 4
+                continue
+            if ch == "[":
+                in_class = True
+                out.append(ch)
+                i += 1
+                continue
+            out.append(ch)
+            i += 1
+            continue
+        # inside a character class
+        if pattern.startswith("[:", i):
+            end = pattern.find(":]", i + 2)
+            if end != -1:
+                name = pattern[i + 2: end].lstrip("^")
+                neg = pattern[i + 2: end].startswith("^")
+                repl = _POSIX_TO_JAVA.get(name)
+                if repl is not None:
+                    if neg:
+                        repl = repl.replace("{", "{In", 1) if False else repl
+                        # Java spells negated POSIX as \P{..}
+                        repl = "\\P" + repl[2:] if repl.startswith("\\p") else repl
+                    out.append(repl)
+                    i = end + 2
+                    continue
+        if ch == "&" and pattern.startswith("&&", i):
+            out.append("\\&\\&")
+            i += 2
+            continue
+        if ch == "]":
+            in_class = False
+        out.append(ch)
+        i += 1
+        continue
+    return "".join(out)
+
 
 def regex_query(schema: IndexSchema, fields, pattern: str, boost: float = DEFAULT_BOOST) -> Query:
     pattern = str(pattern)
     if _JAVA_ONLY_REGEX.search(pattern):
         raise UnsupportedRegexSyntax(pattern)
+    pattern = translate_rust_regex(pattern)
     return _construct(
         schema, _text_and_strings(schema), fields,
         lambda f: Regex(f, pattern), boost,

@@ -250,3 +250,31 @@ def test_regex_rejects_java_only_dialect():
             P.regex_query(schema, "text", bad)
     for good in ("a+b", r"\d{2,3}", "(?i)case", r"\p{L}+", "a|b|c"):
         P.regex_query(schema, "text", good)
+
+
+def test_regex_dialect_translation():
+    """Rust-regex (reference: src/query.rs:101-117) patterns evaluate
+    identically under Java's Pattern after translation."""
+    from tantiny_spark.plan import translate_rust_regex as t
+
+    assert t("(?P<y>\\d{4})") == "(?<y>\\d{4})"
+    assert t("[[:alpha:]]+") == "[\\p{Alpha}]+"       # class-wrapped: same set
+    assert t("[[:^digit:]x]") == "[\\P{Digit}x]"
+    assert t("[a&&b]") == "[a\\&\\&b]"                # Rust: literal &&
+    assert t("\\p{Greek}+") == "\\p{IsGreek}+"        # script needs Is- in Java
+    assert t("\\p{Lu}\\p{L}") == "\\p{Lu}\\p{L}"      # categories shared
+    assert t("mor.*") == "mor.*"
+    assert t("\\\\p{Greek}") == "\\\\p{Greek}"        # escaped backslash
+
+
+def test_regex_dialect_end_to_end(spark, tmp_path):
+    """POSIX classes and literal && survive translation and match through
+    the engine exactly as Rust's regex crate would interpret them."""
+    idx = build(spark, tmp_path, [
+        {"id": "1", "text": "hello world"},
+        {"id": "2", "text": "h&&llo there"},
+    ])
+    assert ids(idx, idx.regex_query("text", "[[:alpha:]]*ello")) == ["1"]
+    # Rust: [a&&e] is the literal set {a,&,e} (contains e) — Java intersection
+    # {a}&&{e} would be empty; matching proves the && was escaped
+    assert ids(idx, idx.regex_query("text", "h[a&&e]llo")) == ["1"]
