@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tantiny_spark import scoring
-from tantiny_spark.pipeline import dedup, similarity, textstats
+from tantiny_spark.pipeline import dedup, similarity, textstats, webtext
 
 K1, B = scoring.K1, scoring.B
 
@@ -369,6 +369,21 @@ def q_winnow(spark, sf_dir):
     return out.select("doc_id", F.explode("fingerprints").alias("fp"))
 
 
+def q_extract_text(spark, sf_dir):
+    """html→text extraction over the input_hint page shape: synthesize the
+    Common-Crawl html:binary column, run the pure-JVM extraction chain, and
+    surface the north-star per-url invariant (byte_identical) as a column
+    the oracle hash checks row-by-row."""
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", webtext.wrap_html("text").alias("html"), "text"
+    )
+    return webtext.with_extracted_text(pages, "html", "extracted").select(
+        "doc_id",
+        "extracted",
+        (F.col("extracted") == F.col("text")).alias("byte_identical"),
+    )
+
+
 def q_lang_dist(spark, sf_dir):
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n_docs"))
 
@@ -650,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "bpe_token_count": q_bpe_token_count,
         "winnow": q_winnow,
+        "extract_text": q_extract_text,
         "lang_dist": q_lang_dist,
         "events_hourly": q_events_hourly,
         "knn_join": q_knn_join,
@@ -944,6 +960,14 @@ wins AS (
   FROM g
 )
 SELECT doc_id, unnest(fps) AS fp FROM wins
+"""
+
+    # html→text: the oracle runs the byte-identical dialect-pinned regex
+    # chain (webtext.REGEX_STEPS is Java∩RE2) over the same synthesized page
+    sqls["extract_text"] = f"""
+WITH pages AS (SELECT doc_id, {webtext.wrap_sql('text')} AS html, text FROM documents),
+ext AS (SELECT doc_id, {webtext.extract_sql('html')} AS extracted, text FROM pages)
+SELECT doc_id, extracted, (extracted = text) AS byte_identical FROM ext
 """
 
     sqls["lang_dist"] = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"

@@ -39,6 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 from tantiny_spark.index import Index  # noqa: E402
+from tantiny_spark.pipeline import webtext  # noqa: E402
 from tantiny_spark.schema import IndexSchema  # noqa: E402
 
 
@@ -52,18 +53,20 @@ def corpus(spark, sf_dir: str, repl: int):
         )
     else:
         docs = docs.withColumn("rep", F.lit(0))
-    return docs.select(
+    pages = docs.select(
         F.concat(
             F.lit("https://site"), (F.col("doc_id") % 1000).cast("string"),
             F.lit(".example/page/"), F.col("doc_id").cast("string"),
             F.lit("-"), F.col("rep").cast("string"),
         ).alias("url"),
         (F.lit("2026-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("doc_id"))).alias("warc_ts"),
-        F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>"))
-        .cast("binary").alias("html"),
-        F.col("text"),
+        webtext.wrap_html("text").alias("html"),
         F.col("lang"),
     )
+    # the index builds from the page body, not a side-channel text column:
+    # html→text runs the pure-JVM extraction chain (pipeline/webtext.py),
+    # whose output is byte-identical per url (tests/test_webtext.py)
+    return pages.withColumn("text", webtext.extracted_text("html"))
 
 
 def build_schema() -> IndexSchema:
