@@ -25,6 +25,15 @@ from tantiny_spark.pipeline import dedup, similarity, textstats, webtext
 
 K1, B = scoring.K1, scoring.B
 
+# the synthetic corpus' closed token vocabulary — identical at every sf
+# (verified sf0.001/0.01/0.1); lets stemmer oracles embed literal mappings
+_CORPUS_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+
 
 # --------------------------------------------------------------------------
 # shared building blocks (documents.text is clean lowercase space-separated)
@@ -542,10 +551,11 @@ def q_engine_bool_or(spark, sf_dir):
 
 def q_engine_stemmed_de(spark, sf_dir):
     """Non-English slice through the engine: index the lang='de' documents
-    with the German Snowball stemmer and query a stemmed term. No SQL oracle
-    (Snowball stemming is not expressible in DuckDB) → the driver records the
-    weaker rows-only check; the stemmer itself is pinned by golden pytest
-    (tests/test_stemmers.py)."""
+    with the German Snowball stemmer and query a stemmed term. The oracle
+    embeds the stemmer's output over the corpus' closed 31-token vocabulary
+    as a literal CASE mapping (the stemmer itself is byte-exact vs the
+    compiled Snowball oracle — tests/test_stemmers.py), so this row is
+    value-hash-verified like every other engine query."""
     from tantiny_spark.analysis.tokenizers import Tokenizer
     from tantiny_spark.index import Index
     from tantiny_spark.schema import IndexSchema
@@ -1073,5 +1083,35 @@ FROM (SELECT doc_id FROM documents WHERE lang = 'en') m,
      (SELECT count(*)::DOUBLE AS df FROM documents WHERE lang = 'en') d,
      (SELECT count(*)::DOUBLE AS n FROM documents) nn
 """)
+
+    # stemmed German slice: DuckDB has no loadable Snowball here, but the
+    # corpus vocabulary is fixed (31 tokens at every sf — verified across
+    # sf0.001/0.01/0.1), so the oracle embeds our German stemmer's output
+    # for that closed vocabulary as a literal CASE mapping. The stemmer
+    # itself is byte-exact vs the compiled Snowball oracle
+    # (tests/test_stemmers.py), so this is the full engine pipeline under
+    # the value-hash check, not a weakened spec.
+    from tantiny_spark.analysis import snowball_de
+
+    de_map = {w: snowball_de.stem(w) for w in _CORPUS_VOCAB}
+    de_case = (
+        "CASE t "
+        + " ".join(f"WHEN '{w}' THEN '{s}'" for w, s in de_map.items())
+        + " ELSE t END"
+    )
+    tok_de = (
+        f"SELECT doc_id, list_transform(string_split(text, ' '), t -> {de_case}) AS ts "
+        "FROM documents WHERE lang = 'de'"
+    )
+    q_term = snowball_de.stem("spark")
+    sqls["engine_stemmed_de"] = f"""
+WITH tok AS ({tok_de}),
+tbl AS (SELECT {_SQL_NORMTBL} AS t),
+s AS ({_SQL_STATS}),
+q AS ({_sql_engine_term(q_term)})
+SELECT id, round(score, 4) AS score
+FROM (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 10)
+ORDER BY score DESC, id ASC
+"""
 
     return sqls
