@@ -118,6 +118,14 @@ DOC_SENTINEL = "__doc__"
 # sort partition (≈ 250-400 MB decompressed — sorts stay in memory)
 DOCS_PER_PARTITION = 100_000
 POSTINGS_BYTES_PER_PARTITION = 64 << 20
+# lower bounds, applied as a CEILING on partition counts for small inputs:
+# a 5k-doc build sliced 32 ways pays 32 Python-worker forks in the analyzer
+# and writes 32-file tables that every downstream phase re-reads — pure
+# scheduling overhead. Keep at least ~500 docs per analyzer partition and
+# ~2 MB of staged parquet per postings partition; large builds are
+# unaffected (their data-based counts exceed the core count anyway).
+ANALYZER_MIN_DOCS_PER_PARTITION = 500
+POSTINGS_MIN_BYTES_PER_PARTITION = 2 << 20
 
 
 def _flat_stream_schema(schema: IndexSchema) -> T.StructType:
@@ -302,10 +310,17 @@ def build_segment(
     with_ids = assign_doc_ids(projected, "id", doc_id_base, num_partitions, cleanup=cached)
     if num_partitions == 1:
         # ids were stamped on a single partition; spread the rows back out
-        # so the analyzer still uses every core (ids are already assigned,
-        # so the round-robin layout cannot affect them)
+        # so the analyzer parallelizes (ids are already assigned, so the
+        # round-robin layout cannot affect them) — but never wider than
+        # ~500 docs/partition, so tiny builds don't fork a full worker pool
         with_ids = with_ids.repartition(
-            max(spark.sparkContext.defaultParallelism, 2)
+            max(
+                2,
+                min(
+                    spark.sparkContext.defaultParallelism,
+                    (n_input // ANALYZER_MIN_DOCS_PER_PARTITION) + 1,
+                ),
+            )
         )
     stream_df = with_ids.mapInPandas(_flat_analyzer(schema), _flat_stream_schema(schema))
     if work_dir is not None:
@@ -392,6 +407,13 @@ def build_segment(
                     staged_bytes += os.path.getsize(os.path.join(root, f))
         n_post_parts = max(
             n_post_parts, (staged_bytes // POSTINGS_BYTES_PER_PARTITION) + 1
+        )
+        # small-input ceiling: don't range-shuffle a few MB of postings into
+        # a partition per core — each downstream phase (block encode, dict,
+        # stored reads) pays per-partition overhead
+        n_post_parts = max(
+            2,
+            min(n_post_parts, (staged_bytes // POSTINGS_MIN_BYTES_PER_PARTITION) + 1),
         )
     postings = postings.repartitionByRange(
         n_post_parts, "field", "term", "doc_id"
