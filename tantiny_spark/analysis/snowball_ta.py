@@ -60,7 +60,7 @@ def _fix_ending_once(w: str, vet: bool = False) -> str | None:
         return w[:-3] + VIRAMA
     if w.endswith("்்"):
         return w[:-1]
-    if vet and w.endswith("த்த்") and w[-5] not in "ை்":
+    if vet and w.endswith("த்த்") and (len(w) < 5 or w[-5] not in "ை்"):
         # vetrumai-armed: -ththu cluster becomes -m
         return w[:-4] + "ம்"
     if w[-1] == VIRAMA and w[-3] == VIRAMA and w[-2] in CONSONANTS:
@@ -134,10 +134,12 @@ _VETRUMAI_TO_VIRAMA = (
 )
 _VETRUMAI_DELETE = ("கண்", "முன்", "மேல்", "கீழ்", "பின்")
 # suffixes whose match arms the "-min -> -m" continuation (vet_del)
-_VETRUMAI_ARMING = ("கண்", "முன்", "மேல்", "கீழ்", "து", "னை")
+_VETRUMAI_ARMING = ("கண்", "முன்", "மேல்", "கீழ்", "து", "னை", "விட")
 
 
-def _match_vetrumai(w: str) -> tuple[str, bool] | None:
+def _match_vetrumai(
+    w: str, um: bool = False, common: bool = False
+) -> tuple[str, bool] | None:
     if w.endswith("னை"):
         return w[:-2], True
     if w.endswith("ை") and (w[-2] not in C6 or (len(w) >= 3 and w[-3] == VIRAMA)):
@@ -145,12 +147,16 @@ def _match_vetrumai(w: str) -> tuple[str, bool] | None:
     for s in _VETRUMAI_TO_VIRAMA:
         if w.endswith(s):
             if s == "ிடம்" and not (
-                len(w) >= 7 or (len(w) == 6 and w[-5] in CONSONANTS)
+                len(w) >= 7
+                or (len(w) == 6 and not common and w[-5] in CONSONANTS)
             ):
+                # the 6-cp consonant exception is disabled once a common
+                # word-ending already matched ('ஐசிடம்ுடை' keeps 'ிடம்')
                 continue
-            return w[: -len(s)] + VIRAMA, False
+            return w[: -len(s)] + VIRAMA, s in _VETRUMAI_ARMING
     if w.endswith("ிற்"):
-        return w[:-3] + "ி", False
+        # after a -um match the rule yields virama instead of 'ி'
+        return w[:-3] + (VIRAMA if um else "ி"), False
     if w.endswith("ின்") and not (len(w) >= 4 and w[-4] == "ம"):
         return w[:-3] + VIRAMA, False
     if w.endswith("ல்") and w[-3] not in SIGNS8:
@@ -159,7 +165,8 @@ def _match_vetrumai(w: str) -> tuple[str, bool] | None:
         if w.endswith(s):
             return w[: -len(s)], s in _VETRUMAI_ARMING
     if w.endswith("மேற்"):
-        return w[:-4] + "ம்", False
+        # after a -um match the suffix deletes instead of becoming 'ம்'
+        return (w[:-4], False) if um else (w[:-4] + "ம்", False)
     if w.endswith("து") and w[-3] not in SIGNS8:
         return w[:-2], True
     if w.endswith("ீ"):
@@ -173,6 +180,7 @@ _TENSE_DELETE = (
     "னள்", "வள்", "னர்", "வர்", "பன்", "பள்", "பர்",
     "ிற்று", "பம்", "னம்", "தும்", "றும்", "கும்",
     "னென்", "னை", "வை",
+    "கின்ற்", "ாநின்ற்", "கிற்",
     "கின்ற", "ாநின்ற", "கிற",
 )
 _TENSE_TO_VIRAMA = (
@@ -182,47 +190,56 @@ _TENSE_TO_VIRAMA = (
 )
 
 
-_CHAIN_FAMILY = ("ாநின்ற", "கின்ற", "கிற")
+# participle stems, virama-terminated and plain. Matching a REGULAR tense
+# suffix (delete / 'கு' / single-consonant) chains BOTH families off the
+# remaining stem, ungated, empty allowed ('டகிறக'→'ட', 'கிற்கு'→'');
+# the replace-with-virama rules ('ான்' family and the armed 'ா') chain
+# only the PLAIN family ('கிறான்'→'' but 'கிற்ான்'→'கி'); matching a
+# participle itself does not re-chain — the repeat loop re-strips those
+# under its >4 length gate ('ஞகிறகின்ற'→'ஞகிற', 'கலகிறகின்ற'→'கல')
+_CHAIN_FAMILY = ("ாநின்ற்", "கின்ற்", "கிற்", "ாநின்ற", "கின்ற", "கிற")
+_CHAIN_FAMILY_PLAIN = ("ாநின்ற", "கின்ற", "கிற")
 
 
-def _chain(stem_: str) -> str:
-    """Participle continuation after a tense-suffix delete (-kal pattern)."""
-    for s in _CHAIN_FAMILY:
+def _chain(stem_: str, family: tuple = _CHAIN_FAMILY) -> str:
+    for s in family:
         if stem_.endswith(s):
-            return _chain(stem_[: -len(s)])
+            return _chain(stem_[: -len(s)], family)
     return stem_
 
 
 def _match_tense(w: str, found: bool, vet: bool = False, singles: bool = True) -> str | None:
-    if vet == 2 and w.endswith("ின்"):
-        return w[:-3] + VIRAMA
     for s in _TENSE_DELETE:
         if w.endswith(s):
+            if s in _CHAIN_FAMILY:
+                # a participle match does not re-chain; the repeat loop
+                # re-strips further participles under its >4 length gate
+                return w[: -len(s)]
             return _chain(w[: -len(s)])
     if w.endswith("வன்") and not (len(w) >= 4 and w[-4] in VOWELS12):
-        return w[:-3]
+        return _chain(w[:-3])
     if w.endswith("து") and w[-3] not in SIGNS8:
         return w[:-2]
     for s in _TENSE_TO_VIRAMA:
         if w.endswith(s):
             if s == "ான்" and len(w) >= 4 and w[-4] == "ச":
                 continue
-            # delete; a participle stem chains off too, else restore ்
+            # delete; a plain participle stem chains off too, else restore ்
             stem_ = w[: -len(s)]
-            chained = _chain(stem_)
+            chained = _chain(stem_, _CHAIN_FAMILY_PLAIN)
             if chained is not stem_:
                 return chained
             return stem_ + VIRAMA
     if found and w.endswith("ா"):
         stem_ = w[:-1]
-        chained = _chain(stem_)
+        chained = _chain(stem_, _CHAIN_FAMILY_PLAIN)
         if chained is not stem_:
             return chained
         return stem_ + VIRAMA
     if w.endswith("கு") and len(w) >= 3 and w[-3] == VIRAMA:
-        return w[:-2]
+        return _chain(w[:-2])
     if singles and w[-1] in SINGLES:
-        return w[:-1]
+        return _chain(w[:-1])
     return None
 
 
@@ -249,38 +266,58 @@ def stem(word: str) -> str:
             w = w[:-1] + VIRAMA
             found = True
         w = _fix_endings(w)
-    # -um (does not arm the tense ா rule; single fix application)
+    # -um (does not arm the tense ா rule; single fix application); a match
+    # flips the வேற்றுமை 'ிற்'/'மேற்' branches to their post-um variants
+    um_matched = False
     if len(w) > 4 and w.endswith("ும்"):
         w = w[:-3] + VIRAMA
+        um_matched = True
         f = _fix_ending_once(w)
         if f is not None:
             w = f
     # common word endings (a bare final -aa match also skips vetrumai)
-    skip_vetrumai = False
+    # a bare final -aa common match TERMINATES the suffix pipeline: it
+    # skips vetrumai AND plural AND command (the tense loop still runs) —
+    # probed: 'கயோகள்தாசும்' keeps 'கள்', 'கயோபிதாசும்' keeps 'பி',
+    # while 'கயோனான்தாசும்' still tense-strips 'னான்'
+    skip_rest = False
+    common_matched = False
     if len(w) > 4:
         m = _match_common(w)
         if m is not None:
-            skip_vetrumai = w.endswith("ா") and m == w[:-1] + VIRAMA
+            skip_rest = w.endswith("ா") and m == w[:-1] + VIRAMA
             w = m
+            if skip_rest:
+                # the bare-ா branch chains participles off the new stem
+                # ('தைறகிறாோ' → 'தைற'); the fix below then sees the result
+                w = _chain(w)
             found = True
+            common_matched = True
             w = _fix_endings(w)
     # vetrumai urupukal (case suffixes); a match arms the vet flag
     vet = 0
-    if len(w) > 4 and not skip_vetrumai:
-        m = _match_vetrumai(w)
+    if len(w) > 4 and not skip_rest:
+        m = _match_vetrumai(w, um_matched, common_matched)
         if m is not None:
             w, arming = m
             found = True
             vet = 2 if arming else 1
+            # -in continuation applies to the PRE-fix word after ANY
+            # vetrumai match: a stem that already ended in virama yields
+            # 'ின்்' here, which does NOT match (the '்்' collapse happens
+            # in fix_endings below). No >4 gate — a 4-cp stem takes it too.
+            if len(w) > 3 and w.endswith("ின்"):
+                w = w[:-3] + VIRAMA
+                if vet == 2:
+                    vet = 1
             w = _fix_endings(w, bool(vet))
     # plural suffixes (no fix here; no extra length gate)
-    if len(w) > 2:
+    if len(w) > 2 and not skip_rest:
         if (
             w.endswith("ுங்கள்")
-            and len(w) >= 7
-            and (w[-7] not in C6 or len(w) >= 8)
+            and (len(w) == 6 or (len(w) >= 7 and (w[-7] not in C6 or len(w) >= 8)))
         ):
-            if w[-7] in C6:
+            if len(w) >= 7 and w[-7] in C6:
                 # hard-consonant branch is terminal: -> 'um', done
                 return w[:-6] + "ும்"
             w = w[:-6] + VIRAMA
@@ -295,7 +332,7 @@ def stem(word: str) -> str:
             w = w[:-3]
             found = True
     # command suffixes (no fix)
-    if len(w) > 4 and (w.endswith("பி") or w.endswith("வி")):
+    if len(w) > 4 and not skip_rest and (w.endswith("பி") or w.endswith("வி")):
         w = w[:-2]
         found = True
     # tense loop: per-pass min length, match (ா armed by `found`),
