@@ -316,6 +316,16 @@ def q_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-duplicate clustering: Jaccard candidate pairs as edges →
+    connected components (min-label propagation) → every doc labeled with
+    its cluster's minimum doc_id (singletons keep their own id). The
+    DuckDB oracle resolves the same components with a recursive CTE."""
+    return dedup.duplicate_clusters(
+        _docs(spark, sf_dir), shingle_n=2, threshold=0.5, max_shingle_df=100
+    )
+
+
 def q_simhash(spark, sf_dir):
     # no SQL oracle (md5-bit arithmetic) → driver records rows-only check
     return dedup.simhash64(_docs(spark, sf_dir))
@@ -666,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
+        "dup_clusters": q_dup_clusters,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "cosine_dedup": q_cosine_dedup,
@@ -823,7 +834,8 @@ ex AS (SELECT doc_id, unnest(shs) AS s FROM sh)
 SELECT doc_id, {mh} FROM ex GROUP BY doc_id
 """
 
-    sqls["jaccard_pairs"] = f"""
+    def _sql_jaccard(threshold: float) -> str:
+        return f"""
 WITH tok AS ({_SQL_TOK}),
 sh AS (SELECT doc_id, {shingle2} AS shs FROM tok WHERE len(ts) >= 2),
 ex0 AS (SELECT doc_id, unnest(shs) AS s FROM sh),
@@ -836,7 +848,25 @@ inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
           GROUP BY 1, 2)
 SELECT a, b, round(inter::DOUBLE / (na.n + nb.n - inter), 6) AS jaccard
 FROM inter JOIN sizes na ON inter.a = na.doc_id JOIN sizes nb ON inter.b = nb.doc_id
-WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 6) >= 0.05
+WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 6) >= {threshold}
+"""
+
+    sqls["jaccard_pairs"] = _sql_jaccard(0.05)
+
+    # near-dup clusters: the same jaccard pairs as edges, resolved to
+    # connected components with a recursive CTE (min reachable id), then
+    # every document labeled (singletons keep their own id)
+    sqls["dup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({_sql_jaccard(0.5)}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
     # simhash: md5-by-construction so every bit is reproducible in SQL —

@@ -247,3 +247,79 @@ def simhash_candidate_pairs(df: DataFrame, text: str = "text", key: str = "doc_i
     return pairs.select("a", "b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def connected_components(
+    edges: DataFrame, u: str = "a", v: str = "b", max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list via min-label
+    propagation: every node's label converges to the minimum node id in its
+    component. Returns (node, cluster).
+
+    Scale shape: each iteration is one join + one min-aggregate, both keyed
+    on node id (bounded cardinality, no skew beyond the graph's own degree
+    distribution); iteration count is bounded by the largest component's
+    diameter, which for near-duplicate graphs is tiny (dup clusters are
+    near-cliques). Labels are persisted per round and localCheckpoint'ed
+    every 5 rounds so the lineage doesn't grow with iterations — the same
+    loop a 1000-executor job runs (GraphFrames' CC uses the equivalent
+    large-star/small-star contraction).
+    """
+    both = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).union(
+        edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
+    )
+    labels = (
+        both.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    labels.count()
+    for it in range(max_iterations):
+        neigh = both.join(labels, both.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        if (it + 1) % 5 == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "label")
+
+
+def duplicate_clusters(
+    df: DataFrame, text: str = "text", key: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.5,
+    max_shingle_df: int | None = None, pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Document → duplicate-cluster id: near-dup pairs (exact Jaccard over
+    an inverted shingle join, or any supplied candidate-pair frame) are
+    treated as edges of an undirected graph and resolved to connected
+    components. Singletons keep their own id as cluster. The cluster id is
+    the minimum doc id of the component — deterministic, so a downstream
+    keep-one-per-cluster filter (``doc_id == cluster``) is reproducible."""
+    if pairs is None:
+        pairs = jaccard_pairs(df, text, key, shingle_n, threshold, max_shingle_df)
+    comp = connected_components(pairs.select("a", "b"))
+    return (
+        df.select(F.col(key))
+        .join(comp, F.col(key) == comp.node, "left")
+        .select(
+            F.col(key).alias("doc_id"),
+            F.coalesce("label", F.col(key)).alias("cluster"),
+        )
+    )
