@@ -26,6 +26,14 @@ Structure (all indices are Unicode codepoints):
 * ``found_a_match`` threads through: set by matching steps, it arms the
   guarded single-consonant deletions in the tense loop; each loop pass
   overwrites it with that pass's match outcome.
+* cross-step state (decoded against the compiled oracle, round 2):
+  a -um match flips the vetrumai 'ிற்'→virama / 'மேற்'→delete variants;
+  the bare -ா common branch TERMINATES the suffix pipeline (skips
+  vetrumai, plural, command — tense still runs) and chains participles;
+  every vetrumai match takes the pre-fix 'ின்' continuation; regular
+  tense matches chain the participle families ('கிற'/'கின்ற'/'ாநின்ற',
+  ± virama) ungated, replace-with-virama rules chain only the plain
+  family, and participle matches rely on the >4-gated repeat loop.
 """
 
 from __future__ import annotations
