@@ -94,6 +94,18 @@ def main():
 
     rng = random.Random(42)
     words = {make_word(rng) for _ in range(n)}
+    if "--stacked" in sys.argv:
+        # stacked-participle class: 1-4 syllable stem + 2-3 participle
+        # stems + an optional tense/common/vetrumai suffix (the _chain
+        # recursion-gate regression class from round-2 ADVICE)
+        parts = ["கிற", "கின்ற", "ாநின்ற", "கிற்", "கின்ற்", "ாநின்ற்"]
+        tails = ["", "ான்", "ாள்", "னர்", "னான்", "து", "ும்", "கள்",
+                 "ா", "கு", "க", "ை", "ின்", "ோ", "டும்", "ீர்"]
+        for _ in range(n):
+            base = "".join(syllable(rng) for _ in range(rng.randint(1, 4)))
+            base += "".join(rng.choice(parts)
+                            for _ in range(rng.randint(2, 3)))
+            words.add(base + rng.choice(tails))
     # also every raw suffix attached to a few fixed stems
     for stem_base in ("படகட", "நிலைய", "மரப", "அறிவுக", "ததத", "நநந",
                       "கூட்டத்", "வணக்", "புத்தகங்"):

@@ -31,9 +31,12 @@ Structure (all indices are Unicode codepoints):
   the bare -ா common branch TERMINATES the suffix pipeline (skips
   vetrumai, plural, command — tense still runs) and chains participles;
   every vetrumai match takes the pre-fix 'ின்' continuation; regular
-  tense matches chain the participle families ('கிற'/'கின்ற'/'ாநின்ற',
-  ± virama) ungated, replace-with-virama rules chain only the plain
-  family, and participle matches rely on the >4-gated repeat loop.
+  tense matches chain exactly ONE participle stem ('கிற'/'கின்ற'/
+  'ாநின்ற', ± virama), replace-with-virama rules chain only the plain
+  family, and further stacked participles are re-stripped only by the
+  >4-gated repeat loop (round-3 fix: the ungated recursive chain
+  over-stripped stacked-participle words; now byte-exact on a 295k-word
+  stacked-participle sweep plus the original suffix-dense sweeps).
 """
 
 from __future__ import annotations
@@ -199,20 +202,25 @@ _TENSE_TO_VIRAMA = (
 
 
 # participle stems, virama-terminated and plain. Matching a REGULAR tense
-# suffix (delete / 'கு' / single-consonant) chains BOTH families off the
-# remaining stem, ungated, empty allowed ('டகிறக'→'ட', 'கிற்கு'→'');
-# the replace-with-virama rules ('ான்' family and the armed 'ா') chain
-# only the PLAIN family ('கிறான்'→'' but 'கிற்ான்'→'கி'); matching a
-# participle itself does not re-chain — the repeat loop re-strips those
-# under its >4 length gate ('ஞகிறகின்ற'→'ஞகிற', 'கலகிறகின்ற'→'கல')
+# suffix (delete / 'கு' / single-consonant) chains ONE suffix from BOTH
+# families off the remaining stem, empty allowed ('டகிறக'→'ட',
+# 'கிற்கு'→''); the replace-with-virama rules ('ான்' family and the armed
+# 'ா') chain one from the PLAIN family ('கிறான்'→'' but 'கிற்ான்'→'கி');
+# matching a participle itself does not chain at all — further stacked
+# participles are re-stripped only by the repeat loop under its >4 length
+# gate ('ஞகிறகின்ற'→'ஞகிற', 'இகிறகிறான்'→'இகிற', 'அகின்ற்கின்ற்கு'→'அகில்')
 _CHAIN_FAMILY = ("ாநின்ற்", "கின்ற்", "கிற்", "ாநின்ற", "கின்ற", "கிற")
 _CHAIN_FAMILY_PLAIN = ("ாநின்ற", "கின்ற", "கிற")
 
 
 def _chain(stem_: str, family: tuple = _CHAIN_FAMILY) -> str:
+    # Strips exactly ONE participle stem — further participles are
+    # re-stripped only by the repeat tense loop under its >4 length gate
+    # (oracle: 'இகிறகிறான்' → 'இகிற', 'அகின்ற்கின்ற்கு' → 'அகில்' — the
+    # round-2 ungated recursion over-stripped stacked participles).
     for s in family:
         if stem_.endswith(s):
-            return _chain(stem_[: -len(s)], family)
+            return stem_[: -len(s)]
     return stem_
 
 

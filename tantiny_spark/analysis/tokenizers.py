@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from functools import lru_cache
 
 from tantiny_spark.errors import UnknownTokenizer
+from tantiny_spark.analysis import unicode_alnum
 from tantiny_spark.analysis import (
     porter2,
     snowball_ar,
@@ -44,8 +45,12 @@ from tantiny_spark.analysis import (
 )
 
 # Tantivy's SimpleTokenizer splits on char::is_alphanumeric() boundaries.
-# Python's \w also matches '_', which is NOT alphanumeric, hence [^\W_].
-_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+# Rust's is_alphanumeric covers the derived Alphabetic property, which
+# (unlike Python's \w) includes Other_Alphabetic combining marks — Indic
+# vowel signs, Arabic harakat, Hebrew niqqud. Python's [^\W_] would split
+# e.g. Tamil words at every matra; the generated positive class matches
+# Rust exactly (see analysis/unicode_alnum.py for provenance).
+_TOKEN_RE = re.compile(f"[{unicode_alnum.WORD_CHAR_CLASS}]+")
 
 # RemoveLongFilter::limit(40) keeps tokens whose UTF-8 byte length is < 40
 # (tokenizer.rs:29).

@@ -93,3 +93,45 @@ def test_tokens_udf_matches_pure_function(spark):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [r[0] for r in df.select(tokens_udf(tok)(F.col("text"))).collect()]
     assert got == [tok.terms(t) if t is not None else [] for t in texts]
+
+
+def test_simple_split_rust_alnum_parity():
+    """The word-char class matches Rust char::is_alphanumeric (what
+    Tantivy's SimpleTokenizer splits on), not Python's narrower \\w:
+    Other_Alphabetic combining marks — Indic matras, Arabic harakat,
+    Hebrew niqqud — are word characters; viramas and punctuation split."""
+    t = Tokenizer.new("simple")
+    # Tamil: vowel signs (Mc/Mn, Other_Alphabetic) stay inside the token;
+    # the virama U+0BCD is NOT Alphabetic, so it splits — Rust behavior.
+    assert t.terms("புத்தகங்கள்") == ["புத", "தகங", "கள"]
+    # Arabic with harakat (fatha/kasra/damma/sukun, Mn Other_Alphabetic)
+    assert t.terms("مَرْحَبًا") == ["مَرْحَبًا"]
+    # Hebrew with niqqud
+    assert t.terms("שָׁלוֹם") == ["שָׁלוֹם"]
+    # Devanagari: matras kept, virama splits
+    assert t.terms("नमस्ते") == ["नमस", "ते"]
+    # plain ASCII unchanged; underscore still splits (not alphanumeric)
+    assert t.terms("foo_bar Baz-9") == ["foo", "bar", "baz", "9"]
+    # combining acute (Diacritic, NOT Other_Alphabetic) still splits,
+    # exactly like Rust: 'e' + U+0301 is two chars, U+0301 not a word char
+    assert t.terms("éx") == ["e", "x"]
+
+
+def test_word_char_class_is_positive_and_pinned():
+    """unicode_alnum.WORD_CHAR_CLASS contains no \\w / negation — the
+    tokenizer charset is pinned data, identical across CPython versions."""
+    from tantiny_spark.analysis.unicode_alnum import WORD_CHAR_CLASS
+
+    assert "\\w" not in WORD_CHAR_CLASS and "^" not in WORD_CHAR_CLASS
+    import re
+
+    pat = re.compile(f"[{WORD_CHAR_CLASS}]")
+    for ch, ok in [
+        ("a", True), ("9", True), ("_", False), (" ", False),
+        ("ா", True),   # Tamil matra aa (Mc, Other_Alphabetic)
+        ("்", False),  # Tamil virama (Mn, not Alphabetic)
+        ("َ", True),   # Arabic fatha (Mn, Other_Alphabetic)
+        ("́", False),  # combining acute (Mn, not Alphabetic)
+        ("Ⓐ", True),   # circled A (So, Other_Alphabetic)
+    ]:
+        assert bool(pat.match(ch)) == ok, hex(ord(ch))
