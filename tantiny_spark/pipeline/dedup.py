@@ -135,9 +135,13 @@ def jaccard_pairs(
     )
     na = sizes.select(F.col(key).alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(key).alias("b"), F.col("n").alias("nb"))
+    # NO broadcast hint on the per-doc sizes table: it has one row per doc,
+    # so at web scale a forced broadcast is a guaranteed OOM. Both joins key
+    # on doc id (uniform), and AQE still converts them to broadcast joins at
+    # runtime when the corpus actually is small.
     return (
-        inter.join(F.broadcast(na), "a")
-        .join(F.broadcast(nb), "b")
+        inter.join(na, "a")
+        .join(nb, "b")
         .select(
             "a", "b",
             F.round(
@@ -209,9 +213,22 @@ def simhash64(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFra
 
 
 def simhash_candidate_pairs(df: DataFrame, text: str = "text", key: str = "doc_id",
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            max_bucket_size: int | None = None) -> DataFrame:
     """Band the 64-bit simhash into four 16-bit chunks: any pair within
-    Hamming distance 3 shares at least one exact chunk (pigeonhole)."""
+    Hamming distance 3 shares at least one exact chunk (pigeonhole).
+
+    ``max_bucket_size`` is the hot-bucket guard for web scale: 16-bit chunks
+    give only ~65k buckets per band, so at 10^12 docs an average bucket holds
+    ~10^7 docs and the within-bucket self-join explodes quadratically —
+    boilerplate-heavy corpora make some buckets far worse. Buckets larger
+    than the cap are dropped BEFORE the self-join (same shape as
+    ``jaccard_pairs``'s ``max_shingle_df``). Recall tradeoff: a true near-dup
+    pair is missed only if EVERY chunk it agrees on lands in an over-cap
+    bucket; docs in hot buckets share a 16-bit chunk with a huge crowd, which
+    for real corpora means boilerplate-dominated fingerprints better handled
+    by widening the chunks (more bands) than by pairing the crowd. At 100 TB
+    always set a cap sized to the tolerable pairs-per-bucket budget."""
     sh = simhash64(df, text, key)
     chunks = []
     for c in range(4):
@@ -226,6 +243,14 @@ def simhash_candidate_pairs(df: DataFrame, text: str = "text", key: str = "doc_i
     exploded = chunks[0]
     for c in chunks[1:]:
         exploded = exploded.unionByName(c)
+    if max_bucket_size is not None:
+        small = (
+            exploded.groupBy("chunk", "bucket")
+            .agg(F.count("*").alias("bsz"))
+            .where(F.col("bsz") <= max_bucket_size)
+            .select("chunk", "bucket")
+        )
+        exploded = exploded.join(small, ["chunk", "bucket"], "left_semi")
     l, r = exploded.alias("l"), exploded.alias("r")
     pairs = (
         l.join(
@@ -298,6 +323,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a silent fall-through would return WRONG cluster labels (a
+        # component wider than max_iterations would stay split) — fail loud
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations — needed rounds are bounded by the largest "
+            "component's diameter"
+        )
     return labels.select("node", "label")
 
 

@@ -306,3 +306,58 @@ def test_winnow_fingerprints_match_reference(spark):
     fp2 = textstats.with_winnow_fingerprints(df2, k=5, w=4).collect()[0]["fingerprints"]
     overlap = len(set(got[0]) & set(fp2)) / len(set(got[0]))
     assert overlap > 0.5
+
+
+def test_jaccard_no_forced_broadcast_of_sizes(docs):
+    """The per-doc sizes table must NOT carry a broadcast hint — it has one
+    row per document, so a forced broadcast is a guaranteed OOM at web
+    scale. AQE may still choose a broadcast join at runtime when the corpus
+    is genuinely small; the assertion is on the static plan only."""
+    out = dedup.jaccard_pairs(docs, threshold=0.3)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    # and the fix did not change results (mirrors test_jaccard_pairs)
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(0, 1)] == 1.0
+
+
+def test_simhash_hot_bucket_cap_bounds_the_join(spark):
+    """A degenerate corpus where every doc has the same fingerprint (all
+    four 16-bit chunks collide) must not produce the n² within-bucket pair
+    blowup when max_bucket_size is set — the hot buckets are dropped before
+    the self-join, mirroring jaccard_pairs' max_shingle_df guard."""
+    import pandas as pd
+
+    n = 50
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "text": ["identical boilerplate page body"] * n,
+            }
+        )
+    )
+    uncapped = dedup.simhash_candidate_pairs(docs, max_hamming=3)
+    assert uncapped.count() == n * (n - 1) // 2  # quadratic: one hot bucket
+
+    capped = dedup.simhash_candidate_pairs(docs, max_hamming=3, max_bucket_size=10)
+    assert capped.count() == 0  # every chunk-bucket is over-cap → dropped
+
+    # a small bucket (under the cap) still pairs: two docs, same text
+    two = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["same page"] * 2})
+    )
+    kept = dedup.simhash_candidate_pairs(two, max_hamming=3, max_bucket_size=10)
+    assert [(r["a"], r["b"]) for r in kept.collect()] == [(0, 1)]
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A component wider than max_iterations would silently return split
+    (wrong) clusters — the loop must fail loud instead."""
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a long, b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iterations=2)
