@@ -52,6 +52,10 @@ class SearchContext:
     dictionary: DataFrame
     stats: DataFrame
     blocks: DataFrame | None = None  # compressed block postings (wand.py)
+    # doc_ids tombstoned since the last merge (small); WAND anti-joins its
+    # decoded docs against this so deleted docs baked in the blocks can't
+    # score or distort τ
+    dead_docs: DataFrame | None = None
     # slim persisted (doc_id, id) projection: the only per-query hot join.
     # The full docs table is NOT cached — at web scale it can't be, and
     # range/negation scans want Parquet fast-field pushdown instead.
@@ -457,7 +461,8 @@ def try_wand_topk(
     from tantiny_spark.wand import wand_topk
 
     return wand_topk(
-        ctx.blocks, [(field, t) for t in sorted(weights)], weights, float(avgdl), k
+        ctx.blocks, [(field, t) for t in sorted(weights)], weights, float(avgdl), k,
+        dead_docs=ctx.dead_docs,
     )
 
 

@@ -159,6 +159,7 @@ class Snapshot:
         # ids deleted by any LATER segment apply to this one
         docs_parts, post_parts, dict_parts, stats_parts = [], [], [], []
         block_parts: list = []
+        dead_doc_parts: list = []
         any_tombstoned = False
         for i, (entry, seg) in enumerate(zip(entries, loaded)):
             if seg is None:  # pure-delete commit: tombstones only
@@ -176,9 +177,18 @@ class Snapshot:
                         pd.DataFrame({"id": sorted(dead)}), schema="id string"
                     )
                 )
+                # resolve tombstoned ids to this segment's doc_ids ONCE: the
+                # dead set (bounded by tombstones since the last merge) is
+                # the broadcastable side — broadcasting the live docs would
+                # ship nearly the whole segment
+                seg_dead_docs = (
+                    seg["docs"].join(dead_df, "id", "left_semi").select("doc_id")
+                )
                 docs = docs.join(dead_df, "id", "left_anti")
-                live = docs.select("doc_id")
-                postings = postings.join(F.broadcast(live), "doc_id", "left_semi")
+                postings = postings.join(
+                    F.broadcast(seg_dead_docs), "doc_id", "left_anti"
+                )
+                dead_doc_parts.append(seg_dead_docs)
             docs_parts.append(docs)
             post_parts.append(postings)
             dict_parts.append(seg["dict"])
@@ -212,9 +222,12 @@ class Snapshot:
             postings=postings,
             dictionary=union_all(dict_parts).persist(),
             stats=union_all(stats_parts).persist(),
-            # block-max fast path: only usable when no live tombstones
-            # (deleted docs are baked inside the compressed blocks)
+            # block-max fast path: deleted docs are baked inside the
+            # compressed blocks, so the decoder must drop them post-decode —
+            # dead_docs carries the (small) tombstoned doc_id set and keeps
+            # WAND usable between merges instead of disabling it outright
             blocks=union_all(block_parts)
-            if block_parts and len(block_parts) == len(docs_parts) and not any_tombstoned
+            if block_parts and len(block_parts) == len(docs_parts)
             else None,
+            dead_docs=union_all(dead_doc_parts) if dead_doc_parts else None,
         )

@@ -242,11 +242,16 @@ def wand_topk(
     k: int = 10,
     tf1: bool = True,
     champions: int = 4,
+    dead_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k scored docs for a weighted disjunction of terms over the block
     table. Returns DataFrame[doc_id, score] of exactly ≤k rows.
 
     terms: [(field, term)]; weights: {term: idf}; avgdl: current global value.
+    dead_docs: doc_ids tombstoned since the last merge (small — broadcast
+    anti-joined right after each decode, BEFORE τ is taken, so a deleted
+    high scorer can neither occupy a top-k slot nor push τ above the true
+    k-th live score, which would make the pruning unsound).
     """
     field = terms[0][0]
     term_names = [t for _, t in terms]
@@ -300,6 +305,13 @@ def wand_topk(
             lambda key, pdf: _kernel(pdf), RESULT_SCHEMA
         )
 
+    def live(scored: DataFrame) -> DataFrame:
+        if dead_docs is None:
+            return scored
+        return scored.join(
+            F.broadcast(dead_docs.select("doc_id")), "doc_id", "left_anti"
+        )
+
     # job 1 (metadata only, no posting bytes): champion bucket ids
     champ_ids = [
         r["bucket"]
@@ -310,7 +322,7 @@ def wand_topk(
 
     # job 2: decode champions exactly → threshold τ (valid lower bound of the
     # final kth score)
-    champ_scores = decode_bucket_ids(champ_ids)
+    champ_scores = live(decode_bucket_ids(champ_ids))
     top_rows = (
         champ_scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
@@ -331,19 +343,51 @@ def wand_topk(
         if champ_ids
         else F.col("ub") >= F.lit(tau_safe)
     )
-    rest_scores = decode_buckets(survivors)
+    rest_scores = live(decode_buckets(survivors))
     allscores = champ_scores.unionByName(rest_scores)
     # keep ALL docs tied with the k-th score (rank, not row_number): the final
     # tie-break is id-STRING asc, applied by top_k — doc_id order only equals
     # id order within a single segment, so truncating here by doc_id would
     # return different ids than the naive path on multi-segment snapshots.
-    # The single-partition window is fine: its input is only the decoded docs
-    # of τ-surviving buckets, already a tiny pruned set.
+    #
+    # The global rank window is single-partition by construction, so it is
+    # fed through a shuffle-free per-partition pre-prune first: each task
+    # keeps only its local rank-≤k rows (score ≥ local k-th-largest — a
+    # superset of every global survivor, ties inclusive), so when τ prunes
+    # little (disjunctions of common near-uniform-scoring terms) the one
+    # final task ranks ≤ partitions·(k+ties) rows, not the whole matched
+    # doc-set.
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("score").desc())
     return (
-        allscores.withColumn("__r", F.rank().over(w))
+        _local_rank_prune(allscores, k)
+        .withColumn("__r", F.rank().over(w))
         .where(F.col("__r") <= k)
         .select("doc_id", "score")
     )
+
+
+def _local_rank_prune(scores: DataFrame, k: int) -> DataFrame:
+    """Per-partition rank-≤k pre-filter (ties inclusive), no shuffle.
+
+    A row whose own partition already holds ≥k strictly-greater scores has
+    global rank >k, so dropping it cannot change the global rank-≤k set;
+    rows tied with the local k-th-largest are kept, so cross-partition ties
+    at the global boundary always survive to the final window. Batches
+    stream through with a running top table, so memory per task stays
+    O(k + ties), not O(partition)."""
+
+    def prune(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat((best, pdf))
+            if len(cur) > k:
+                s = cur["score"].to_numpy()
+                kth = np.partition(s, len(s) - k)[len(s) - k]  # k-th largest
+                cur = cur[cur["score"] >= kth]
+            best = cur
+        if best is not None and len(best):
+            yield best[["doc_id", "score"]]
+
+    return scores.mapInPandas(prune, RESULT_SCHEMA)

@@ -162,3 +162,118 @@ def test_wand_matches_naive_multisegment(multiseg_index, terms):
         assert [i for i, _ in wand] == [i for i, _ in naive]
         for (_, sw), (_, sn) in zip(wand, naive):
             assert sw == pytest.approx(sn, rel=1e-9)
+
+
+def test_local_rank_prune_bounds_final_window_input(spark):
+    """When τ prunes nothing (near-uniform distinct scores), the global
+    rank window must NOT sort the whole matched doc-set in one task: the
+    shuffle-free per-partition pre-prune keeps only local rank-≤k rows, so
+    the final single-partition stage sees ≤ partitions·(k+ties) rows."""
+    from tantiny_spark.wand import _local_rank_prune
+
+    n, parts, k = 8000, 8, 10
+    df = (
+        spark.range(n)
+        .repartition(parts)
+        .select(
+            F.col("id").alias("doc_id"),
+            # distinct, near-uniform scores — nothing for τ to prune
+            (F.lit(1.0) + F.col("id") * 1e-9).alias("score"),
+        )
+    )
+    pruned = _local_rank_prune(df, k)
+    cnt = pruned.count()
+    assert cnt <= parts * k  # bounded by partitions·k, nowhere near n
+    assert cnt >= k  # every global survivor is still present
+    top = set(
+        r["doc_id"]
+        for r in pruned.orderBy(F.col("score").desc()).limit(k).collect()
+    )
+    assert top == set(range(n - k, n))  # exact global top-k survives
+
+
+def test_local_rank_prune_keeps_boundary_ties(spark):
+    """Rows tied with a partition's k-th-largest score must survive the
+    local prune — a cross-partition tie at the global k-boundary would
+    otherwise be dropped and break the rank (ties-inclusive) semantics."""
+    from tantiny_spark.wand import _local_rank_prune
+
+    # one partition: scores [5, 4, 3, 3, 3, 1], k=3 → kth-largest = 3;
+    # ALL the 3s must survive, the 1 must not
+    df = spark.createDataFrame(
+        [(0, 5.0), (1, 4.0), (2, 3.0), (3, 3.0), (4, 3.0), (5, 1.0)],
+        "doc_id long, score double",
+    ).coalesce(1)
+    got = sorted(
+        r["doc_id"] for r in _local_rank_prune(df, 3).collect()
+    )
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_wand_final_stage_not_fed_by_full_docset(corpus_index):
+    """Physical-plan shape: the final global window is fed by the
+    per-partition prune (a MapInPandas/ArrowEval stage), not directly by
+    the bucket decoder — i.e. the single-partition sort input is pruned."""
+    idx = corpus_index
+    plan = P.term_query(idx.schema, "text", "w0") | P.term_query(
+        idx.schema, "text", "w1"
+    )
+    out = try_wand_topk(plan, idx.ctx, 10, min_total_df=0)
+    assert out is not None
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    # the Window node's subtree must contain the prune stage
+    win = phys.find("Window")
+    assert win != -1
+    assert "MapInPandas" in phys[win:] or "FlatMapGroupsInPandas" in phys[win:]
+
+
+def test_wand_matches_naive_with_tombstones(spark, tmp_path_factory):
+    """Deletes between merges must not disable the block fast path: deleted
+    docs are baked inside the compressed blocks, so the decoder anti-joins
+    the dead doc_id set — including BEFORE τ is taken, so a deleted top
+    scorer can't push τ above the true k-th live score."""
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(30)]
+    probs = np.array([1.0 / (i + 1) for i in range(30)])
+    probs /= probs.sum()
+
+    def mkrows(prefix, n):
+        return [
+            (
+                f"{prefix}{i:05d}",
+                " ".join(rng.choice(vocab, size=int(rng.integers(5, 40)), p=probs)),
+            )
+            for i in range(n)
+        ]
+
+    schema = IndexSchema()
+    schema.text("text")
+    idx = Index(spark, str(tmp_path_factory.mktemp("wandtomb") / "idx"), schema)
+    idx.add_dataframe(spark.createDataFrame(mkrows("zz", 400), "id string, text string"))
+    idx.add_dataframe(spark.createDataFrame(mkrows("aa", 400), "id string, text string"))
+    idx = idx.reload()
+
+    plan = P.disjunction(P.Term("text", "w0"), P.Term("text", "w3"))
+    # delete the current top-5 (their baked block scores would distort τ if
+    # the dead filter ran after thresholding) plus some mid-pack docs
+    before = _naive_topk(idx, plan, 5)
+    with idx.transaction():
+        for doc_id, _ in before:
+            idx.delete(doc_id)
+        idx.delete("zz00100")
+        idx.delete("aa00200")
+    idx = idx.reload()
+
+    assert idx.ctx.blocks is not None  # fast path stays on with tombstones
+    assert idx.ctx.dead_docs is not None
+    for k in (5, 10, 25):
+        naive = _naive_topk(idx, plan, k)
+        fast = try_wand_topk(plan, idx.ctx, k, min_total_df=0)
+        assert fast is not None
+        wand = [(r["id"], r["score"]) for r in top_k(fast, idx.ctx, k).collect()]
+        assert [i for i, _ in wand] == [i for i, _ in naive]
+        for (_, sw), (_, sn) in zip(wand, naive):
+            assert sw == pytest.approx(sn, rel=1e-9)
+    deleted = {d for d, _ in before}
+    got = {i for i, _ in _wand_topk(idx, plan, 25)}
+    assert not (got & deleted)
