@@ -327,7 +327,8 @@ def q_dup_clusters(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    # no SQL oracle (md5-bit arithmetic) → driver records rows-only check
+    # full value-hash oracle: the SQL mirrors the md5-bit arithmetic exactly
+    # (see oracle_sql()["simhash"])
     return dedup.simhash64(_docs(spark, sf_dir))
 
 
@@ -338,7 +339,8 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
-    # rows-only: hyperplane literals are impractical to mirror in SQL
+    # full value-hash oracle: the deterministic hyperplanes are embedded as
+    # literals in the SQL (see oracle_sql()["lsh_topk"])
     e = _emb(spark, sf_dir)
     query = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return similarity.lsh_topk(e, [float(x) for x in query], k=10, n_planes=4)
@@ -559,13 +561,72 @@ def q_engine_bool_or(spark, sf_dir):
     )
 
 
+def q_engine_bool_not(spark, sf_dir):
+    """Engine-routed negation (Q13): docs NOT containing the term, score
+    1.0, ranked by the pinned (score desc, id-string asc) tie-break."""
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ~ix.term_query("text", "spark"))
+
+
+def q_engine_boost(spark, sf_dir):
+    """Engine-routed boost (Q14): term scores scaled by the boost factor
+    through Index.search_df (the WAND fast path folds the factor into the
+    weights; the naive path multiplies post-compile — both hash-checked
+    against the same oracle)."""
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.term_query("text", "vector").boost(2.5))
+
+
+def q_engine_ngram(spark, sf_dir):
+    """Engine contract for the ngram tokenizer family (reference golden
+    spec/tantiny/tokenizer_spec.rb:41-48): a text field tokenized into
+    character 3..10-grams turns term queries into substring search — the
+    raw token 'ector' matches every doc whose text contains it, scored
+    BM25 with dl = the doc's ngram count (8·len−44 for len ≥ 10) through
+    the standard quantized-fieldnorm path."""
+    from tantiny_spark.analysis.tokenizers import Tokenizer
+    from tantiny_spark.index import Index
+    from tantiny_spark.schema import IndexSchema
+
+    key = ("ngram", id(spark), os.path.abspath(sf_dir))
+    ix = _ENGINE_IX.get(key)
+    if ix is None:
+        schema = IndexSchema()
+        schema.id("doc_id")
+        schema.text("text", tokenizer=Tokenizer.new("ngram", min=3, max=10))
+        path = os.path.join(tempfile.mkdtemp(prefix="tantiny_contract_ng_"), "idx")
+        ix = Index(spark, path, schema)
+        ix.add_dataframe(_docs(spark, sf_dir).select("doc_id", "text"))
+        ix.reload()
+        _ENGINE_IX[key] = ix
+    return _engine_topk(ix, ix.term_query("text", "ector"))
+
+
+# German stems of the corpus' closed vocabulary (plus the query term),
+# pinned from the COMPILED Snowball oracle (scripts/snowball_native.py
+# NativeStemmer('german')) — NOT generated by calling our implementation,
+# so the engine_stemmed_de value-hash check is independent of the stemmer
+# under test (a stemmer regression breaks the hash instead of shifting
+# both sides identically).
+_DE_VOCAB_STEMS = {
+    "a": "a", "agg": "agg", "batch": "batch", "big": "big",
+    "column": "column", "customer": "custom", "data": "data", "dup": "dup",
+    "fast": "fast", "filter": "filt", "group": "group", "hash": "hash",
+    "join": "join", "key": "key", "line": "lin", "merge": "merg",
+    "order": "ord", "part": "part", "query": "query", "row": "row",
+    "scan": "scan", "slow": "slow", "small": "small", "sort": "sort",
+    "spark": "spark", "stream": "stream", "table": "tabl", "the": "the",
+    "value": "valu", "vector": "vector", "window": "window",
+}
+
+
 def q_engine_stemmed_de(spark, sf_dir):
     """Non-English slice through the engine: index the lang='de' documents
     with the German Snowball stemmer and query a stemmed term. The oracle
-    embeds the stemmer's output over the corpus' closed 31-token vocabulary
-    as a literal CASE mapping (the stemmer itself is byte-exact vs the
-    compiled Snowball oracle — tests/test_stemmers.py), so this row is
-    value-hash-verified like every other engine query."""
+    embeds the COMPILED Snowball oracle's stems for the corpus' closed
+    31-token vocabulary as a pinned literal CASE mapping (_DE_VOCAB_STEMS),
+    so the hash check is independent of the stemmer implementation under
+    test."""
     from tantiny_spark.analysis.tokenizers import Tokenizer
     from tantiny_spark.index import Index
     from tantiny_spark.schema import IndexSchema
@@ -701,6 +762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_range": q_engine_range,
         "engine_facet": q_engine_facet,
         "engine_bool_or": q_engine_bool_or,
+        "engine_bool_not": q_engine_bool_not,
+        "engine_boost": q_engine_boost,
+        "engine_ngram": q_engine_ngram,
         "engine_stemmed_de": q_engine_stemmed_de,
     }
 
@@ -1103,6 +1167,39 @@ SELECT id, sum(score) AS score FROM (
 ) GROUP BY id
 """)
 
+    sqls["engine_bool_not"] = _sql_engine_topk("""
+SELECT CAST(doc_id AS VARCHAR) AS id, 1.0::DOUBLE AS score FROM tok
+WHERE NOT list_contains(ts, 'spark')
+""")
+
+    sqls["engine_boost"] = _sql_engine_topk(f"""
+SELECT id, score * 2.5 AS score FROM ({_sql_engine_term('vector')})
+""")
+
+    # ngram field: tokens are character 3..10-grams of the raw text, so a
+    # term query is substring search; dl = ngram count with closed form
+    # 8n-44 for n>=10 / (n-2)(n-1)/2 for 3<=n<10, quantized through the
+    # same SmallFloat fieldnorm table as every text field
+    sqls["engine_ngram"] = f"""
+WITH tok0 AS (
+  SELECT doc_id,
+         (CASE WHEN length(text) >= 10 THEN 8 * length(text) - 44
+               WHEN length(text) >= 3
+                 THEN (length(text) - 2) * (length(text) - 1) / 2
+               ELSE 0 END)::DOUBLE AS dl,
+         text LIKE '%ector%' AS hit
+  FROM documents),
+tbl AS (SELECT {_SQL_NORMTBL} AS t),
+s AS (SELECT sum(dl)::DOUBLE AS tot, count(*)::DOUBLE AS n FROM tok0),
+m AS (SELECT doc_id, dl FROM tok0 WHERE hit),
+d AS (SELECT count(*)::DOUBLE AS df FROM m),
+q AS (SELECT CAST(m.doc_id AS VARCHAR) AS id, {_sql_bm25(dl=_SQL_DLQ)} AS score
+      FROM m, d, s, tbl)
+SELECT id, round(score, 4) AS score
+FROM (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 10)
+ORDER BY score DESC, id ASC
+"""
+
     # string-field term: tf=1, dl=avgdl=1 by construction (the engine stores
     # norm_id=1 and num_docs=total_tokens for string fields)
     sqls["engine_string_term"] = _sql_engine_topk(f"""
@@ -1116,24 +1213,21 @@ FROM (SELECT doc_id FROM documents WHERE lang = 'en') m,
 
     # stemmed German slice: DuckDB has no loadable Snowball here, but the
     # corpus vocabulary is fixed (31 tokens at every sf — verified across
-    # sf0.001/0.01/0.1), so the oracle embeds our German stemmer's output
-    # for that closed vocabulary as a literal CASE mapping. The stemmer
-    # itself is byte-exact vs the compiled Snowball oracle
-    # (tests/test_stemmers.py), so this is the full engine pipeline under
-    # the value-hash check, not a weakened spec.
-    from tantiny_spark.analysis import snowball_de
-
-    de_map = {w: snowball_de.stem(w) for w in _CORPUS_VOCAB}
+    # sf0.001/0.01/0.1), so the oracle embeds the PINNED compiled-oracle
+    # stems (_DE_VOCAB_STEMS — generated from scripts/snowball_native.py's
+    # NativeStemmer('german'), not from the implementation under test) as a
+    # literal CASE mapping: the full engine pipeline INCLUDING the stemmer
+    # sits under the value-hash check.
     de_case = (
         "CASE t "
-        + " ".join(f"WHEN '{w}' THEN '{s}'" for w, s in de_map.items())
+        + " ".join(f"WHEN '{w}' THEN '{s}'" for w, s in _DE_VOCAB_STEMS.items())
         + " ELSE t END"
     )
     tok_de = (
         f"SELECT doc_id, list_transform(string_split(text, ' '), t -> {de_case}) AS ts "
         "FROM documents WHERE lang = 'de'"
     )
-    q_term = snowball_de.stem("spark")
+    q_term = _DE_VOCAB_STEMS["spark"]
     sqls["engine_stemmed_de"] = f"""
 WITH tok AS ({tok_de}),
 tbl AS (SELECT {_SQL_NORMTBL} AS t),
