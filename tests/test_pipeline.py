@@ -149,7 +149,9 @@ def test_language_id(spark):
 def test_multimodal_decode_stub(spark):
     rows = [(i, bytes([i]) * 64) for i in range(8)]
     df = spark.createDataFrame(rows, "doc_id long, image binary")
-    with pytest.raises(NotImplementedError):
+    # junk payloads: the codec gate now fires executor-side (real decode
+    # is attempted first), so the error arrives wrapped by the Python worker
+    with pytest.raises(Exception, match="unrecognized image format"):
         multimodal.decode_images(df).collect()
     out = multimodal.decode_images(df, fake=True, dim=4).collect()
     assert len(out) == 8
@@ -229,7 +231,7 @@ def test_audio_features_stub(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [0, 1], "audio": [b"\x00\x01" * 16000, b""]})
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Exception, match="only RIFF PCM WAV"):
         multimodal.extract_audio_features(df).collect()
     rows = {r["doc_id"]: r for r in multimodal.extract_audio_features(
         df, fake=True, n_mfcc=4).collect()}
@@ -249,7 +251,7 @@ def test_resize_images_stub(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [0, 1], "image": [b"imgbytes0", b"imgbytes1"]})
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Exception, match="unrecognized image format"):
         multimodal.resize_images(df, 8, 8).collect()
     rows = {r["doc_id"]: r for r in multimodal.resize_images(
         df, 8, 8, fake=True).collect()}
@@ -361,3 +363,66 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(edges, max_iterations=2)
+
+
+def test_multimodal_real_image_decode(spark):
+    """PPM/BMP payloads decode for real (pure numpy, no codec libs): exact
+    dimensions and a real grayscale-histogram feature."""
+    import numpy as np
+
+    from tests.test_multimodal_codecs import make_bmp, make_ppm
+
+    rng = np.random.default_rng(9)
+    ppm_img = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    bmp_img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    black = np.zeros((4, 4, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, make_ppm(ppm_img)), (1, make_bmp(bmp_img)), (2, make_ppm(black))],
+        "doc_id long, image binary",
+    )
+    rows = {r["doc_id"]: r for r in multimodal.decode_images(df, dim=4).collect()}
+    assert (rows[0]["width"], rows[0]["height"]) == (9, 12)
+    assert (rows[1]["width"], rows[1]["height"]) == (5, 7)
+    # all-black image: the whole histogram mass is in the first bin
+    assert rows[2]["feature"][0] == pytest.approx(1.0)
+    assert sum(rows[0]["feature"]) == pytest.approx(1.0)
+
+
+def test_multimodal_real_resize(spark):
+    """Bilinear resize of a decodable payload, re-encoded as PPM: a uniform
+    image stays uniform at any size; output is a valid decodable PPM."""
+    import numpy as np
+
+    from tantiny_spark.pipeline.multimodal import decode_image_array
+    from tests.test_multimodal_codecs import make_ppm
+
+    uniform = np.full((10, 10, 3), 200, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, make_ppm(uniform))], "doc_id long, image binary"
+    )
+    row = multimodal.resize_images(df, 4, 6).collect()[0]
+    out = decode_image_array(bytes(row["resized"]))
+    assert out.shape == (6, 4, 3)
+    assert (out == 200).all()
+
+
+def test_multimodal_real_wav_features(spark):
+    """RIFF PCM WAV decodes for real via the stdlib: header-true sample
+    counts and a real MFCC that separates spectral content."""
+    import numpy as np
+
+    from tests.test_multimodal_codecs import make_wav
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    low = make_wav(np.sin(2 * np.pi * 200 * t), sr)
+    high = make_wav(np.sin(2 * np.pi * 3000 * t), sr)
+    df = spark.createDataFrame(
+        [(0, low), (1, high)], "doc_id long, audio binary"
+    )
+    rows = {r["doc_id"]: r for r in multimodal.extract_audio_features(df).collect()}
+    assert rows[0]["n_samples"] == sr
+    assert rows[0]["duration_s"] == pytest.approx(1.0)
+    assert max(
+        abs(a - b) for a, b in zip(rows[0]["mfcc"], rows[1]["mfcc"])
+    ) > 1.0
