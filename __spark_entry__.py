@@ -602,6 +602,15 @@ def q_engine_ngram(spark, sf_dir):
     return _engine_topk(ix, ix.term_query("text", "ector"))
 
 
+def q_engine_facet_counts(spark, sf_dir):
+    """FacetCollector-style aggregation through the engine: per-source doc
+    counts under /en restricted to docs matching a term query — the
+    postings-ancestor layout turns this into a range-pruned scan + semi-join
+    + one partial-aggregated groupBy (executor.facet_counts)."""
+    ix = _engine_index(spark, sf_dir)
+    return ix.facet_counts("src", "/en", query=ix.term_query("text", "spark"))
+
+
 # German stems of the corpus' closed vocabulary (plus the query term),
 # pinned from the COMPILED Snowball oracle (scripts/snowball_native.py
 # NativeStemmer('german')) — NOT generated by calling our implementation,
@@ -765,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_bool_not": q_engine_bool_not,
         "engine_boost": q_engine_boost,
         "engine_ngram": q_engine_ngram,
+        "engine_facet_counts": q_engine_facet_counts,
         "engine_stemmed_de": q_engine_stemmed_de,
     }
 
@@ -1198,6 +1208,15 @@ q AS (SELECT CAST(m.doc_id AS VARCHAR) AS id, {_sql_bm25(dl=_SQL_DLQ)} AS score
 SELECT id, round(score, 4) AS score
 FROM (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 10)
 ORDER BY score DESC, id ASC
+"""
+
+    sqls["engine_facet_counts"] = f"""
+WITH tok AS ({_SQL_TOK}),
+m AS (SELECT doc_id FROM tok WHERE list_contains(ts, 'spark'))
+SELECT '/en/' || source AS path, count(*)::BIGINT AS cnt
+FROM documents JOIN m USING (doc_id)
+WHERE lang = 'en'
+GROUP BY 1 ORDER BY cnt DESC, path ASC
 """
 
     # string-field term: tf=1, dl=avgdl=1 by construction (the engine stores

@@ -476,3 +476,40 @@ def top_k(result: DataFrame, ctx: SearchContext, limit: int = 10) -> DataFrame:
         .limit(limit)
         .select("id", "score")
     )
+
+
+def facet_counts(
+    ctx: SearchContext,
+    field: str,
+    prefix: str,
+    matched: DataFrame | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Per-child document counts under a facet path prefix, optionally
+    restricted to a matched doc-set — the FacetCollector analog (the
+    reference exposes facet FILTERING only; counting is the Spark-natural
+    aggregation extension a 100 TB corpus wants).
+
+    The facet field's postings hold one row per ANCESTOR path (build.py),
+    so children of ``/a`` are exactly the postings whose term starts with
+    ``/a/`` and has one more path segment; the startswith predicate is a
+    range pushdown on the (field, term)-sorted postings layout, the
+    optional restriction is a semi-join on doc_id, and the count is one
+    partial-aggregated groupBy — no explode, no full scan.
+
+    Returns DataFrame[path, cnt] ordered cnt desc, path asc (capped at k
+    when given)."""
+    base = prefix.rstrip("/")
+    depth = base.count("/")
+    p = ctx.postings.where(
+        (F.col("field") == field) & F.col("term").startswith(base + "/")
+    )
+    p = p.where(F.size(F.split(F.col("term"), "/")) == depth + 2)
+    if matched is not None:
+        p = p.join(matched.select("doc_id"), "doc_id", "left_semi")
+    out = (
+        p.groupBy(F.col("term").alias("path"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("path").asc())
+    )
+    return out.limit(k) if k is not None else out

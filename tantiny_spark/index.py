@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from tantiny_spark import plan as P
 from tantiny_spark.build import build_segment
-from tantiny_spark.errors import IndexWriterBusyError, UnexpectedNone
+from tantiny_spark.errors import (
+    IndexWriterBusyError, UnexpectedNone, UnsupportedField,
+)
 from tantiny_spark.executor import compile_plan, prime_stats, top_k, try_wand_topk
 from tantiny_spark.schema import IndexSchema
 from tantiny_spark.storage import IndexStorage, Snapshot
@@ -262,7 +264,9 @@ class Index:
         applied, dict/stats/blocks rebuilt from the surviving postings — the
         background-merge analog of Tantivy's segment merging (surfaced via
         commit/reload, src/index.rs:229-242). After a merge, deleted docs no
-        longer affect BM25 stats and the WAND fast path is usable again."""
+        longer affect BM25 stats and WAND drops its dead-doc anti-join
+        (between merges the fast path stays on, filtering tombstoned docs
+        post-decode — see wand.wand_topk)."""
         from pyspark.sql import functions as F
 
         from tantiny_spark.wand import build_blocks
@@ -361,6 +365,25 @@ class Index:
         if fast is not None:
             return top_k(fast, self.ctx, limit)
         return top_k(compile_plan(plan, self.ctx), self.ctx, limit)
+
+    def facet_counts(
+        self, field: str, prefix: str, query=None, limit: int | None = None,
+        **smart_opts,
+    ) -> DataFrame:
+        """Per-child document counts under a facet path prefix, optionally
+        restricted to the docs matching ``query`` — the FacetCollector-style
+        aggregation the reference's facet FILTERING doesn't expose. Returns
+        DataFrame[path, cnt] ordered cnt desc, path asc."""
+        from tantiny_spark.executor import facet_counts as _fc
+
+        if field not in self.schema.facet_fields:
+            raise UnsupportedField(field)
+        matched = None
+        if query is not None:
+            plan = self._as_plan(query, smart_opts)
+            prime_stats(plan, self.ctx)
+            matched = compile_plan(plan, self.ctx)
+        return _fc(self.ctx, field, prefix, matched, limit)
 
     def search_many(self, queries: dict, limit: int = DEFAULT_LIMIT) -> dict:
         """Execute a batch of queries as ONE Spark job: each plan compiles to

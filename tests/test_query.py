@@ -278,3 +278,45 @@ def test_regex_dialect_end_to_end(spark, tmp_path):
     # Rust: [a&&e] is the literal set {a,&,e} (contains e) — Java intersection
     # {a}&&{e} would be empty; matching proves the && was escaped
     assert ids(idx, idx.regex_query("text", "h[a&&e]llo")) == ["1"]
+
+
+def test_facet_counts(spark, tmp_path):
+    """FacetCollector-style aggregation: child counts under a prefix, with
+    and without a query restriction; nested depth; validation."""
+    import pytest as _pytest
+
+    from tantiny_spark.errors import UnsupportedField
+    from tantiny_spark.index import Index
+    from tantiny_spark.schema import IndexSchema
+
+    s = IndexSchema()
+    s.text("t")
+    s.facet("cat")
+    ix = Index(spark, str(tmp_path / "fc"), s)
+    with ix.transaction():
+        ix.add({"id": 1, "t": "spark merge", "cat": "/en/news"})
+        ix.add({"id": 2, "t": "spark join", "cat": "/en/blog"})
+        ix.add({"id": 3, "t": "other text", "cat": "/en/news"})
+        ix.add({"id": 4, "t": "spark scan", "cat": "/de/news"})
+    ix.reload()
+
+    top = [(r["path"], r["cnt"]) for r in ix.facet_counts("cat", "/").collect()]
+    assert top == [("/en", 3), ("/de", 1)]
+
+    children = [
+        (r["path"], r["cnt"]) for r in ix.facet_counts("cat", "/en").collect()
+    ]
+    assert children == [("/en/news", 2), ("/en/blog", 1)]
+
+    # restricted to docs matching a query: doc 3 drops out
+    q = ix.term_query("t", "spark")
+    restricted = [
+        (r["path"], r["cnt"])
+        for r in ix.facet_counts("cat", "/en", query=q).collect()
+    ]
+    assert restricted == [("/en/blog", 1), ("/en/news", 1)]
+
+    # limit caps the children; validation rejects non-facet fields
+    assert ix.facet_counts("cat", "/", limit=1).collect()[0]["path"] == "/en"
+    with _pytest.raises(UnsupportedField):
+        ix.facet_counts("t", "/")
