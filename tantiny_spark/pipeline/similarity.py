@@ -169,3 +169,62 @@ def deterministic_centroids(df: DataFrame, k: int, vec: str = "embedding",
         probs = d / d.sum() if d.sum() > 0 else None
         cents.append(pts[rng.choice(len(pts), p=probs)])
     return np.vstack(cents)
+
+
+def kmeans_fit(
+    df: DataFrame, k: int, dim: int, n_iter: int = 5,
+    vec: str = "embedding", key: str = "vec_id", sample: int = 1024,
+) -> np.ndarray:
+    """Spherical k-means for the IVF coarse quantizer: deterministic
+    k-means++ seeding, then ``n_iter`` distributed Lloyd rounds matching the
+    cosine assignment (centroids re-normalized each round).
+
+    Scale shape: each round is ONE narrow aggregation — the per-cell
+    element-wise sums are ``dim`` SUM expressions over the assigned frame
+    (map-side partial agg, k·dim result rows on the driver), never an
+    explode of n·dim rows and never a collect of the vectors. Empty cells
+    keep their previous centroid. Deterministic at any parallelism."""
+    cents = deterministic_centroids(df, k, vec, key, sample)
+    v = F.col(vec).cast("array<double>")
+    for _ in range(max(0, n_iter)):
+        assigned = ivf_assign(df, cents, vec, key)
+        rows = (
+            assigned.groupBy("ivf_cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at(v, i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            mean = np.array([r[f"s{i}"] for i in range(dim)]) / max(r["n"], 1)
+            norm = float(np.linalg.norm(mean))
+            if norm > 1e-12:
+                new[r["ivf_cell"]] = mean / norm
+        cents = new
+    return cents
+
+
+def quantization_error(
+    df: DataFrame, centroids: np.ndarray, vec: str = "embedding",
+    key: str = "vec_id",
+) -> float:
+    """Mean (1 − cosine(vector, assigned centroid)) — the objective the
+    spherical Lloyd rounds descend; exposed for tests/monitoring."""
+    cents = centroids.astype(np.float64)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.DoubleType())
+    def _err(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mn @ cn.T
+        return pd.Series(1.0 - sims.max(axis=1))
+
+    return float(
+        df.select(F.avg(_err(F.col(vec))).alias("e")).collect()[0]["e"]
+    )

@@ -426,3 +426,23 @@ def test_multimodal_real_wav_features(spark):
     assert max(
         abs(a - b) for a, b in zip(rows[0]["mfcc"], rows[1]["mfcc"])
     ) > 1.0
+
+
+def test_kmeans_refines_ivf_centroids(spark, vectors):
+    """Spherical Lloyd rounds descend the quantization objective and stay
+    deterministic across partitionings."""
+    from tantiny_spark.pipeline.similarity import (
+        deterministic_centroids,
+        kmeans_fit,
+        quantization_error,
+    )
+
+    dim = len(vectors.select("embedding").first()[0])
+    seeded = deterministic_centroids(vectors, 4)
+    refined = kmeans_fit(vectors, 4, dim, n_iter=4)
+    e0 = quantization_error(vectors, seeded)
+    e1 = quantization_error(vectors, refined)
+    assert e1 <= e0 + 1e-12  # Lloyd never increases the objective here
+    # deterministic at any parallelism
+    refined2 = kmeans_fit(vectors.repartition(7), 4, dim, n_iter=4)
+    assert np.allclose(refined, refined2)
