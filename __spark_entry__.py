@@ -627,6 +627,12 @@ _DE_VOCAB_STEMS = {
     "spark": "spark", "stream": "stream", "table": "tabl", "the": "the",
     "value": "valu", "vector": "vector", "window": "window",
 }
+# the pinned mapping must cover the corpus vocabulary exactly — a vocab
+# change that skips the mapping would silently weaken the stemmed-oracle
+# hash check (unknown tokens fall through the CASE's ELSE)
+assert set(_DE_VOCAB_STEMS) == set(_CORPUS_VOCAB), (
+    set(_DE_VOCAB_STEMS) ^ set(_CORPUS_VOCAB)
+)
 
 
 def q_engine_stemmed_de(spark, sf_dir):

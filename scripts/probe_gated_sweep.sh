@@ -39,7 +39,14 @@ for try in $(seq 1 "$TRIES"); do
   PRE=$(probe)
   echo "pre-probe:  $PRE"
   if [[ "$PRE" == FAST* ]]; then
-    python scripts/scaling_bench.py 100 /root/testdata/sf0.1 1
+    if ! python scripts/scaling_bench.py 100 /root/testdata/sf0.1 1; then
+      # the bench itself failed — whatever it wrote is garbage regardless
+      # of host health; restore the clean file and retry
+      git checkout BENCH/BASELINE.md
+      echo "scaling_bench.py FAILED — restored clean file"
+      sleep "$NAP"
+      continue
+    fi
     POST=$(probe)
     echo "post-probe: $POST"
     B8=$(python - <<'EOF'

@@ -73,7 +73,7 @@ class SearchContext:
         """Unpersist the cached hot tables (ids/dictionary/stats). Called by
         Index.reload() so long-running readers don't accumulate one cached
         relation set per snapshot generation."""
-        for df in (self.ids, self.dictionary, self.stats):
+        for df in (self.ids, self.dictionary, self.stats, self.dead_docs):
             if df is None:
                 continue
             try:

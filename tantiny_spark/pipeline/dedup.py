@@ -290,6 +290,8 @@ def connected_components(
     loop a 1000-executor job runs (GraphFrames' CC uses the equivalent
     large-star/small-star contraction).
     """
+    if max_iterations < 1:
+        raise ValueError("max_iterations must be >= 1")
     both = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).union(
         edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
     )
@@ -324,14 +326,31 @@ def connected_components(
         if changed == 0:
             break
     else:
-        # a silent fall-through would return WRONG cluster labels (a
-        # component wider than max_iterations would stay split) — fail loud
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            f"iterations ({changed} labels still changing); raise "
-            "max_iterations — needed rounds are bounded by the largest "
-            "component's diameter"
+        # the final pass still changed labels — the CURRENT labels may
+        # nevertheless be the fixpoint (the last change can complete the
+        # propagation), so verify with one more propagation before
+        # declaring failure: a silent fall-through would return WRONG
+        # (split) clusters on a component wider than max_iterations
+        neigh = both.join(labels, both.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
         )
+        pending = (
+            labels.select("node", "label")
+            .union(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        if pending > 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                f"iterations ({pending} labels still changing); raise "
+                "max_iterations — needed rounds are bounded by the largest "
+                "component's diameter"
+            )
     return labels.select("node", "label")
 
 

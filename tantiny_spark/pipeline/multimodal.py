@@ -145,6 +145,13 @@ def decode_images(
                 raw = bytes(payload) if payload is not None else b""
                 if fake:
                     meta = _fake_decode(raw, dim)
+                elif not raw:
+                    # missing payloads are routine at crawl scale: emit a
+                    # null-metadata row instead of failing the whole job
+                    meta = {
+                        "width": None, "height": None,
+                        "n_channels": None, "feature": None,
+                    }
                 else:
                     img = decode_image_array(raw)
                     meta = {
@@ -264,6 +271,12 @@ def extract_audio_features(
                         rng.standard_normal(n_mfcc).astype(np.float32).tolist()
                     )
                     continue
+                if not raw:
+                    # missing payloads: null row, don't fail the job
+                    out["n_samples"].append(None)
+                    out["duration_s"].append(None)
+                    out["mfcc"].append(None)
+                    continue
                 if raw[:4] != b"RIFF":
                     raise NotImplementedError(
                         "only RIFF PCM WAV is decodable without codec "
@@ -327,6 +340,8 @@ def resize_images(
                     h = hashlib.md5(raw + b"|resize").digest()
                     reps = (target_w * target_h * 3) // len(h) + 1
                     resized = (h * reps)[: target_w * target_h * 3]
+                elif not raw:
+                    resized = None  # missing payload: null row, no job kill
                 else:
                     resized = encode_ppm(_bilinear(decode_image_array(raw)))
                 out["width"].append(target_w)

@@ -187,13 +187,20 @@ def kmeans_fit(
     cents = deterministic_centroids(df, k, vec, key, sample)
     v = F.col(vec).cast("array<double>")
     for _ in range(max(0, n_iter)):
-        assigned = ivf_assign(df, cents, vec, key)
+        assigned = ivf_assign(df, cents, vec, key).withColumn(
+            # spherical k-means sums ROW-NORMALIZED vectors: the assignment
+            # and the objective are cosine (direction only), so a raw-sum
+            # mean would let a few long vectors drag the centroid off the
+            # cosine-mean direction and the rounds could ascend the
+            # objective instead of descending it
+            "__vn", F.greatest(_norm(v), F.lit(1e-12))
+        )
         rows = (
             assigned.groupBy("ivf_cell")
             .agg(
                 F.count("*").alias("n"),
                 *[
-                    F.sum(F.element_at(v, i + 1)).alias(f"s{i}")
+                    F.sum(F.element_at(v, i + 1) / F.col("__vn")).alias(f"s{i}")
                     for i in range(dim)
                 ],
             )

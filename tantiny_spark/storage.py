@@ -229,5 +229,10 @@ class Snapshot:
             blocks=union_all(block_parts)
             if block_parts and len(block_parts) == len(docs_parts)
             else None,
-            dead_docs=union_all(dead_doc_parts) if dead_doc_parts else None,
+            # persisted: WAND evaluates the dead filter twice per query
+            # (champion + survivor decode) and the resolution scans the
+            # segment docs table — cache the tiny result, not the scan
+            dead_docs=union_all(dead_doc_parts).persist()
+            if dead_doc_parts
+            else None,
         )

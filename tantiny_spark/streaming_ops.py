@@ -110,8 +110,13 @@ def streaming_dedup(
             if first_row is None and len(pdf):
                 first_row = pdf.iloc[0]
             if ts_col is not None and len(pdf):
-                m = pdf[ts_col].max()
-                max_ts = m if max_ts is None else max(max_ts, m)
+                # dropna: a null event time must not poison the max (NaT
+                # compares False against everything, so it would stick) or
+                # reach setTimeoutTimestamp as a huge negative ms value and
+                # kill the whole streaming query over one bad row
+                m = pdf[ts_col].dropna().max()
+                if pd.notna(m):
+                    max_ts = m if max_ts is None else max(max_ts, m)
         fresh = not state.exists
         state.update((1,))
         if ts_col is not None and max_ts is not None:

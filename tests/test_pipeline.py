@@ -446,3 +446,32 @@ def test_kmeans_refines_ivf_centroids(spark, vectors):
     # deterministic at any parallelism
     refined2 = kmeans_fit(vectors.repartition(7), 4, dim, n_iter=4)
     assert np.allclose(refined, refined2)
+
+
+def test_multimodal_null_payloads_yield_null_rows(spark):
+    """Missing payloads are routine at crawl scale: the real decode path
+    emits null-metadata rows for them instead of failing the job."""
+    import pandas as pd
+
+    from tests.test_multimodal_codecs import make_ppm, make_wav
+    import numpy as np
+
+    img = np.full((4, 4, 3), 7, dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "image": [make_ppm(img), None]})
+    )
+    rows = {r["doc_id"]: r for r in multimodal.decode_images(df).collect()}
+    assert rows[0]["width"] == 4 and rows[1]["width"] is None
+    rows = {r["doc_id"]: r for r in multimodal.resize_images(df, 2, 2).collect()}
+    assert rows[1]["resized"] is None and rows[0]["resized"] is not None
+
+    sr = 8000
+    wav = make_wav(np.zeros(100), sr)
+    adf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "audio": [wav, None]})
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.extract_audio_features(adf).collect()
+    }
+    assert rows[0]["n_samples"] == 100 and rows[1]["n_samples"] is None
