@@ -105,8 +105,13 @@ def main():
     repl = int(os.environ.get("SPARK_GRAFT_REPL", "1"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # SPARK_GRAFT_MASTER overrides local[N] — e.g. spark://host:7077 when the
+    # bench runs against a standalone cluster via spark-submit --py-files
+    # (scripts/cluster_bench.sh); SPARK_GRAFT_CPUS then sizes shuffle
+    # partitions only.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName("tantiny-spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")

