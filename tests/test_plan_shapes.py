@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the architectural properties documented
+in docs/PLANS.md, asserted so a refactor can't silently lose them.
+"""
+
+import numpy as np
+import pytest
+
+from tantiny_spark.executor import compile_plan, top_k
+from tantiny_spark.index import Index
+from tantiny_spark.schema import IndexSchema
+
+
+@pytest.fixture(scope="module")
+def plan_index(spark, tmp_path_factory):
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = [
+        (
+            f"p{i:04d}",
+            " ".join(rng.choice(vocab, size=int(rng.integers(5, 30)))),
+            f"/c{i % 3}/s{i % 5}",
+        )
+        for i in range(300)
+    ]
+    s = IndexSchema()
+    s.text("t")
+    s.facet("cat")
+    ix = Index(spark, str(tmp_path_factory.mktemp("plans") / "idx"), s)
+    ix.add_dataframe(
+        spark.createDataFrame(rows, "id string, t string, cat string")
+    )
+    return ix.reload()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_term_query_plan_shape(plan_index):
+    """Term query = pruned scan → JVM score → TakeOrderedAndProject:
+    (field, term) filters reach the Parquet reader, the positions column is
+    never read, and the whole query has NO shuffle exchange."""
+    ix = plan_index
+    scored = compile_plan(ix.term_query("t", "w0"), ix.ctx)
+    plan = _physical(top_k(scored, ix.ctx, 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan and "EqualTo(term,w0)" in plan
+    assert "positions" not in plan  # column pruning: Basic, not WithPositions
+    # the only join is against the persisted id map (broadcast or in-memory
+    # relation) — no shuffle exchange anywhere in a single-term query
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_term_query_scoring_is_jvm_side(plan_index):
+    """The BM25 expression must stay in whole-stage codegen — no Python
+    evaluation node in the scoring stage."""
+    ix = plan_index
+    scored = compile_plan(ix.term_query("t", "w1"), ix.ctx)
+    plan = _physical(scored)
+    # '*(N)' prefixes mark whole-stage-codegen spans in the compact plan
+    # string; the scoring Project must carry one
+    assert "*(1) Project" in plan or "WholeStageCodegen" in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_facet_counts_plan_shape(plan_index):
+    """Facet counting = startswith range pushdown + partial aggregation;
+    no explode node and the pre-shuffle partial_count is present."""
+    ix = plan_index
+    plan = _physical(ix.facet_counts("cat", "/c0"))
+    assert "StartsWith(term,/c0/)" in plan
+    assert "partial_count" in plan  # map-side combine before the exchange
+    assert "Generate" not in plan  # no explode
+
+
+def test_range_scan_prunes_columns(plan_index):
+    """All-query / negation scans the docs table, not postings; only the
+    needed columns are read."""
+    ix = plan_index
+    scored = compile_plan(~ix.term_query("t", "w0"), ix.ctx)
+    plan = _physical(scored)
+    # the negation side reads postings pruned to the term, the docs side
+    # reads only doc_id — text/facet columns never deserialize
+    assert "EqualTo(term,w0)" in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
