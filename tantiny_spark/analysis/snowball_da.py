@@ -85,11 +85,15 @@ def stem(word: str) -> str:
                 word = _step2(word, r1)
                 break
 
-    # step 4 (undouble): final double consonant in R1 → remove one
+    # step 4 (undouble): final double consonant in R1 → remove one. The
+    # compiled algorithm matches an explicit among() of ASCII consonant
+    # pairs — 'y' and out-of-alphabet letters (öö/şş/çç in mixed-language
+    # web tokens) do NOT undouble (oracle-verified: 'katöö', 'katyy' keep
+    # their doubles; 'katbb'..'katzz' drop one).
     if (
         len(word) >= 2
         and word[-1] == word[-2]
-        and word[-1] not in VOWELS
+        and word[-1] in "bcdfghjklmnpqrstvwxz"
         and len(word) - 1 >= r1
     ):
         word = word[:-1]

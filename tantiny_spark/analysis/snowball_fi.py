@@ -135,7 +135,14 @@ def stem(word: str) -> str:
         elif kind == "del":
             word, step3_removed = base, True
         elif kind == "cv":
-            if len(base) >= 2 and base[-1] in VOWELS and base[-2] not in VOWELS:
+            # the 'consonant' leg is the explicit ASCII grouping (same as
+            # tidy): 'dqxeçqâöa' keeps its final a in the compiled oracle
+            # because 'â' is not a grouping member
+            if (
+                len(base) >= 2
+                and base[-1] in VOWELS
+                and base[-2] in set("bcdfghjklmnpqrstvwxz")
+            ):
                 word, step3_removed = base, True
         elif kind == "n":
             word = base
@@ -170,6 +177,12 @@ def stem(word: str) -> str:
                 word = word[:-3]
 
     # --- step 6: tidy --------------------------------------------------------------
+    # the consonant tests here are an explicit ASCII grouping, NOT
+    # "anything that isn't a vowel": the compiled oracle keeps 'abçe',
+    # 'abğe', 'ab9e', 'katajéé', 'katajçç' unchanged (ç/ğ/digits are
+    # neither vowels nor grouping members), while 'abce'→'abc' and
+    # 'katajbb'→'katajb' strip — mixed-language web tokens hit this class
+    _C = set("bcdfghjklmnpqrstvwxz")
     r1, r2 = _regions(word)
     if _in_r(word, word[-2:], r1) and word[-2:] in _LONG_VOWELS:
         word = word[:-1]
@@ -178,7 +191,7 @@ def stem(word: str) -> str:
     if (
         len(word) >= 2
         and word[-1] in set("aäei")
-        and word[-2] not in VOWELS
+        and word[-2] in _C
         and len(word) - 2 >= r1
     ):
         word = word[:-1]
@@ -186,10 +199,10 @@ def stem(word: str) -> str:
         word = word[:-1]
     if _in_r(word, "jo", r1):
         word = word[:-1]
-    # undouble: final double consonant followed by zero or more vowels
+    # undouble: final double grouping-consonant followed by zero or more vowels
     i = len(word) - 1
     while i >= 0 and word[i] in VOWELS:
         i -= 1
-    if i >= 1 and word[i] not in VOWELS and word[i - 1] == word[i]:
+    if i >= 1 and word[i] in _C and word[i - 1] == word[i]:
         word = word[:i] + word[i + 1 :]
     return word

@@ -32,24 +32,41 @@ def _prelude(word: str) -> str:
 
 
 def _regions(word: str) -> tuple[int, int]:
+    """R1/R2 as BYTE positions. The compiled Snowball stemmer's cursor is a
+    UTF-8 byte offset, and Dutch's minimum-region rule is the literal
+    ``$p1 < 3  $p1 = 3`` — three BYTES, not three letters. For native Dutch
+    words (pure ASCII after the prelude fold) bytes == letters, but
+    out-of-alphabet multibyte characters (mixed-language web tokens) shift
+    the region start: 'eås' has p1 = 3 bytes = after 'eå', so the final 's'
+    IS in R1 and strips — verified against the compiled oracle."""
+
     def is_v(i):
         return word[i] in VOWELS
 
-    r1 = len(word)
-    for i in range(1, len(word)):
+    n = len(word)
+    # cumulative UTF-8 byte offset of each char position 0..n
+    off = [0] * (n + 1)
+    for i, ch in enumerate(word):
+        off[i + 1] = off[i] + len(ch.encode("utf-8"))
+
+    r1 = n
+    for i in range(1, n):
         if not is_v(i) and is_v(i - 1):
             r1 = i + 1
             break
-    r2 = len(word)
-    for i in range(r1 + 1, len(word)):
+    r2 = n
+    for i in range(r1 + 1, n):
         if not is_v(i) and is_v(i - 1):
             r2 = i + 1
             break
-    return max(r1, 3), r2
+    return max(off[r1], 3), off[r2]
 
 
-def _in_r(word: str, suffix: str, r: int) -> bool:
-    return word.endswith(suffix) and len(word) - len(suffix) >= r
+def _in_r(word: str, suffix: str, r_bytes: int) -> bool:
+    if not word.endswith(suffix):
+        return False
+    start = word[: len(word) - len(suffix)]
+    return len(start.encode("utf-8")) >= r_bytes
 
 
 def _undouble(word: str) -> str:
