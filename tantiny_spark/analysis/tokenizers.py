@@ -84,9 +84,22 @@ _STEMMERS = {
 }
 
 
+def _lowercase(t: str) -> str:
+    """Char-wise lowercase, matching Tantivy's LowerCaser (per-char
+    ``char::to_lowercase``): Python's str.lower() applies the Unicode
+    Final_Sigma context rule ('ΚΟΣΜΟΣ' → 'κοσμος'), the Rust char-wise
+    conversion does not ('κοσμοσ') — Greek tokens must match the
+    reference's. Only tokens containing 'Σ' can differ (Final_Sigma is the
+    sole context-dependent rule in default case conversion), so the slow
+    path is gated on it."""
+    if "Σ" in t:
+        return "".join(c.lower() for c in t)
+    return t.lower()
+
+
 def _simple_terms(text: str) -> list[str]:
     return [
-        t.lower()
+        _lowercase(t)
         for t in _TOKEN_RE.findall(text)
         if len(t.encode("utf-8")) < _MAX_TOKEN_BYTES
     ]

@@ -135,3 +135,15 @@ def test_word_char_class_is_positive_and_pinned():
         ("Ⓐ", True),   # circled A (So, Other_Alphabetic)
     ]:
         assert bool(pat.match(ch)) == ok, hex(ord(ch))
+
+
+def test_lowercase_is_charwise_like_rust():
+    """Tantivy's LowerCaser lowercases per char (char::to_lowercase), so
+    the Unicode Final_Sigma rule does NOT apply: word-final Greek Σ becomes
+    σ, not ς. Python's str.lower() is context-sensitive — the tokenizer
+    must use the char-wise conversion to emit the reference's terms."""
+    t = Tokenizer.new("simple")
+    assert t.terms("ΚΟΣΜΟΣ") == ["κοσμοσ"]  # NOT κοσμος
+    assert t.terms("κοσμος") == ["κοσμος"]  # pre-lowered ς passes through
+    # 1:M expansions match (İ → i + combining dot above)
+    assert t.terms("İzmir x") == ["i̇zmir", "x"]
