@@ -72,8 +72,12 @@ _STEP0 = sorted(
         ("ul", "", None), ("ului", "", None),
         ("aua", "a", None),
         ("ea", "e", None), ("ele", "e", None), ("elor", "e", None),
+        # NOTE: no bare 'ia' entry — the published step 0 replaces only
+        # ii/iua/iei/iile/iilor/ilor with 'i'; a '-Cia' word instead loses
+        # just its final 'a' to the vowel-suffix step ('nabia' → 'nabi',
+        # oracle-verified; an extra 'ia'→'i' rule here cascaded into
+        # deleting the new 'i' too)
         ("ii", "i", None), ("iua", "i", None), ("iei", "i", None),
-        ("ia", "i", None),
         ("iile", "i", None), ("iilor", "i", None), ("ilor", "i", None),
         ("ile", "i", "not_ab"),
         ("atei", "at", None),
@@ -116,7 +120,10 @@ _STEP2_IST = ("işti", "isme", "ista", "iste", "isti", "istă", "ism", "ist")
 
 # step 3: verb suffixes in RV
 _STEP3_COND = sorted(  # delete if preceded (in RV) by a consonant or u
-    ("are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
+    ("ia",  # '-Cia' words verb-strip when the C sits inside RV
+           # ('zootia'→'zoot') but keep the i when it doesn't
+           # ('nabia'→'nabi') — derived against the compiled oracle
+     "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
      "ească", "ez", "ezi", "ează", "esc", "eşti", "eşte", "ăsc", "ăşti",
      "ăşte", "am", "ai", "au", "eam", "eai", "eau", "iam", "iai", "iau",
      "ui", "aşi", "arăm", "arăţi", "ară", "uşi", "urăm", "urăţi", "ură",
