@@ -22,11 +22,14 @@ from __future__ import annotations
 
 # tashkeel (U+064B..U+0652) and tatweel (U+0640)
 _STRIP = set("ًٌٍَُِّّْـ")
-_FOLD = {"ک": "ك", "ی": "ي"}  # Farsi kaf/yeh -> Arabic
+# NOTE: the compiled algorithm does NOT fold Farsi kaf/yeh (ک/ی) to their
+# Arabic forms — they pass through untouched while surrounding affixes
+# still strip ('کتابهم' → 'کتاب', oracle-verified); an earlier fold here
+# diverged on every Farsi-letter token.
 
 
 def _normalize_pre(w: str) -> str:
-    return "".join(_FOLD.get(c, c) for c in w if c not in _STRIP)
+    return "".join(c for c in w if c not in _STRIP)
 
 
 def _normalize_post(w: str) -> str:

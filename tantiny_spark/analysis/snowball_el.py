@@ -219,7 +219,11 @@ def stem(word: str) -> str:
     if s:
         word = word[: -len(s)]
         test1 = False
-        if _eq(word, S9_EXC):
+        # equality exceptions PLUS an ends-with pair (ε / παιχν) — the
+        # compiled object carries a second among ['ε','παιχν'] for this
+        # rule: 'φειδιο' → 'φειδ', 'ξπαιχνιδια' → 'ξπαιχνιδ', while
+        # 'κολοιδιο' (ends-with ολο but not equal) stays 'κολο'
+        if _eq(word, S9_EXC) or _ends(word, ("ε", "παιχν")):
             word += "ιδ"
     s = _suf(word, S10_SUF)
     if s:

@@ -87,6 +87,7 @@ _STEP1_DELETE_R2 = sorted(
 
 _STEP2_VERB = sorted(
     ("ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+     "emmo", "enda", "ende", "endi", "endo",
      "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano", "avate",
      "avi", "avo", "erà", "erai", "eranno", "ere", "erebbe", "erebbero",
      "erei", "eremmo", "eremo", "ereste", "eresti", "erete", "erò",
@@ -128,41 +129,28 @@ def stem(word: str) -> str:
     before = word
 
     # --- step 1: standard suffix removal ------------------------------------
+    # among COMMIT semantics: the longest suffix matching BY STRING wins;
+    # if its region condition then fails, step 1 removes NOTHING — there is
+    # no fallback to a shorter suffix ('zumbratrice' keeps 'atrice' when it
+    # falls outside R2; the old fallback wrongly stripped 'ice').
+    cands = (
+        [(suf, "del", r2) for suf in _STEP1_DELETE_R2]
+        + [(suf, "azion", r2) for suf in ("azione", "azioni", "atore", "atori")]
+        + [(suf, "log", r2) for suf in ("logia", "logie")]
+        + [(suf, "u", r2) for suf in ("uzione", "uzioni", "usione", "usioni")]
+        + [(suf, "ente", r2) for suf in ("enza", "enze")]
+        + [("amente", "amente", r1)]
+        + [(suf, "del", rv) for suf in ("amento", "amenti", "imento", "imenti")]
+        + [("ità", "ita", r2)]
+        + [(suf, "iv", r2) for suf in ("ivo", "ivi", "iva", "ive")]
+    )
     best = None
+    for suf, action, region in cands:
+        if word.endswith(suf) and (best is None or len(suf) > len(best[0])):
+            best = (suf, action, region)
 
-    def consider(suf, action):
-        nonlocal best
-        if best is None or len(suf) > best[0]:
-            best = (len(suf), suf, action)
-
-    for suf in _STEP1_DELETE_R2:
-        if _in_r(word, suf, r2):
-            consider(suf, "del")
-    for suf in ("azione", "azioni", "atore", "atori"):
-        if _in_r(word, suf, r2):
-            consider(suf, "azion")
-    for suf in ("logia", "logie"):
-        if _in_r(word, suf, r2):
-            consider(suf, "log")
-    for suf in ("uzione", "uzioni", "usione", "usioni"):
-        if _in_r(word, suf, r2):
-            consider(suf, "u")
-    for suf in ("enza", "enze"):
-        if _in_r(word, suf, r2):
-            consider(suf, "ente")
-    if _in_r(word, "amente", r1):
-        consider("amente", "amente")
-    for suf in ("amento", "amenti", "imento", "imenti"):
-        if _in_r(word, suf, rv):
-            consider(suf, "del")
-    if _in_r(word, "ità", r2):
-        consider("ità", "ita")
-    for suf in ("ivo", "ivi", "iva", "ive"):
-        if _in_r(word, suf, r2):
-            consider(suf, "iv")
-
-    if best is not None:
-        _, suf, action = best
+    if best is not None and len(word) - len(best[0]) >= best[2]:
+        suf, action, _region = best
         if action == "del":
             word = word[: -len(suf)]
         elif action == "azion":

@@ -120,9 +120,12 @@ _STEP2_IST = ("işti", "isme", "ista", "iste", "isti", "istă", "ism", "ist")
 
 # step 3: verb suffixes in RV
 _STEP3_COND = sorted(  # delete if preceded (in RV) by a consonant or u
-    ("ia",  # '-Cia' words verb-strip when the C sits inside RV
-           # ('zootia'→'zoot') but keep the i when it doesn't
-           # ('nabia'→'nabi') — derived against the compiled oracle
+    ("ia", "ea",  # imperfect/gerund-adjacent endings: conditional entries
+     # that also SHADOW shorter unconditional ones via longest-match —
+     # 'bruaeaţi' matches 'eaţi' (cond, vowel-preceded → fail → nothing),
+     # never the unconditional 'aţi' (verb among extracted from the
+     # compiled object, result code 1 = conditional / 2 = unconditional)
+     "eaţi", "iaţi",
      "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
      "ească", "ez", "ezi", "ează", "esc", "eşti", "eşte", "ăsc", "ăşti",
      "ăşte", "am", "ai", "au", "eam", "eai", "eau", "iam", "iai", "iau",
@@ -148,48 +151,54 @@ def stem(word: str) -> str:
     word = _prelude(word)
     rv, r1, r2 = _regions(word)
 
-    # --- step 0: plurals ------------------------------------------------------
+    # --- step 0: plurals (among COMMIT: longest by string, then R1+cond) ------
     for suf, rep, cond in _STEP0:
-        if _in_r(word, suf, r1):
-            if cond == "not_ab" and word[: -len(suf)].endswith("ab"):
-                break
-            word = word[: -len(suf)] + rep
+        if word.endswith(suf):
+            if _in_r(word, suf, r1) and not (
+                cond == "not_ab" and word[: -len(suf)].endswith("ab")
+            ):
+                word = word[: -len(suf)] + rep
             break
 
-    # --- step 1: combining suffixes (repeat) -----------------------------------
+    # --- step 1: combining suffixes (repeat; each pass commits on the
+    # longest STRING match — if its R1 check fails nothing shorter is tried)
     changed_any = False
     while True:
+        best1 = None
         for suf, rep in _STEP1:
-            if _in_r(word, suf, r1):
-                word = word[: -len(suf)] + rep
-                changed_any = True
-                break
-        else:
+            if word.endswith(suf) and (best1 is None or len(suf) > len(best1[0])):
+                best1 = (suf, rep)
+        if best1 is None or not _in_r(word, best1[0], r1):
             break
+        word = word[: -len(best1[0])] + best1[1]
+        changed_any = True
 
-    # --- step 2: standard suffixes ----------------------------------------------
+    # --- step 2: standard suffixes (commit-on-longest; a longest match
+    # whose R2/ţ condition fails removes NOTHING — 'aicitate' keeps itself
+    # rather than falling back to 'ate', oracle-verified) -----------------------
     step2_done = False
     best = None
     for suf in _STEP2_DELETE:
-        if _in_r(word, suf, r2) and (best is None or len(suf) > len(best[0])):
+        if word.endswith(suf) and (best is None or len(suf) > len(best[0])):
             best = (suf, "del")
     for suf in ("iune", "iuni"):
-        if _in_r(word, suf, r2) and word[: -len(suf)].endswith("ţ") and (
-            best is None or len(suf) > len(best[0])
-        ):
+        if word.endswith(suf) and (best is None or len(suf) > len(best[0])):
             best = (suf, "tiune")
     for suf in _STEP2_IST:
-        if _in_r(word, suf, r2) and (best is None or len(suf) > len(best[0])):
+        if word.endswith(suf) and (best is None or len(suf) > len(best[0])):
             best = (suf, "ist")
-    if best is not None:
+    if best is not None and _in_r(word, best[0], r2):
         suf, act = best
         if act == "del":
             word = word[: -len(suf)]
+            step2_done = True
         elif act == "tiune":
-            word = word[: -len(suf) - 1] + "t"
+            if word[: -len(suf)].endswith("ţ"):
+                word = word[: -len(suf) - 1] + "t"
+                step2_done = True
         else:
             word = word[: -len(suf)] + "ist"
-        step2_done = True
+            step2_done = True
 
     # --- step 3: verb suffixes (only if steps 1 and 2 removed nothing) ----------
     if not changed_any and not step2_done:

@@ -46,7 +46,10 @@ SIGNS8 = "ாிீுூெேை"  # vowel signs that absorb a following viram
 C6 = "கசடதபற"  # vallinam (hard) consonants
 C10 = "கசதவநபமயஙஞ"  # consonants forming question/pronoun prefixes
 VOWELS12 = "அஆஇஈஉஊஎஏஐஒஓஔ"
-CONSONANTS = set("கஙசஞஜடணதநனபமயரறலளழவஶஷஸஹ")
+# Tamil-proper consonants: the compiled oracle's cluster-rule grouping
+# EXCLUDES the Grantha letters (ஜ ஶ ஷ ஸ ஹ) — 'எசஈ்ஸ்' keeps its ஸ்
+# while the same shape with க..வ strips (probe-verified per letter)
+CONSONANTS = set("கஙசஞடணதநனபமயரறலளழவ")
 SINGLES = "னபகதய"  # single-consonant tense deletions (வ is a fix rule)
 
 
@@ -117,7 +120,10 @@ _COMMON_TO_VIRAMA = (
 )
 _COMMON_DELETE = tuple(
     sorted(
-        ("படிதான", "பட்டது", "ெல்லாம்", "கொண்டிர்", "பட்டண", "பட்டு",
+        # NOT 'கொண்டிர்': it is a TENSE suffix only — as a common ending it
+        # would expose the stem to the vetrumai step ('அபில்கொண்டிர்' would
+        # over-strip to 'அப்'; the oracle keeps 'அபில்')
+        ("படிதான", "பட்டது", "ெல்லாம்", "பட்டண", "பட்டு",
          "விட்டு", "பட்ட", "தான", "படி", "பற்றி", "விடு", "படு"),
         key=len,
         reverse=True,
