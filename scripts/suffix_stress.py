@@ -9,6 +9,14 @@ test (its own suffix tables) and generates words as short-stem + suffix
 boundaries and rule interactions.
 
 Usage: python scripts/suffix_stress.py [lang ...]   (default: all)
+
+Known residual (documented, not chased): the compiled GREEK stemmer
+exhibits stale-slice artifacts on ~2-in-40k nonsense words ('γιανε' →
+'γαναν', 'αγαμειζαμε' → 'αγαμεαγαμ' — the replacement region from a
+failed earlier step leaks into a later <- command; verified identical in
+the independent PostgreSQL build, and no among table contains these
+outputs). Emulating the cursor state machine for these would add
+complexity with no real-text benefit; every real suffix family matches.
 """
 
 from __future__ import annotations

@@ -132,6 +132,13 @@ def stem(word: str) -> str:
         elif kind == "e":
             if base.endswith("e"):
                 word, step3_removed = base, True
+            # COMMIT either way: 'tta'/'ttä' carry a switch-style condition
+            # (result code in the compiled among), so failure means the
+            # whole case-ending step does nothing — it must NOT fall back
+            # to 'ta'/'tä' ('yttta' → tidy-only → 'ytt', oracle-verified);
+            # only the FUNCTION-condition entries (siin/tten/den/seen)
+            # retry their substring chain (→ 'n', the 'kaliden' case)
+            break
         elif kind == "del":
             word, step3_removed = base, True
         elif kind == "cv":

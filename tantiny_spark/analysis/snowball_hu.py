@@ -20,8 +20,11 @@ VOWELS = set("aáeéiíoóöőuúüű")
 
 # consonant digraphs recognized when locating the R1 boundary (note: 'dzs'
 # but no bare 'dz', per the compiled tables)
-_DIGRAPHS = ("ccs", "dzs", "ggy", "lly", "nny", "ssz", "tty", "zzs",
-             "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+# mark_regions digraphs are the PLAIN list only (published spec: cs dz
+# dzs gy ly ny sz ty zs) — the doubled forms (ccs/zzs/...) belong to the
+# undouble among, NOT here; including them shifted R1 right and blocked
+# e.g. the -stül strip on 'ezzstülra' (oracle-verified)
+_DIGRAPHS = ("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
 
 _DOUBLES = ("bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk", "ll",
             "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz", "tt", "tty",
