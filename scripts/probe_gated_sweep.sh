@@ -16,22 +16,29 @@ TRIES=${1:-6}
 NAP=${2:-480}
 
 probe() {
-  python - <<'EOF'
+  python - <<'PYEOF'
 import time, sys
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[8]")
   .config("spark.ui.enabled","false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
+# 5 uncounted warmup trials: the first jobs of a fresh JVM pay one-time JIT/
+# codegen compilation (3-4 s trial 1 even on an idle host) — that is probe
+# overhead, not host degradation. The stall signature this gate exists to
+# catch is steady-state: p90 of 2.8-9.1 s across the WHOLE window
+# (BENCH/BASELINE.md round-2 addendum) vs ~0.15 s p50 healthy.
+for _ in range(5):
+    spark.range(100).count()
 lat = []
 for i in range(30):
     t0 = time.time(); spark.range(100).count(); lat.append(time.time()-t0)
 spark.stop()
 lat.sort()
 p90, mx = lat[26], lat[-1]
-print(f"FAST p90={p90*1e3:.0f}ms max={mx*1e3:.0f}ms" if p90 < 0.25 and mx < 1.0
+print(f"FAST p90={p90*1e3:.0f}ms max={mx*1e3:.0f}ms" if p90 < 0.3 and mx < 1.0
       else f"SLOW p90={p90*1e3:.0f}ms max={mx*1e3:.0f}ms")
-EOF
+PYEOF
 }
 
 for try in $(seq 1 "$TRIES"); do
