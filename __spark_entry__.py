@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tantiny_spark import scoring
-from tantiny_spark.pipeline import dedup, similarity, textstats, webtext
+from tantiny_spark.pipeline import dedup, similarity, textstats, webclean, webtext
 
 K1, B = scoring.K1, scoring.B
 
@@ -405,6 +405,83 @@ def q_extract_text(spark, sf_dir):
     )
 
 
+def _lined_docs(spark, sf_dir):
+    """Deterministic multi-line variant of the corpus: every ' the ' becomes
+    a newline, so Zipfian repetition creates lines shared across documents —
+    the input shape of CCNet-style boilerplate-line removal. The identical
+    literal replace runs in the oracle (non-overlapping left-to-right scan
+    in both engines)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+
+
+_SQL_LINED = "SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents"
+
+
+def q_boilerplate(spark, sf_dir):
+    """CCNet-style boilerplate line removal (webclean.remove_boilerplate_lines):
+    lines whose normalized form appears in >= 3 distinct docs drop from every
+    doc; surviving lines keep their order. Shape: posexplode -> line-df
+    groupBy -> left_anti join -> per-doc reassembly (no per-doc broadcast,
+    no collect)."""
+    out = webclean.remove_boilerplate_lines(
+        _lined_docs(spark, sf_dir), min_df=3
+    )
+    return out.select("doc_id", "clean_text")
+
+
+def q_gopher_quality(spark, sf_dir):
+    """The published Gopher quality heuristics (Rae et al. 2021 A1.1) as
+    pure-JVM flags: word count, mean word length, symbol ratio, bullet /
+    ellipsis line fractions, alphabetic-word fraction, stopword hits."""
+    out = webclean.with_gopher_flags(_lined_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "ellipsis_line_frac", "bullet_line_frac", "alpha_word_frac",
+        "stopword_hits", "gopher_pass",
+    )
+
+
+def _messy_urls(spark, sf_dir):
+    """Deterministic crawl-frontier URLs with the canonicalization hazards:
+    mixed-case scheme/host, explicit default port, tracking parameters,
+    unsorted query, trailing-slash variants, fragments. The (doc_id % 50,
+    doc_id % 40) key repeats every lcm = 200 ids, so re-crawl duplicates are
+    genuine (n_dups 2-3 at sf0.01)."""
+    d = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Site"), (d % 50).cast("string"),
+            F.lit(".Example.com:443/page/"), (d % 40).cast("string"),
+            F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=feed&b=2&a=1"),
+            F.when(d % 2 == 0, F.lit("&gclid=xyz")).otherwise(F.lit("")),
+            F.lit("#frag"), (d % 4).cast("string"),
+        ).alias("url"),
+    )
+
+
+_SQL_MESSY_URLS = """
+SELECT doc_id,
+       'HTTPS://Site' || (doc_id % 50)::VARCHAR || '.Example.com:443/page/'
+       || (doc_id % 40)::VARCHAR
+       || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+       || '?utm_source=feed&b=2&a=1'
+       || CASE WHEN doc_id % 2 = 0 THEN '&gclid=xyz' ELSE '' END
+       || '#frag' || (doc_id % 4)::VARCHAR AS url
+FROM documents
+"""
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + exact dedup (webclean.url_dedup): lowercase
+    scheme/host, strip :443, drop utm_*/gclid, sort params, trim trailing
+    slash, strip fragment — then one groupBy keeping the smallest raw url."""
+    return webclean.url_dedup(_messy_urls(spark, sf_dir))
+
+
 def q_lang_dist(spark, sf_dir):
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n_docs"))
 
@@ -763,6 +840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "winnow": q_winnow,
         "extract_text": q_extract_text,
+        "boilerplate": q_boilerplate,
+        "gopher_quality": q_gopher_quality,
+        "url_dedup": q_url_dedup,
         "lang_dist": q_lang_dist,
         "events_hourly": q_events_hourly,
         "knn_join": q_knn_join,
@@ -1088,6 +1168,19 @@ SELECT doc_id, unnest(fps) AS fp FROM wins
 WITH pages AS (SELECT doc_id, {webtext.wrap_sql('text')} AS html, text FROM documents),
 ext AS (SELECT doc_id, {webtext.extract_sql('html')} AS extracted, text FROM pages)
 SELECT doc_id, extracted, (extracted = text) AS byte_identical FROM ext
+"""
+
+    sqls["boilerplate"] = webclean.boilerplate_sql(
+        min_df=3, table=f"({_SQL_LINED})"
+    )
+
+    sqls["gopher_quality"] = webclean.gopher_sql(table=f"({_SQL_LINED})")
+
+    sqls["url_dedup"] = f"""
+WITH u AS ({_SQL_MESSY_URLS}),
+c AS (SELECT url, {webclean.canonical_url_sql('url')} AS canon_url FROM u)
+SELECT canon_url, count(*) AS n_dups, min(url) AS representative_url
+FROM c GROUP BY canon_url
 """
 
     sqls["lang_dist"] = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"

@@ -1,0 +1,396 @@
+"""Web-corpus cleaning operators for large-scale training-data pipelines.
+
+Three stages every Common-Crawl-scale text pipeline runs between raw
+extraction (pipeline/webtext.py) and dedup/indexing, all pure JVM column
+expressions (zero Python, whole-stage codegen, linear in executors):
+
+- **boilerplate line removal** (CCNet-style paragraph dedup, Wenzek et al.
+  2020): drop every line whose normalized form appears in >= ``min_df``
+  distinct documents — nav bars, cookie banners, footers repeat across a
+  site's pages, body text does not. Distributed shape: posexplode (narrow)
+  -> line-hash groupBy for doc-frequency (shuffle 1, partial-aggregated)
+  -> left_anti join of lines against boilerplate keys (shuffle 2, AQE may
+  broadcast when the boilerplate set is small) -> per-doc reassembly
+  groupBy (shuffle 3). No per-doc or per-line table is ever collected or
+  force-broadcast; skew is bounded because the df-count groupBy key is the
+  line hash (Zipfian head lines produce large *counts*, not large groups,
+  thanks to partial aggregation).
+
+- **Gopher quality flags** (the published heuristics of Rae et al. 2021,
+  "Scaling Language Models: ... Gopher", appendix A1.1): word count /
+  mean word length / symbol-to-word ratio / bullet- and ellipsis-line
+  fractions / alphabetic-word fraction / stopword count, each as a flag
+  column plus the conjunction ``gopher_pass``. Pure column arithmetic.
+
+- **URL canonicalization + dedup**: scheme/host lowercasing, default-port
+  and fragment stripping, tracking-parameter removal (utm_*, gclid,
+  fbclid, ref), query-parameter sort, trailing-slash trim — then exact
+  dedup on the canonical form keeping the lexicographically-smallest raw
+  url (deterministic representative). Re-crawls and tracking-tagged
+  shares of the same page collapse to one row before expensive content
+  dedup runs.
+
+Every operator is dialect-pinned the same way as pipeline/webtext.py: the
+expressions use only the Java-regex ∩ RE2 ∩ DuckDB common subset, so the
+DuckDB oracle (`*_sql` helpers used by __spark_entry__.py) reproduces the
+output bit-for-bit (contract rows ``boilerplate``, ``gopher_quality``,
+``url_dedup``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# boilerplate line removal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def line_key(line: Column) -> Column:
+    """Normalized line identity: md5 of the trimmed, lowercased line."""
+    return F.md5(F.trim(F.lower(line)))
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    out: str = "clean_text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Drop every non-blank line whose normalized form occurs in >= min_df
+    distinct documents (ALL copies drop, CCNet semantics), preserving the
+    order of surviving lines. Documents whose lines are all boilerplate
+    survive with ``out = ''`` (the caller filters empties if desired).
+
+    Returns ``df``'s columns plus ``out``.
+    """
+    lines = df.select(
+        id_col, F.posexplode(F.split(F.col(text), "\n")).alias("pos", "line")
+    ).withColumn("lk", line_key(F.col("line")))
+
+    boiler = (
+        lines.where(F.trim("line") != "")
+        .groupBy("lk")
+        .agg(F.count_distinct(id_col).alias("line_df"))
+        .where(F.col("line_df") >= min_df)
+        .select("lk")
+    )
+
+    kept = lines.join(boiler, "lk", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(out)
+    )
+    return df.join(rebuilt, id_col, "left").withColumn(
+        out, F.coalesce(F.col(out), F.lit(""))
+    )
+
+
+def boilerplate_sql(min_df: int = 2, table: str = "documents") -> str:
+    """DuckDB oracle for remove_boilerplate_lines over (doc_id, text)."""
+    return f"""
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM {table}
+),
+keyed AS (
+  SELECT doc_id, pos, line, md5(trim(lower(line))) AS lk FROM lines
+),
+boiler AS (
+  SELECT lk FROM keyed WHERE trim(line) <> ''
+  GROUP BY lk HAVING count(DISTINCT doc_id) >= {min_df}
+),
+kept AS (
+  SELECT * FROM keyed WHERE lk NOT IN (SELECT lk FROM boiler)
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS clean_text
+FROM {table} d LEFT JOIN kept k ON d.doc_id = k.doc_id
+GROUP BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality flags (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+
+# the paper's "must contain at least 2 of" stopword list
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# flag thresholds, as published
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MEAN_LEN, MAX_MEAN_LEN = 3.0, 10.0
+MAX_SYMBOL_RATIO = 0.1
+MAX_ELLIPSIS_LINE_FRAC = 0.3
+MAX_BULLET_LINE_FRAC = 0.9
+MIN_ALPHA_WORD_FRAC = 0.8
+MIN_STOPWORD_HITS = 2
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    """Occurrences of a literal substring, as codegen'd length arithmetic."""
+    delta = F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))
+    return (delta / len(needle)).cast("long")
+
+
+def with_gopher_flags(df: DataFrame, text: str = "text") -> DataFrame:
+    """Append the Gopher quality metrics and flags:
+
+    n_words, mean_word_len, symbol_ratio, ellipsis_line_frac,
+    bullet_line_frac, alpha_word_frac, stopword_hits, and booleans
+    g_word_count / g_mean_len / g_symbol / g_ellipsis / g_bullet / g_alpha /
+    g_stop plus their conjunction gopher_pass.
+
+    Words split on whitespace runs; lines split on newline. All pure JVM.
+    """
+    col = F.coalesce(F.col(text), F.lit(""))
+    words = F.filter(F.split(col, r"[ \t\r\n]+"), lambda w: w != "")
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    d = df.withColumn("__w", words).withColumn("__l", lines)
+
+    n_words = F.size("__w")
+    n_lines = F.size("__l")
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate("__w", F.lit(0), lambda a, w: a + F.length(w))
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    # Gopher's symbol set: '#' and ellipsis ('…' or '...')
+    n_symbols = (
+        _count_occurrences(col, "#")
+        + _count_occurrences(col, "…")
+        + _count_occurrences(F.replace(col, F.lit("…"), F.lit("")), "...")
+    )
+    symbol_ratio = F.when(
+        n_words > 0, n_symbols / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                F.col("__l"),
+                lambda l: l.endswith("...") | l.endswith("…"),
+            )
+        )
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                F.col("__l"),
+                lambda l: l.startswith("- ")
+                | l.startswith("* ")
+                | l.startswith("•"),
+            )
+        )
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(F.col("__w"), lambda w: w.rlike("[A-Za-z]")))
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    lowered = F.filter(
+        F.split(F.lower(col), r"[^0-9a-z]+"), lambda w: w != ""
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(lowered), stop_arr))
+
+    d = (
+        d.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_len, 6))
+        .withColumn("symbol_ratio", F.round(symbol_ratio, 6))
+        .withColumn("ellipsis_line_frac", F.round(ellipsis_frac, 6))
+        .withColumn("bullet_line_frac", F.round(bullet_frac, 6))
+        .withColumn("alpha_word_frac", F.round(alpha_frac, 6))
+        .withColumn("stopword_hits", stop_hits)
+    )
+    d = (
+        d.withColumn(
+            "g_word_count",
+            (F.col("n_words") >= MIN_WORDS) & (F.col("n_words") <= MAX_WORDS),
+        )
+        .withColumn(
+            "g_mean_len",
+            (F.col("mean_word_len") >= MIN_MEAN_LEN)
+            & (F.col("mean_word_len") <= MAX_MEAN_LEN),
+        )
+        .withColumn("g_symbol", F.col("symbol_ratio") <= MAX_SYMBOL_RATIO)
+        .withColumn(
+            "g_ellipsis", F.col("ellipsis_line_frac") <= MAX_ELLIPSIS_LINE_FRAC
+        )
+        .withColumn("g_bullet", F.col("bullet_line_frac") <= MAX_BULLET_LINE_FRAC)
+        .withColumn("g_alpha", F.col("alpha_word_frac") >= MIN_ALPHA_WORD_FRAC)
+        .withColumn("g_stop", F.col("stopword_hits") >= MIN_STOPWORD_HITS)
+    )
+    return d.withColumn(
+        "gopher_pass",
+        F.col("g_word_count")
+        & F.col("g_mean_len")
+        & F.col("g_symbol")
+        & F.col("g_ellipsis")
+        & F.col("g_bullet")
+        & F.col("g_alpha")
+        & F.col("g_stop"),
+    ).drop("__w", "__l")
+
+
+def gopher_sql(table: str = "documents", text: str = "text") -> str:
+    """DuckDB oracle for with_gopher_flags metrics (doc_id keyed)."""
+    col = f"coalesce({text}, '')"
+    words = f"list_filter(regexp_split_to_array({col}, '[ \\t\\r\\n]+'), w -> w <> '')"
+    lines = (
+        f"list_filter(list_transform(string_split({col}, chr(10)), l -> trim(l)),"
+        " l -> l <> '')"
+    )
+    nsym = (
+        f"((length({col}) - length(replace({col}, '#', '')))"
+        f" + (length({col}) - length(replace({col}, '…', '')))"
+        f" + (length(replace({col}, '…', ''))"
+        f"    - length(replace(replace({col}, '…', ''), '...', ''))) / 3)"
+    )
+    lowered = f"list_filter(regexp_split_to_array(lower({col}), '[^0-9a-z]+'), w -> w <> '')"
+    stop_list = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {words} AS w, {lines} AS l, {nsym}::BIGINT AS nsym,
+         {lowered} AS lw
+  FROM {table}
+),
+m AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    CASE WHEN len(w) > 0 THEN round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6) ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(w) > 0 THEN round(nsym::DOUBLE / len(w), 6) ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN len(l) > 0 THEN round(len(list_filter(l, x -> x LIKE '%...' OR x LIKE '%…'))::DOUBLE / len(l), 6) ELSE 0.0 END AS ellipsis_line_frac,
+    CASE WHEN len(l) > 0 THEN round(len(list_filter(l, x -> x LIKE '- %' OR x LIKE '* %' OR x LIKE '•%'))::DOUBLE / len(l), 6) ELSE 0.0 END AS bullet_line_frac,
+    CASE WHEN len(w) > 0 THEN round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w), 6) ELSE 0.0 END AS alpha_word_frac,
+    len(list_intersect(list_distinct(lw), {stop_list})) AS stopword_hits
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, ellipsis_line_frac,
+       bullet_line_frac, alpha_word_frac, stopword_hits,
+       (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}
+        AND mean_word_len >= {MIN_MEAN_LEN} AND mean_word_len <= {MAX_MEAN_LEN}
+        AND symbol_ratio <= {MAX_SYMBOL_RATIO}
+        AND ellipsis_line_frac <= {MAX_ELLIPSIS_LINE_FRAC}
+        AND bullet_line_frac <= {MAX_BULLET_LINE_FRAC}
+        AND alpha_word_frac >= {MIN_ALPHA_WORD_FRAC}
+        AND stopword_hits >= {MIN_STOPWORD_HITS}) AS gopher_pass
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup
+# ---------------------------------------------------------------------------
+
+# tracking parameters dropped during canonicalization (lowercase-compared)
+TRACKING_PARAM_RE = r"^(utm_[0-9a-z_]*|gclid|fbclid|ref|mc_cid|mc_eid)="
+
+
+def canonical_url(url: str | Column = "url") -> Column:
+    """Canonical form of an http(s) URL, as one JVM expression chain:
+
+    1. fragment stripped;
+    2. scheme + authority lowercased (path/query case preserved);
+    3. default port stripped (``:80`` for http, ``:443`` for https);
+    4. tracking query parameters dropped (TRACKING_PARAM_RE, matched on the
+       lowercased parameter), remaining parameters sorted bytewise, ``?``
+       dropped when nothing survives;
+    5. one trailing ``/`` trimmed from a non-root path.
+    """
+    col = F.col(url) if isinstance(url, str) else url
+    col = F.regexp_replace(col, "#.*", "")  # 1. fragment
+
+    head = F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(col, F.length(head) + 1, F.length(col))
+    head = F.lower(head)  # 2. scheme+authority case
+    head = F.when(  # 3. default ports
+        head.startswith("http://") & head.endswith(":80"),
+        F.substring(head, F.lit(1), F.length(head) - 3),
+    ).when(
+        head.startswith("https://") & head.endswith(":443"),
+        F.substring(head, F.lit(1), F.length(head) - 4),
+    ).otherwise(head)
+
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.when(
+        F.length(rest) > F.length(path),
+        F.substring(rest, F.length(path) + 2, F.length(rest)),
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~F.lower(p).rlike(TRACKING_PARAM_RE),
+    )
+    query = F.array_join(F.array_sort(params), "&")  # 4. sort survivors
+
+    path = F.when(  # 5. trailing slash (non-root)
+        path.endswith("/") & (F.length(path) > 1),
+        F.substring(path, F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+
+    return F.concat(
+        head,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(df: DataFrame, url: str = "url") -> DataFrame:
+    """Exact dedup on the canonical URL: one row per canonical form with the
+    duplicate count and the lexicographically-smallest raw url as the
+    deterministic representative. One partial-aggregated groupBy — uniform
+    md5-like key space (canonical strings), no skew concern."""
+    return (
+        df.withColumn("canon_url", canonical_url(url))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(url).alias("representative_url"),
+        )
+    )
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB mirror of canonical_url over a VARCHAR expression."""
+    e = f"regexp_replace({expr}, '#.*', '')"
+    head = f"regexp_extract({e}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)"
+    rest = f"substring({e}, length({head}) + 1)"
+    lhead = f"lower({head})"
+    head2 = (
+        f"CASE WHEN {lhead} LIKE 'http://%' AND {lhead} LIKE '%:80' "
+        f"THEN substring({lhead}, 1, length({lhead}) - 3) "
+        f"WHEN {lhead} LIKE 'https://%' AND {lhead} LIKE '%:443' "
+        f"THEN substring({lhead}, 1, length({lhead}) - 4) "
+        f"ELSE {lhead} END"
+    )
+    path = f"regexp_extract({rest}, '^([^?]*)', 1)"
+    query = (
+        f"CASE WHEN length({rest}) > length({path}) "
+        f"THEN substring({rest}, length({path}) + 2) ELSE '' END"
+    )
+    params = (
+        f"list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(lower(p), '{TRACKING_PARAM_RE}'))"
+    )
+    qsorted = f"array_to_string(list_sort({params}), '&')"
+    path2 = (
+        f"CASE WHEN {path} LIKE '%/' AND length({path}) > 1 "
+        f"THEN substring({path}, 1, length({path}) - 1) ELSE {path} END"
+    )
+    return (
+        f"concat({head2}, {path2}, "
+        f"CASE WHEN {qsorted} <> '' THEN concat('?', {qsorted}) ELSE '' END)"
+    )
