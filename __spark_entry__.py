@@ -482,6 +482,19 @@ def q_url_dedup(spark, sf_dir):
     return webclean.url_dedup(_messy_urls(spark, sf_dir))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 A1.1, the repetition half):
+    duplicate-line (char) fractions + top-2/3/4-gram and dup-5/10-gram char
+    fractions with the published caps, over the multi-line corpus variant.
+    Explode → (doc, gram) groupBy chains — bounded skew at web scale."""
+    out = webclean.with_repetition_flags(_lined_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac",
+        "top2_gram_char_frac", "top3_gram_char_frac", "top4_gram_char_frac",
+        "dup5_gram_char_frac", "dup10_gram_char_frac", "repetition_pass",
+    )
+
+
 def q_lang_dist(spark, sf_dir):
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n_docs"))
 
@@ -843,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "gopher_quality": q_gopher_quality,
         "url_dedup": q_url_dedup,
+        "repetition": q_repetition,
         "lang_dist": q_lang_dist,
         "events_hourly": q_events_hourly,
         "knn_join": q_knn_join,
@@ -1175,6 +1189,8 @@ SELECT doc_id, extracted, (extracted = text) AS byte_identical FROM ext
     )
 
     sqls["gopher_quality"] = webclean.gopher_sql(table=f"({_SQL_LINED})")
+
+    sqls["repetition"] = webclean.repetition_sql(table=f"({_SQL_LINED})")
 
     sqls["url_dedup"] = f"""
 WITH u AS ({_SQL_MESSY_URLS}),

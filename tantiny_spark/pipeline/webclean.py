@@ -22,6 +22,13 @@ expressions (zero Python, whole-stage codegen, linear in executors):
   fractions / alphabetic-word fraction / stopword count, each as a flag
   column plus the conjunction ``gopher_pass``. Pure column arithmetic.
 
+- **Gopher repetition filters** (same appendix, the "repetition" half):
+  duplicate-line fraction and char fraction, top-n-gram char fraction
+  (n=2..4), duplicate-n-gram char fraction (n=5..10 — default computes the
+  endpoints). Distributed as explode → (doc, gram) groupBy chains so a
+  boilerplate-heavy web corpus creates large *counts* under partial
+  aggregation, never large shuffle groups.
+
 - **URL canonicalization + dedup**: scheme/host lowercasing, default-port
   and fragment stripping, tracking-parameter removal (utm_*, gclid,
   fbclid, ref), query-parameter sort, trailing-slash trim — then exact
@@ -293,8 +300,251 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
-# URL canonicalization + dedup
+# Gopher repetition filters (Rae et al. 2021, appendix A1.1, "repetition")
 # ---------------------------------------------------------------------------
+
+# thresholds as published: a document is repetition-flagged when any metric
+# exceeds its cap
+MAX_DUP_LINE_FRAC = 0.30
+MAX_DUP_LINE_CHAR_FRAC = 0.20
+MAX_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+MAX_DUP_NGRAM_CHAR_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def with_repetition_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 10),
+) -> DataFrame:
+    """The Gopher repetition metrics, distributed as explode → groupBy chains
+    (NOT array-vs-array quadratic scans — a 1 MB doc has ~200k tokens, and
+    every aggregation below is keyed by (doc, line/gram) so Zipfian repeats
+    produce large *counts* inside partial aggregation, never large groups):
+
+    - ``dup_line_frac``: fraction of non-blank lines whose exact text occurs
+      more than once in the document (all copies count).
+    - ``dup_line_char_frac``: same, weighted by line length in characters.
+    - ``top{n}_gram_char_frac`` for n in ``top_ns``: characters covered by
+      the single most frequent word n-gram (count × gram length, spaces
+      included) over total word characters (words joined by single spaces).
+      Ties break to the lexicographically-smallest gram — deterministic.
+    - ``dup{n}_gram_char_frac`` for n in ``dup_ns``: characters covered by
+      every word n-gram occurring more than once (Σ count × gram length)
+      over total word chars, capped at 1.0 (overlapping occurrences are
+      deliberately each counted — the published filter's intent is "mostly
+      repeated text scores high", and the cap keeps the ratio a ratio).
+
+    plus boolean ``r_*`` flags per metric (True = within the cap) and their
+    conjunction ``repetition_pass``. Thresholds are the published ones
+    (MAX_* module constants). Exact formulas are mirrored bit-for-bit by
+    ``repetition_sql`` for the DuckDB oracle contract row.
+    """
+    col = F.coalesce(F.col(text), F.lit(""))
+    words = F.filter(F.split(F.lower(col), r"[ \t\r\n]+"), lambda w: w != "")
+    base = df.select(id_col, F.col(text)).withColumn("__w", words)
+
+    # --- line-level dup fractions: explode non-blank lines, count repeats
+    lines = (
+        df.select(id_col, F.explode(F.split(F.coalesce(F.col(text), F.lit("")), "\n")).alias("line"))
+        .where(F.trim("line") != "")
+    )
+    line_counts = lines.groupBy(id_col, "line").agg(F.count("*").alias("c"))
+    line_stats = line_counts.groupBy(id_col).agg(
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c")
+        ).alias("dup_line_frac"),
+        (
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(F.lit(0))
+            )
+            / F.sum(F.col("c") * F.length("line"))
+        ).alias("dup_line_char_frac"),
+    )
+
+    # --- word n-gram character fractions over the normalized word stream
+    def gram_df(n: int):
+        toks = F.col("__w")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+        return base.select(
+            id_col,
+            F.explode(grams).alias("g"),
+            F.length(F.array_join("__w", " ")).alias("total_chars"),
+        )
+
+    metric_cols = []
+    for n in sorted(set(top_ns)):
+        g = gram_df(n)
+        counts = g.groupBy(id_col, "g").agg(
+            F.count("*").alias("c"), F.first("total_chars").alias("tc")
+        )
+        # deterministic top gram: max count, ties to smallest gram text
+        cnt_max = counts.groupBy(id_col).agg(F.max("c").alias("cmax"))
+        top_gram = (
+            counts.join(cnt_max, id_col)
+            .where(F.col("c") == F.col("cmax"))
+            .groupBy(id_col)
+            .agg(
+                F.min("g").alias("gtop"),
+                F.first("cmax").alias("cmax"),
+                F.first("tc").alias("tc"),
+            )
+            .select(
+                id_col,
+                # a "top" gram must actually repeat (count >= 2) to count —
+                # otherwise every short doc's arbitrary longest gram trips
+                # the cap (the published filters apply the same gate)
+                F.when(
+                    (F.col("tc") > 0) & (F.col("cmax") > 1),
+                    F.col("cmax") * F.length("gtop") / F.col("tc"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias(f"top{n}_gram_char_frac"),
+            )
+        )
+        metric_cols.append((f"top{n}_gram_char_frac", top_gram))
+    for n in sorted(set(dup_ns)):
+        g = gram_df(n)
+        counts = g.groupBy(id_col, "g").agg(
+            F.count("*").alias("c"), F.first("total_chars").alias("tc")
+        )
+        dupfrac = counts.groupBy(id_col).agg(
+            F.least(
+                F.lit(1.0),
+                F.sum(
+                    F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(F.lit(0))
+                )
+                / F.first("tc"),
+            ).alias(f"dup{n}_gram_char_frac")
+        )
+        metric_cols.append((f"dup{n}_gram_char_frac", dupfrac))
+
+    res = df.join(line_stats, id_col, "left")
+    for _, m in metric_cols:
+        res = res.join(m, id_col, "left")
+    fills = {
+        "dup_line_frac": 0.0,
+        "dup_line_char_frac": 0.0,
+        **{name: 0.0 for name, _ in metric_cols},
+    }
+    res = res.fillna(fills)
+    for c in fills:
+        res = res.withColumn(c, F.round(F.col(c), 6))
+
+    flags = [
+        ("r_dup_line", F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC),
+        ("r_dup_line_char", F.col("dup_line_char_frac") <= MAX_DUP_LINE_CHAR_FRAC),
+    ]
+    for n in sorted(set(top_ns)):
+        flags.append(
+            (f"r_top{n}_gram", F.col(f"top{n}_gram_char_frac") <= MAX_TOP_NGRAM_CHAR_FRAC[n])
+        )
+    for n in sorted(set(dup_ns)):
+        flags.append(
+            (f"r_dup{n}_gram", F.col(f"dup{n}_gram_char_frac") <= MAX_DUP_NGRAM_CHAR_FRAC[n])
+        )
+    passing = None
+    for name, c in flags:
+        res = res.withColumn(name, c)
+        passing = c if passing is None else (passing & c)
+    return res.withColumn("repetition_pass", passing)
+
+
+def repetition_sql(
+    table: str = "documents", text: str = "text",
+    top_ns: tuple = (2, 3, 4), dup_ns: tuple = (5, 10),
+) -> str:
+    """DuckDB oracle for with_repetition_flags (doc_id keyed), mirroring the
+    formulas bit-for-bit: same normalization (lowercase, whitespace split),
+    same tie-breaks (min gram), same rounding."""
+    col = f"coalesce({text}, '')"
+    words = f"list_filter(regexp_split_to_array(lower({col}), '[ \\t\\r\\n]+'), w -> w <> '')"
+
+    def grams(n):
+        return (
+            f"CASE WHEN len(w) >= {n} THEN "
+            f"list_transform(range(1, len(w) - {n} + 2), "
+            f"i -> array_to_string(w[i:i+{n}-1], ' ')) "
+            f"ELSE [] END"
+        )
+
+    tops, dups, joins = [], [], []
+    for n in sorted(set(top_ns)):
+        joins.append(f"""
+t{n} AS (
+  SELECT doc_id, g, count(*) AS c FROM
+    (SELECT doc_id, unnest({grams(n)}) AS g FROM base) GROUP BY doc_id, g
+),
+top{n} AS (
+  SELECT doc_id, min(g) FILTER (WHERE c = cmax) AS gtop, any_value(cmax) AS cmax
+  FROM (SELECT doc_id, g, c, max(c) OVER (PARTITION BY doc_id) AS cmax FROM t{n})
+  GROUP BY doc_id
+)""")
+        tops.append(
+            f"round(coalesce(CASE WHEN b.tc > 0 AND top{n}.cmax > 1 THEN"
+            f" top{n}.cmax * length(top{n}.gtop) / b.tc END, 0.0), 6)"
+            f" AS top{n}_gram_char_frac"
+        )
+    for n in sorted(set(dup_ns)):
+        joins.append(f"""
+d{n} AS (
+  SELECT doc_id, least(1.0, sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)::DOUBLE
+         / any_value(tc)) AS f
+  FROM (SELECT doc_id, g, count(*) AS c, any_value(tc) AS tc FROM
+        (SELECT doc_id, unnest({grams(n)}) AS g, length(array_to_string(w, ' ')) AS tc
+         FROM base) GROUP BY doc_id, g)
+  WHERE tc > 0 GROUP BY doc_id
+)""")
+        dups.append(
+            f"round(coalesce(d{n}.f, 0.0), 6) AS dup{n}_gram_char_frac"
+        )
+    top_joins = "".join(f" LEFT JOIN top{n} USING (doc_id)" for n in sorted(set(top_ns)))
+    dup_joins = "".join(f" LEFT JOIN d{n} USING (doc_id)" for n in sorted(set(dup_ns)))
+    flag_terms = [
+        f"dup_line_frac <= {MAX_DUP_LINE_FRAC}",
+        f"dup_line_char_frac <= {MAX_DUP_LINE_CHAR_FRAC}",
+    ] + [
+        f"top{n}_gram_char_frac <= {MAX_TOP_NGRAM_CHAR_FRAC[n]}" for n in sorted(set(top_ns))
+    ] + [
+        f"dup{n}_gram_char_frac <= {MAX_DUP_NGRAM_CHAR_FRAC[n]}" for n in sorted(set(dup_ns))
+    ]
+    return f"""
+WITH base AS (
+  SELECT doc_id, {words} AS w,
+         length(array_to_string({words}, ' ')) AS tc
+  FROM {table}
+),
+lines AS (
+  SELECT doc_id, line FROM
+    (SELECT doc_id, unnest(string_split({col}, chr(10))) AS line FROM {table})
+  WHERE trim(line) <> ''
+),
+lc AS (
+  SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line
+),
+ls AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6) AS dup_line_frac,
+         round(sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)::DOUBLE
+               / sum(c * length(line)), 6) AS dup_line_char_frac
+  FROM lc GROUP BY doc_id
+),{",".join(joins)},
+mtr AS (
+  SELECT b.doc_id,
+         coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+         coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+         {", ".join(tops)},
+         {", ".join(dups)}
+  FROM base b LEFT JOIN ls USING (doc_id){top_joins}{dup_joins}
+)
+SELECT *, ({" AND ".join(flag_terms)}) AS repetition_pass FROM mtr
+"""
 
 # tracking parameters dropped during canonicalization (lowercase-compared)
 TRACKING_PARAM_RE = r"^(utm_[0-9a-z_]*|gclid|fbclid|ref|mc_cid|mc_eid)="

@@ -133,6 +133,79 @@ def test_gopher_alpha_word_fraction(spark):
 
 
 # ---------------------------------------------------------------------------
+# Gopher repetition filters
+# ---------------------------------------------------------------------------
+
+REP_DOCS = [
+    # doc 0: 'spam line' 3x of 4 non-blank lines -> dup_line_frac 0.75
+    (0, "spam line\nspam line\nunique a\n\nspam line"),
+    # doc 1: all lines unique, but one dominant bigram: 'x y' repeated
+    (1, "x y x y x y x y x y x y x y x y x y x y"),
+    # doc 2: clean prose, no repetition
+    (2, "the quick brown fox jumps over one lazy dog near a quiet river"),
+    # doc 3: empty
+    (3, ""),
+    # doc 4: top-bigram tie ('b b' 2x, 'c c' 2x) -> min gram wins
+    (4, "b b b c c c"),
+]
+
+
+def test_repetition_dup_line_fractions(spark):
+    df = spark.createDataFrame(REP_DOCS, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in webclean.with_repetition_flags(df).collect()}
+    assert rows[0]["dup_line_frac"] == 0.75
+    # chars: 3*9 dup over 3*9+8 total = 27/35
+    assert rows[0]["dup_line_char_frac"] == round(27 / 35, 6)
+    assert rows[0]["r_dup_line"] is False and rows[0]["repetition_pass"] is False
+    assert rows[2]["dup_line_frac"] == 0.0 and rows[2]["repetition_pass"] is True
+    assert rows[3]["dup_line_frac"] == 0.0  # empty doc -> all zeros, passes
+    assert rows[3]["repetition_pass"] is True
+
+
+def test_repetition_top_ngram_char_frac(spark):
+    df = spark.createDataFrame(REP_DOCS, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in webclean.with_repetition_flags(df).collect()}
+    # doc 1: words = [x y]*10, 19 bigrams, top is 'x y' (10x) or 'y x' (9x);
+    # top count 10, gram len 3, total chars = 39 -> 30/39
+    assert rows[1]["top2_gram_char_frac"] == round(30 / 39, 6)
+    assert rows[1]["r_top2_gram"] is False
+    # doc 2: every bigram occurs once -> no gram repeats -> 0.0 (the top
+    # gram must occur >= 2 times to count), doc passes clean
+    assert rows[2]["top2_gram_char_frac"] == 0.0
+    assert rows[2]["repetition_pass"] is True
+    # doc 4: 'b b' and 'c c' tie at 2 -> lexicographic min 'b b' (len 3),
+    # total chars 11 -> 6/11
+    assert rows[4]["top2_gram_char_frac"] == round(6 / 11, 6)
+
+
+def test_repetition_dup_ngram_char_frac(spark):
+    df = spark.createDataFrame(REP_DOCS, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in webclean.with_repetition_flags(df).collect()}
+    # doc 1: 5-grams of the alternating stream all dup ('x y x y x' 8x,
+    # 'y x y x y' 8x) -> sum c*len = 16*9 = 144 over 39 chars, capped at 1.0
+    assert rows[1]["dup5_gram_char_frac"] == 1.0
+    assert rows[1]["r_dup5_gram"] is False
+    assert rows[2]["dup5_gram_char_frac"] == 0.0 and rows[2]["r_dup5_gram"] is True
+
+
+def test_repetition_sql_parity(spark):
+    df = spark.createDataFrame(REP_DOCS, ["doc_id", "text"])
+    cols = [
+        "doc_id", "dup_line_frac", "dup_line_char_frac",
+        "top2_gram_char_frac", "top3_gram_char_frac", "top4_gram_char_frac",
+        "dup5_gram_char_frac", "dup10_gram_char_frac", "repetition_pass",
+    ]
+    got = sorted(
+        tuple(r) for r in webclean.with_repetition_flags(df).select(*cols).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", REP_DOCS)
+    want = sorted(con.sql(webclean.repetition_sql(table="d")).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization + dedup
 # ---------------------------------------------------------------------------
 
