@@ -62,4 +62,19 @@ SPARK_GRAFT_RUNS="$RUNS" \
   --conf spark.cores.max=$((CORES_PER_EXEC * N_EXEC)) \
   --conf spark.driver.memory=8g \
   --conf spark.ui.enabled=false \
+  --conf spark.executor.extraJavaOptions=-XX:ActiveProcessorCount=$CORES_PER_EXEC \
+  --conf spark.driver.extraJavaOptions=-XX:ActiveProcessorCount=4 \
+  --conf spark.locality.wait=0s \
+  ${EXTRA_CONF:-} \
   bench.py 2>/dev/null | grep '^{'
+# ^ faithful-emulation configs, not tuning tricks:
+#   - ActiveProcessorCount=executor.cores: on a real cluster every executor
+#     JVM sees only its container's cores (cgroup limits under YARN/K8s) and
+#     sizes GC/JIT/netty pools accordingly. Carving one 32-core host into
+#     8 standalone executors WITHOUT this makes every JVM size its pools to
+#     all 32 cores (8x ~23 G1 GC threads + 8x4 JIT threads -> scheduler
+#     thrash): measured 4x build slowdown vs with the flag.
+#   - locality.wait=0: all emulated executors live on one host, so block
+#     locality preferences are spurious here and each one costs up to 3 s
+#     of idle scheduler delay per task wave (real clusters keep the default
+#     because locality saves actual network reads).

@@ -30,8 +30,9 @@ def main():
 
     extra = {k[len("SPARK_CONF_"):].replace("__", "."): v
              for k, v in os.environ.items() if k.startswith("SPARK_CONF_")}
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     b = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName("profile-build")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
