@@ -495,6 +495,109 @@ def q_repetition(spark, sf_dir):
     )
 
 
+def _pii_docs(spark, sf_dir):
+    """Corpus variant with deterministic PII footers: every doc gains an
+    email, every 3rd an IPv4, every 4th a +-prefixed phone — built with the
+    same string arithmetic in the oracle (_SQL_PII_DOCS)."""
+    d = F.col("doc_id")
+    footer = F.concat(
+        F.lit(" Contact admin"), (d % 50).cast("string"),
+        F.lit("@mail"), (d % 9).cast("string"), F.lit(".example now."),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" Server 10."), (d % 256).cast("string"),
+                     F.lit("."), (d % 100).cast("string"), F.lit(".7 up.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit(" Call +1 (555) 010-"), (d % 10).cast("string"),
+                     F.lit(" today.")),
+        ).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), footer).alias("text")
+    )
+
+
+_SQL_PII_DOCS = """
+SELECT doc_id,
+       text || ' Contact admin' || (doc_id % 50)::VARCHAR || '@mail'
+            || (doc_id % 9)::VARCHAR || '.example now.'
+            || CASE WHEN doc_id % 3 = 0 THEN ' Server 10.'
+                 || (doc_id % 256)::VARCHAR || '.' || (doc_id % 100)::VARCHAR
+                 || '.7 up.' ELSE '' END
+            || CASE WHEN doc_id % 4 = 0 THEN ' Call +1 (555) 010-'
+                 || (doc_id % 10)::VARCHAR || ' today.' ELSE '' END AS text
+FROM documents
+"""
+
+
+def q_pii(spark, sf_dir):
+    """PII counts + scrubbing (webclean.with_pii_counts): email/IPv4/phone
+    patterns in the Java∩RE2 subset, placeholders <EMAIL>/<IP>/<PHONE>.
+    One codegen'd Project — zero Python, no shuffle."""
+    out = webclean.with_pii_counts(_pii_docs(spark, sf_dir))
+    return out.select("doc_id", "n_emails", "n_ipv4", "n_phones", "scrubbed")
+
+
+def _c4_docs(spark, sf_dir):
+    """Corpus variant for the C4 rules: ' table ' becomes '.\\n' (sentence
+    boundaries), every 7th doc gains a lorem-ipsum line, every 11th a curly
+    brace, every 13th a javascript line (exercising each filter)."""
+    d = F.col("doc_id")
+    t = F.replace(F.col("text"), F.lit(" table "), F.lit(".\n"))
+    t = F.concat(
+        t,
+        F.when(d % 7 == 0, F.lit("\nlorem ipsum dolor sit amet friend.")).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" {")).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("\nenable javascript to view this site now.")).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+
+
+_SQL_C4_DOCS = """
+SELECT doc_id,
+       replace(text, ' table ', '.' || chr(10))
+       || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet friend.' ELSE '' END
+       || CASE WHEN doc_id % 11 = 0 THEN ' {' ELSE '' END
+       || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'enable javascript to view this site now.' ELSE '' END
+       AS text
+FROM documents
+"""
+
+
+def q_c4(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): terminal-punct +
+    >=5-word + no-javascript line filter producing c4_text, plus the page
+    flags (>=3 sentences, no lorem ipsum, no curly brace). Higher-order
+    array expressions — zero Python, no shuffle."""
+    out = webclean.with_c4_flags(_c4_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "c4_text", "c4_min_sentences", "c4_no_lorem",
+        "c4_no_brace", "c4_pass",
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup, first occurrence in (doc_id, pos)
+    order wins (webclean.dedup_paragraphs): one partial-aggregated
+    min-struct groupBy on the paragraph hash — skew-safe at Zipfian web
+    scale — then ordered per-doc reassembly."""
+    return webclean.dedup_paragraphs(_lined_docs(spark, sf_dir)).select(
+        "doc_id", "dedup_text"
+    )
+
+
+def q_host_stats(spark, sf_dir):
+    """Per-host crawl rollup (webclean.host_stats): page count, distinct
+    canonical URLs, total/mean chars — the which-sites-dominate view. One
+    partial-aggregated groupBy on the host key."""
+    pages = _messy_urls(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
+    )
+    return webclean.host_stats(pages)
+
+
 def q_lang_dist(spark, sf_dir):
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n_docs"))
 
@@ -857,6 +960,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "url_dedup": q_url_dedup,
         "repetition": q_repetition,
+        "pii": q_pii,
+        "c4": q_c4,
+        "paragraph_dedup": q_paragraph_dedup,
+        "host_stats": q_host_stats,
         "lang_dist": q_lang_dist,
         "events_hourly": q_events_hourly,
         "knn_join": q_knn_join,
@@ -1191,6 +1298,19 @@ SELECT doc_id, extracted, (extracted = text) AS byte_identical FROM ext
     sqls["gopher_quality"] = webclean.gopher_sql(table=f"({_SQL_LINED})")
 
     sqls["repetition"] = webclean.repetition_sql(table=f"({_SQL_LINED})")
+
+    sqls["pii"] = webclean.pii_sql(table=f"({_SQL_PII_DOCS})")
+
+    sqls["c4"] = webclean.c4_sql(table=f"({_SQL_C4_DOCS})")
+
+    sqls["paragraph_dedup"] = webclean.dedup_paragraphs_sql(table=f"({_SQL_LINED})")
+
+    sqls["host_stats"] = webclean.host_stats_sql(
+        table=(
+            f"(SELECT u.url, d.text FROM ({_SQL_MESSY_URLS}) u "
+            f"JOIN documents d USING (doc_id))"
+        )
+    )
 
     sqls["url_dedup"] = f"""
 WITH u AS ({_SQL_MESSY_URLS}),

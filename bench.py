@@ -53,6 +53,12 @@ def corpus(spark, sf_dir: str, repl: int):
     """documents.parquet → input_hint shape (url, warc_ts, html, text, lang),
     deterministically replicated ×repl (distinct urls, same Zipfian text)."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # The sf* corpus is ONE small parquet file = one input split, which would
+    # serialize every pass over the derived html/extraction chain below into
+    # a single task (a 100 TB corpus has thousands of splits — many-split IS
+    # the realistic shape). Spread the base rows across the cores BEFORE the
+    # expensive derived columns exist; this shuffles only the tiny raw rows.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     if repl > 1:
         docs = docs.select(
             "*", F.explode(F.sequence(F.lit(0), F.lit(repl - 1))).alias("rep")

@@ -52,6 +52,63 @@ from tantiny_spark.analysis import (
 # Rust exactly (see analysis/unicode_alnum.py for provenance).
 _TOKEN_RE = re.compile(f"[{unicode_alnum.WORD_CHAR_CLASS}]+")
 
+# Splitting is the analyzer's hot loop. CPython's `re` scans a large
+# explicit class (600+ ranges) linearly per character — measured 4.7x
+# slower than [^\W_] — so _split_words dispatches:
+#   * ASCII text (str.isascii() is O(1) — CPython stores the flag): a plain
+#     [0-9A-Za-z]+ regex. Exact, because the class's only sub-0x80 ranges
+#     ARE 0-9/A-Z/a-z (Rust alnum on ASCII), and the ASCII flag guarantees
+#     no other codepoints are present.
+#   * anything else: vectorized numpy membership — codepoints via utf-32
+#     view, range lookup via searchsorted on the SAME generated table,
+#     maximal runs from the boundary diff. Identical tokens to
+#     _TOKEN_RE.findall by construction (property-tested).
+_ASCII_TOKEN_RE = re.compile(r"[0-9A-Za-z]+")
+
+
+def _parse_class_ranges():
+    import numpy as np
+
+    s = unicode_alnum.WORD_CHAR_CLASS
+    starts, ends = [], []
+    i = 0
+    while i < len(s):
+        a = ord(s[i])
+        if i + 2 < len(s) and s[i + 1] == "-":
+            b = ord(s[i + 2])
+            i += 3
+        else:
+            b = a
+            i += 1
+        starts.append(a)
+        ends.append(b)
+    st = np.array(starts, dtype=np.uint32)
+    en = np.array(ends, dtype=np.uint32)
+    # generator emits sorted, disjoint ranges — searchsorted relies on it
+    assert (st[1:] > en[:-1]).all()
+    return st, en
+
+
+_RANGE_STARTS, _RANGE_ENDS = _parse_class_ranges()
+
+
+def _split_words(text: str) -> list[str]:
+    if text.isascii():
+        return _ASCII_TOKEN_RE.findall(text)
+    import numpy as np
+
+    try:
+        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    except UnicodeEncodeError:  # lone surrogates: take the exact slow path
+        return _TOKEN_RE.findall(text)
+    idx = np.searchsorted(_RANGE_STARTS, cp, side="right") - 1
+    ok = (idx >= 0) & (cp <= _RANGE_ENDS[np.maximum(idx, 0)])
+    padded = np.empty(len(ok) + 2, dtype=bool)
+    padded[0] = padded[-1] = False
+    padded[1:-1] = ok
+    bounds = np.flatnonzero(padded[1:] != padded[:-1])
+    return [text[bounds[i]: bounds[i + 1]] for i in range(0, len(bounds), 2)]
+
 # RemoveLongFilter::limit(40) keeps tokens whose UTF-8 byte length is < 40
 # (tokenizer.rs:29).
 _MAX_TOKEN_BYTES = 40
@@ -100,7 +157,7 @@ def _lowercase(t: str) -> str:
 def _simple_terms(text: str) -> list[str]:
     return [
         _lowercase(t)
-        for t in _TOKEN_RE.findall(text)
+        for t in _split_words(text)
         if len(t.encode("utf-8")) < _MAX_TOKEN_BYTES
     ]
 

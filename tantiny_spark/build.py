@@ -306,6 +306,18 @@ def build_segment(
                 spark.sparkContext.defaultParallelism,
                 (n_input // DOCS_PER_PARTITION) + 1,
             )
+    # Guard against an under-partitioned source (one giant file, a narrow
+    # explode, a fresh createDataFrame): the doc-id range exchange runs a
+    # sampling pass AND a shuffle-map pass over the FULL input lineage, and
+    # with K source partitions both passes run at parallelism K no matter
+    # how many cores the cluster has — a 1-file source serializes the whole
+    # corpus-side compute (measured: 2×~30 s single-task stages on a 500k-doc
+    # bench input). One round-robin shuffle here makes every downstream pass
+    # data-parallel; real 100 TB inputs have thousands of splits and skip it.
+    if num_partitions > 1 and projected.rdd.getNumPartitions() < min(
+        num_partitions, spark.sparkContext.defaultParallelism
+    ):
+        projected = projected.repartition(num_partitions)
     cached: list = []
     with_ids = assign_doc_ids(projected, "id", doc_id_base, num_partitions, cleanup=cached)
     if num_partitions == 1:

@@ -37,6 +37,20 @@ expressions (zero Python, whole-stage codegen, linear in executors):
   shares of the same page collapse to one row before expensive content
   dedup runs.
 
+- **PII detection + scrubbing**: email / IPv4 / +-prefixed phone counts
+  and placeholder redaction, patterns pinned to the Java∩RE2 subset.
+
+- **C4 cleaning filters** (Raffel et al. 2020 §2.2): terminal-punctuation
+  + >=5-word + no-javascript line filter, lorem-ipsum / curly-brace /
+  min-sentences page flags.
+
+- **corpus-wide paragraph dedup**: drop every later copy of a paragraph
+  seen anywhere in the corpus (first occurrence in (id, pos) order wins)
+  via one partial-aggregated min-struct groupBy — skew-safe.
+
+- **per-host rollup**: page counts, distinct canonical URLs, text volume
+  per registered host — the crawl-curation view.
+
 Every operator is dialect-pinned the same way as pipeline/webtext.py: the
 expressions use only the Java-regex ∩ RE2 ∩ DuckDB common subset, so the
 DuckDB oracle (`*_sql` helpers used by __spark_entry__.py) reproduces the
@@ -644,3 +658,274 @@ def canonical_url_sql(expr: str) -> str:
         f"concat({head2}, {path2}, "
         f"CASE WHEN {qsorted} <> '' THEN concat('?', {qsorted}) ELSE '' END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns live in the Java-regex ∩ RE2 ∩ DuckDB common subset (no
+# backreferences, no lookaround) so the DuckDB oracle runs the identical
+# patterns. Matching is leftmost + greedy in both engines for these shapes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = (
+    r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b"
+)
+PII_PHONE_RE = r"\+[0-9][0-9 ()\-]{6,}[0-9]"
+
+
+def with_pii_counts(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-document PII occurrence counts (``n_emails`` / ``n_ipv4`` /
+    ``n_phones``) plus ``scrubbed`` text with matches replaced by typed
+    placeholder tokens (``<EMAIL>`` / ``<IP>`` / ``<PHONE>``), the standard
+    pre-training redaction pass (emails/IPs as in the published CCNet /
+    RefinedWeb pipelines; phones restricted to international ``+``-prefixed
+    forms to bound false positives on prose numbers).
+
+    Counts are measured on the ORIGINAL text per type (the three patterns
+    cannot overlap: emails contain letters, IPv4 needs dots, the phone
+    class has no dots); scrubbing chains email → ip → phone replacements.
+    Pure JVM regexp expressions — one codegen'd Project, zero Python,
+    embarrassingly parallel at any scale.
+    """
+    col = F.coalesce(F.col(text), F.lit(""))
+    scrubbed = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_IPV4_RE, "<IP>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", F.regexp_count(col, F.lit(PII_EMAIL_RE)))
+        .withColumn("n_ipv4", F.regexp_count(col, F.lit(PII_IPV4_RE)))
+        .withColumn("n_phones", F.regexp_count(col, F.lit(PII_PHONE_RE)))
+        .withColumn("scrubbed", scrubbed)
+    )
+
+
+def pii_sql(table: str = "documents", text: str = "text") -> str:
+    """DuckDB oracle for with_pii_counts (doc_id keyed), identical patterns
+    and replacement chain ('g' flag = replace-all, Spark's default)."""
+    col = f"coalesce({text}, '')"
+
+    def esc(p):
+        return p.replace("'", "''")
+
+    em, ip, ph = esc(PII_EMAIL_RE), esc(PII_IPV4_RE), esc(PII_PHONE_RE)
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace({col}, "
+        f"'{em}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'), "
+        f"'{ph}', '<PHONE>', 'g')"
+    )
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all({col}, '{em}')) AS n_emails,
+       len(regexp_extract_all({col}, '{ip}')) AS n_ipv4,
+       len(regexp_extract_all({col}, '{ph}')) AS n_phones,
+       {scrub} AS scrubbed
+FROM {table}
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning filters (Raffel et al. 2020, §2.2)
+# ---------------------------------------------------------------------------
+
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def with_c4_flags(df: DataFrame, text: str = "text") -> DataFrame:
+    """The published C4 cleaning rules as one codegen'd Project:
+
+    line filters (producing ``c4_text``, surviving lines joined by \\n):
+      keep a line iff its right-trimmed form ends in terminal punctuation
+      (``. ! ? "``), it has >= 5 whitespace-separated words, and it does
+      not contain the word "javascript" (case-insensitive).
+
+    page flags (True = keeps the page):
+      ``c4_min_sentences``: >= 3 sentences survive, counted as terminal
+      ``[.!?]`` occurrences in ``c4_text`` (deterministic proxy for the
+      paper's sentence splitter);
+      ``c4_no_lorem``: "lorem ipsum" absent (lowercased match);
+      ``c4_no_brace``: no ``{`` anywhere (code page signal);
+      and the conjunction ``c4_pass``.
+
+    The paper's bad-words list is a policy input, not an algorithm — pass
+    the corpus-appropriate list to an extra rlike filter downstream.
+    All higher-order array expressions over the split lines: zero Python,
+    zero shuffles, linear in executors at any corpus size.
+    """
+    col = F.coalesce(F.col(text), F.lit(""))
+
+    def line_ok(l):  # noqa: E741
+        words = F.size(F.filter(F.split(F.trim(l), " +"), lambda w: w != ""))
+        return (
+            F.rtrim(l).rlike(C4_TERMINAL_RE)
+            & (words >= C4_MIN_LINE_WORDS)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    c4_text = F.array_join(F.filter(F.split(col, "\n"), line_ok), "\n")
+    out = df.withColumn("c4_text", c4_text)
+    n_sent = F.regexp_count(F.col("c4_text"), F.lit(r"[.!?]"))
+    out = (
+        out.withColumn("c4_min_sentences", n_sent >= C4_MIN_SENTENCES)
+        .withColumn("c4_no_lorem", ~F.lower(col).contains("lorem ipsum"))
+        .withColumn("c4_no_brace", ~col.contains("{"))
+    )
+    return out.withColumn(
+        "c4_pass",
+        F.col("c4_min_sentences") & F.col("c4_no_lorem") & F.col("c4_no_brace"),
+    )
+
+
+def c4_sql(table: str = "documents", text: str = "text") -> str:
+    """DuckDB oracle for with_c4_flags (doc_id keyed), mirroring the line
+    predicate and sentence proxy bit-for-bit."""
+    col = f"coalesce({text}, '')"
+    line_ok = (
+        f"regexp_matches(rtrim(l), '[.!?\"]$') "
+        f"AND len(list_filter(string_split_regex(trim(l), ' +'), w -> w <> '')) >= {C4_MIN_LINE_WORDS} "
+        f"AND NOT contains(lower(l), 'javascript')"
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         coalesce(array_to_string(
+           list_filter(string_split({col}, chr(10)), l -> {line_ok}),
+           chr(10)), '') AS c4_text,
+         NOT contains(lower({col}), 'lorem ipsum') AS c4_no_lorem,
+         NOT contains({col}, '{{') AS c4_no_brace
+  FROM {table}
+)
+SELECT doc_id, c4_text,
+       len(regexp_extract_all(c4_text, '[.!?]')) >= {C4_MIN_SENTENCES} AS c4_min_sentences,
+       c4_no_lorem, c4_no_brace,
+       (len(regexp_extract_all(c4_text, '[.!?]')) >= {C4_MIN_SENTENCES}
+        AND c4_no_lorem AND c4_no_brace) AS c4_pass
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide paragraph dedup (first occurrence wins)
+# ---------------------------------------------------------------------------
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    out: str = "dedup_text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Global exact paragraph dedup: every later copy of a paragraph that
+    appears anywhere else in the corpus is dropped; the FIRST occurrence in
+    ``(id, pos)`` order survives (the C4/CCNet "three-sentence span" dedup
+    semantics at paragraph granularity, deterministic without requiring a
+    total document order to be materialized).
+
+    Distributed shape: posexplode (narrow) → md5-key groupBy computing
+    ``min(struct(id, pos))`` (ONE shuffle; partial-aggregatable, so a
+    paragraph duplicated 10^9 times produces one min per map partition, not
+    a 10^9-row group — skew-safe) → join back on (key, id, pos) → per-doc
+    ordered reassembly. Blank paragraphs are preserved verbatim (they carry
+    document structure and cannot be "duplicates").
+    """
+    paras = df.select(
+        id_col, F.posexplode(F.split(F.coalesce(F.col(text), F.lit("")), sep)).alias("pos", "para")
+    ).withColumn("pk", F.md5(F.col("para")))
+
+    firsts = (
+        paras.where(F.trim("para") != "")
+        .groupBy("pk")
+        .agg(F.min(F.struct(id_col, "pos")).alias("first"))
+        .select("pk", F.col(f"first.{id_col}").alias("__fid"), F.col("first.pos").alias("__fpos"))
+    )
+    kept = paras.join(firsts, "pk", "left").where(
+        (F.trim("para") == "")  # blanks always survive
+        | ((F.col(id_col) == F.col("__fid")) & (F.col("pos") == F.col("__fpos")))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias(out)
+    )
+    return df.join(rebuilt, id_col, "left").withColumn(
+        out, F.coalesce(F.col(out), F.lit(""))
+    )
+
+
+def dedup_paragraphs_sql(table: str = "documents", text: str = "text") -> str:
+    """DuckDB oracle for dedup_paragraphs over (doc_id, text)."""
+    return f"""
+WITH paras AS (
+  SELECT doc_id,
+         unnest(string_split(coalesce({text}, ''), chr(10))) AS para,
+         unnest(range(1, len(string_split(coalesce({text}, ''), chr(10))) + 1)) AS pos
+  FROM {table}
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN trim(para) = '' THEN 1 ELSE
+           row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos)
+         END AS rn
+  FROM paras
+)
+SELECT d.doc_id,
+       coalesce(string_agg(r.para, chr(10) ORDER BY r.pos), '') AS dedup_text
+FROM {table} d
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON d.doc_id = r.doc_id
+GROUP BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-host rollup
+# ---------------------------------------------------------------------------
+
+
+def host_of(url: str | Column = "url") -> Column:
+    """Lowercased registered host of an http(s) URL (port stripped)."""
+    col = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1))
+    return F.regexp_replace(host, r":[0-9]+$", "")
+
+
+def host_stats(df: DataFrame, url: str = "url", text: str = "text") -> DataFrame:
+    """Per-host corpus rollup (the crawl-curation view: which sites dominate
+    the corpus): page count, distinct canonical URLs, total/mean text chars.
+    One partial-aggregated groupBy on the host key — Zipfian hosts produce
+    large counts, not large groups."""
+    return (
+        df.withColumn("host", host_of(url))
+        .withColumn("__canon", canonical_url(url))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.count_distinct("__canon").alias("n_urls"),
+            F.sum(F.length(F.coalesce(F.col(text), F.lit("")))).alias("total_chars"),
+            F.round(F.avg(F.length(F.coalesce(F.col(text), F.lit("")))), 4).alias("mean_chars"),
+        )
+    )
+
+
+def host_stats_sql(table: str, url: str = "url", text: str = "text") -> str:
+    """DuckDB oracle for host_stats."""
+    host = (
+        f"regexp_replace(lower(regexp_extract({url}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1)), ':[0-9]+$', '')"
+    )
+    return f"""
+SELECT {host} AS host,
+       count(*) AS n_pages,
+       count(DISTINCT {canonical_url_sql(url)}) AS n_urls,
+       sum(length(coalesce({text}, ''))) AS total_chars,
+       round(avg(length(coalesce({text}, ''))), 4) AS mean_chars
+FROM {table}
+GROUP BY 1
+"""

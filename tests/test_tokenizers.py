@@ -147,3 +147,30 @@ def test_lowercase_is_charwise_like_rust():
     assert t.terms("κοσμος") == ["κοσμος"]  # pre-lowered ς passes through
     # 1:M expansions match (İ → i + combining dot above)
     assert t.terms("İzmir x") == ["i̇zmir", "x"]
+
+
+def test_split_words_matches_class_regex_property():
+    """_split_words (ASCII regex fast path + numpy range-membership path)
+    must produce exactly _TOKEN_RE.findall's tokens on adversarial
+    ASCII/Unicode mixes incl. combining marks (Indic matras, niqqud,
+    harakat) — the generated-class semantics are the contract."""
+    import random
+    from tantiny_spark.analysis import tokenizers as T
+
+    random.seed(7)
+    pools = [
+        "abc XYZ 012 _-. \t\n",
+        "héllo wörld ñoño ÇA",
+        "русский текст слова",
+        "தமிழ் சொற்கள் வார்த்தை",
+        "עִבְרִית נִקּוּד",
+        "العَرَبِيَّة حَرَكَات",
+        "ΚΟΣΜΟΣ ελληνικά",
+        "日本語テキスト 中文字符",
+        "mix3d ascii and ユニコード tοgether!",
+        "²¼ superscripts ① circled",
+    ]
+    for _ in range(2000):
+        n = random.randint(0, 60)
+        s = "".join(random.choice(random.choice(pools)) for _ in range(n))
+        assert T._split_words(s) == T._TOKEN_RE.findall(s), repr(s)

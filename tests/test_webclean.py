@@ -269,3 +269,153 @@ def test_url_dedup_representative(spark):
     # lexicographically-smallest raw url is the deterministic representative
     assert rows["https://e.com/p"]["representative_url"] == "HTTPS://E.COM/p"
     assert rows["https://e.com/other"]["n_dups"] == 1
+
+
+# ---------------------------------------------------------------------------
+# PII detection + scrubbing
+# ---------------------------------------------------------------------------
+
+PII_DOCS = [
+    (0, "write to bob.smith+x@mail.example.org or admin@sub.host.io today"),
+    (1, "server 192.168.0.255 and 10.0.0.1 up, 999.1.1.1 is not an ip"),
+    (2, "call +1 (555) 010-7788 or +44 20 7946 0958 now"),
+    (3, "no pii here at all"),
+    (4, None),
+]
+
+
+def test_pii_counts_and_scrub(spark):
+    df = spark.createDataFrame(PII_DOCS, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in webclean.with_pii_counts(df).collect()}
+    assert rows[0]["n_emails"] == 2 and rows[0]["n_ipv4"] == 0
+    assert rows[0]["scrubbed"] == "write to <EMAIL> or <EMAIL> today"
+    assert rows[1]["n_ipv4"] == 2  # 999.1.1.1 rejected by the octet pattern
+    assert "<IP> and <IP> up" in rows[1]["scrubbed"]
+    assert "999" in rows[1]["scrubbed"]
+    assert rows[2]["n_phones"] == 2
+    assert rows[2]["scrubbed"] == "call <PHONE> or <PHONE> now"
+    assert rows[3]["n_emails"] == rows[3]["n_ipv4"] == rows[3]["n_phones"] == 0
+    assert rows[4]["scrubbed"] == ""  # null text -> ''
+
+
+def test_pii_sql_parity(spark):
+    df = spark.createDataFrame(PII_DOCS, ["doc_id", "text"])
+    got = sorted(
+        tuple(r)
+        for r in webclean.with_pii_counts(df)
+        .select("doc_id", "n_emails", "n_ipv4", "n_phones", "scrubbed")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", PII_DOCS)
+    want = sorted(con.sql(webclean.pii_sql(table="d")).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning filters
+# ---------------------------------------------------------------------------
+
+C4_DOCS = [
+    # doc 0: mixed lines — only the first survives (terminal punct + 5 words)
+    (0, 'this line has five good words.\nshort line.\nno terminal punctuation here at all\nthis has javascript inside it, drop.'),
+    # doc 1: three clean sentences on one line + quote-terminated line
+    (1, 'one two three four five.\nsix seven eight nine ten!\n"quoted line with five words?"'),
+    # doc 2: lorem ipsum page
+    (2, 'Lorem Ipsum dolor sit amet here.\nanother good line with five words.'),
+    # doc 3: brace page
+    (3, 'function foo() { return 1; } ok.\nclean line with five words here.'),
+    # doc 4: empty
+    (4, ""),
+]
+
+
+def test_c4_line_filter(spark):
+    df = spark.createDataFrame(C4_DOCS, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in webclean.with_c4_flags(df).collect()}
+    assert rows[0]["c4_text"] == "this line has five good words."
+    assert rows[0]["c4_min_sentences"] is False  # 1 sentence < 3
+    assert rows[1]["c4_text"].count("\n") == 2  # all three lines survive
+    assert rows[1]["c4_min_sentences"] is True  # . ! ? = 3 sentence marks
+    assert rows[1]["c4_pass"] is True
+    assert rows[2]["c4_no_lorem"] is False and rows[2]["c4_pass"] is False
+    assert rows[3]["c4_no_brace"] is False and rows[3]["c4_pass"] is False
+    assert rows[4]["c4_text"] == "" and rows[4]["c4_pass"] is False
+
+
+def test_c4_sql_parity(spark):
+    df = spark.createDataFrame(C4_DOCS, ["doc_id", "text"])
+    cols = ["doc_id", "c4_text", "c4_min_sentences", "c4_no_lorem", "c4_no_brace", "c4_pass"]
+    got = sorted(tuple(r) for r in webclean.with_c4_flags(df).select(*cols).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", C4_DOCS)
+    want = sorted(con.sql(webclean.c4_sql(table="d")).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide paragraph dedup
+# ---------------------------------------------------------------------------
+
+PARA_DOCS = [
+    (0, "alpha beta\nshared paragraph\ngamma"),
+    (1, "shared paragraph\ndelta\nshared paragraph"),
+    (2, "epsilon\n\nshared paragraph"),
+    (3, ""),
+]
+
+
+def test_dedup_paragraphs_first_wins(spark):
+    df = spark.createDataFrame(PARA_DOCS, ["doc_id", "text"])
+    rows = {r["doc_id"]: r["dedup_text"] for r in webclean.dedup_paragraphs(df).collect()}
+    # doc 0 holds the first occurrence (doc order): keeps everything
+    assert rows[0] == "alpha beta\nshared paragraph\ngamma"
+    # doc 1 loses BOTH its copies (first occurrence is doc 0's)
+    assert rows[1] == "delta"
+    # doc 2 keeps its blank line, loses the shared paragraph
+    assert rows[2] == "epsilon\n"
+    assert rows[3] == ""
+
+
+def test_dedup_paragraphs_sql_parity(spark):
+    df = spark.createDataFrame(PARA_DOCS, ["doc_id", "text"])
+    got = sorted(tuple(r) for r in webclean.dedup_paragraphs(df).select("doc_id", "dedup_text").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", PARA_DOCS)
+    want = sorted(con.sql(webclean.dedup_paragraphs_sql(table="d")).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# per-host rollup
+# ---------------------------------------------------------------------------
+
+HOST_DOCS = [
+    (0, "https://a.example/x?utm_source=f", "aaaa"),
+    (1, "https://A.Example:443/x", "bb"),
+    (2, "http://b.example:8080/y", "cccccc"),
+    (3, "https://a.example/z", "d"),
+]
+
+
+def test_host_stats(spark):
+    df = spark.createDataFrame(HOST_DOCS, ["doc_id", "url", "text"])
+    rows = {r["host"]: r for r in webclean.host_stats(df).collect()}
+    a = rows["a.example"]
+    assert a["n_pages"] == 3
+    assert a["n_urls"] == 2  # utm-stripped + :443-stripped collapse to /x
+    assert a["total_chars"] == 7 and a["mean_chars"] == round(7 / 3, 4)
+    assert rows["b.example"]["n_pages"] == 1  # port stripped from host
+
+
+def test_host_stats_sql_parity(spark):
+    df = spark.createDataFrame(HOST_DOCS, ["doc_id", "url", "text"])
+    got = sorted(tuple(r) for r in webclean.host_stats(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, url VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)", HOST_DOCS)
+    want = sorted(con.sql(webclean.host_stats_sql(table="d")).fetchall())
+    assert got == want
