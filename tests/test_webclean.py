@@ -419,3 +419,33 @@ def test_host_stats_sql_parity(spark):
     con.executemany("INSERT INTO d VALUES (?, ?, ?)", HOST_DOCS)
     want = sorted(con.sql(webclean.host_stats_sql(table="d")).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# physical-plan shapes of the new stages
+# ---------------------------------------------------------------------------
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pii_and_c4_plans_are_pure_jvm(spark):
+    """PII scrub and C4 flags must stay one codegen'd Project: no Python
+    eval node, no shuffle exchange anywhere."""
+    df = spark.createDataFrame([(0, "a b c.")], ["doc_id", "text"])
+    for out in (webclean.with_pii_counts(df), webclean.with_c4_flags(df)):
+        plan = _physical(out)
+        assert "PythonUDF" not in plan and "EvalPython" not in plan
+        assert "Exchange" not in plan
+
+
+def test_dedup_paragraphs_single_agg_shuffle(spark):
+    """The paragraph-dedup first-occurrence pass must be a partial-
+    aggregatable min-struct groupBy (skew-safe), never a per-key window:
+    no Window node, and the firsts side shows a partial_min before the
+    exchange."""
+    df = spark.createDataFrame(PARA_DOCS, ["doc_id", "text"])
+    plan = _physical(webclean.dedup_paragraphs(df))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_ min".replace(" ", "") in plan
