@@ -21,7 +21,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tantiny_spark import scoring
-from tantiny_spark.pipeline import dedup, similarity, textstats, webclean, webtext
+from tantiny_spark.pipeline import (
+    decontam,
+    dedup,
+    prep,
+    similarity,
+    textstats,
+    webclean,
+    webtext,
+)
 
 K1, B = scoring.K1, scoring.B
 
@@ -598,6 +606,56 @@ def q_host_stats(spark, sf_dir):
     return webclean.host_stats(pages)
 
 
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C style 13-gram overlap,
+    pipeline/decontam.py): the benchmark is a deterministic sample of the
+    corpus itself (every 37th doc's normalized words 5..30), so
+    contamination genuinely exists; every doc reports its distinct-overlap
+    count and a contaminated flag. Corpus-side grams explode JVM-side and
+    never shuffle — the gram join is broadcast-eligible (the benchmark
+    side is distinct'd and small)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 37 == 0).select(
+        F.array_join(
+            F.slice(decontam.normalized_words("text"), 5, 26), " "
+        ).alias("text")
+    )
+    return decontam.flag_contaminated(docs, decontam.benchmark_grams(bench))
+
+
+def q_dedup_keep(spark, sf_dir):
+    """Canonical selection per near-dup cluster (dedup.select_canonical):
+    the highest-quality member (score = text length) is kept, ties to the
+    smallest doc_id — ONE partial-aggregatable min-struct groupBy per
+    cluster (skew-safe for Zipfian mega-clusters), never a per-cluster
+    window on the Spark side."""
+    docs = _docs(spark, sf_dir)
+    clusters = dedup.duplicate_clusters(
+        docs, shingle_n=2, threshold=0.5, max_shingle_df=100
+    )
+    scored = clusters.join(
+        docs.select("doc_id", F.length("text").cast("double").alias("score")),
+        "doc_id",
+    )
+    return dedup.select_canonical(scored, "score")
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (prep.hash_split): the
+    split label is a pure function of (salt, doc_id) via md5, so re-runs
+    and incremental appends never reassign rows — verified row-by-row
+    against the identical md5 arithmetic in DuckDB. Narrow per-row
+    transform, zero shuffle."""
+    return prep.hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size word chunking for sequence packing (prep.chunk_documents,
+    max 50 words, disjoint): split → slice windows → posexplode, all
+    codegen'd — chunks at scan speed with zero shuffle."""
+    return prep.chunk_documents(_docs(spark, sf_dir), max_words=50)
+
+
 def q_lang_dist(spark, sf_dir):
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n_docs"))
 
@@ -964,6 +1022,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4": q_c4,
         "paragraph_dedup": q_paragraph_dedup,
         "host_stats": q_host_stats,
+        "decontam": q_decontam,
+        "dedup_keep": q_dedup_keep,
+        "hash_split": q_hash_split,
+        "doc_chunks": q_doc_chunks,
         "lang_dist": q_lang_dist,
         "events_hourly": q_events_hourly,
         "knn_join": q_knn_join,
@@ -1150,6 +1212,65 @@ SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
 FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
+    # canonical selection: same clusters, highest text-length member kept
+    # (ties to smallest id). The oracle may use a window; the Spark side is
+    # a partial-aggregatable min-struct groupBy (dedup.select_canonical).
+    sqls["dedup_keep"] = f"""
+WITH RECURSIVE pairs AS ({_sql_jaccard(0.5)}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+         length(d.text)::DOUBLE AS score
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+win AS (
+  SELECT cluster, doc_id AS keep_id,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM lab
+)
+SELECT l.doc_id, l.cluster, l.score, (l.doc_id = w.keep_id) AS keep
+FROM lab l JOIN (SELECT cluster, keep_id FROM win WHERE rn = 1) w USING (cluster)
+"""
+
+    # benchmark decontamination: 13-gram overlap against a deterministic
+    # corpus-drawn benchmark (every 37th doc's normalized words 5..30)
+    sqls["decontam"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(len(b) - 12),
+                  i -> array_to_string(b[i + 1 : i + 13], ' '))) AS g
+    FROM (SELECT w[5:30] AS b FROM tok WHERE doc_id % 37 = 0) t
+  )
+),
+cg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 12),
+                i -> array_to_string(w[i + 1 : i + 13], ' '))) AS g
+  FROM tok
+),
+hits AS (
+  SELECT doc_id, count(DISTINCT cg.g) AS nc
+  FROM cg JOIN bench USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.nc, 0) AS BIGINT) AS n_contaminated_grams,
+       coalesce(h.nc, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
     # simhash: md5-by-construction so every bit is reproducible in SQL —
     # bit j of the high-8-bytes integer lives in hex char 16-(j/4), bit j%4
     sqls["simhash"] = r"""
@@ -1318,6 +1439,12 @@ c AS (SELECT url, {webclean.canonical_url_sql('url')} AS canon_url FROM u)
 SELECT canon_url, count(*) AS n_dups, min(url) AS representative_url
 FROM c GROUP BY canon_url
 """
+
+    sqls["hash_split"] = (
+        f"SELECT doc_id, {prep.hash_split_sql('doc_id')} AS split FROM documents"
+    )
+
+    sqls["doc_chunks"] = prep.chunk_documents_sql(max_words=50)
 
     sqls["lang_dist"] = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
 

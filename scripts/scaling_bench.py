@@ -140,9 +140,20 @@ Raw JSON (all runs, best-marked):
 {os.linesep.join(json.dumps(dict(t, cpus=c)) for c in (2, 8, 32) for t in all_runs[c])}
 ```
 """
+    # Preserve the measurement-integrity record: everything from the
+    # same-window A/B section onward (engine-vs-host attribution, gating
+    # protocol, archived degraded runs) survives a sweep refresh — only the
+    # sweep table/appendix above it is replaced.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(md)
+    target = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "## Same-window A/B"
+    keep = ""
+    if os.path.exists(target):
+        old = open(target).read()
+        if marker in old:
+            keep = "\n" + old[old.index(marker):]
+    with open(target, "w") as fh:
+        fh.write(md + keep)
     print(md)
 
 

@@ -376,3 +376,34 @@ def duplicate_clusters(
             F.coalesce("label", F.col(key)).alias("cluster"),
         )
     )
+
+
+def select_canonical(
+    clustered: DataFrame,
+    score: Column | str = "score",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Keep-one-per-cluster by QUALITY, not by accident of id: given
+    (doc, cluster, score) rows — e.g. :func:`duplicate_clusters` joined
+    with a quality signal — mark exactly one ``keep`` per cluster: the
+    highest-scoring member, ties broken to the smallest doc id
+    (deterministic re-runs).
+
+    A real pipeline keeps the best copy of a near-dup cluster (longest /
+    cleanest extraction), not the one with the lowest crawl id. Scale
+    shape: ONE partial-aggregatable groupBy on the cluster id computing
+    ``min(struct(-score, id))`` — a Zipfian mega-cluster folds to one
+    struct per map partition; no per-cluster window, no collect.
+    """
+    s = (F.col(score) if isinstance(score, str) else score).cast("double")
+    winners = clustered.groupBy(cluster_col).agg(
+        F.min(F.struct((-s).alias("ns"), F.col(id_col).alias("i")))["i"].alias(
+            "__keep_id"
+        )
+    )
+    return (
+        clustered.join(winners, cluster_col)
+        .withColumn("keep", F.col(id_col) == F.col("__keep_id"))
+        .drop("__keep_id")
+    )

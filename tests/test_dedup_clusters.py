@@ -62,3 +62,45 @@ def test_duplicate_clusters_no_pairs(spark):
     out = dedup.duplicate_clusters(df, shingle_n=2, threshold=0.9)
     got = {r["doc_id"]: r["cluster"] for r in out.collect()}
     assert got == {10: 10, 11: 11}
+
+
+def test_select_canonical_highest_score_wins(spark):
+    clustered = spark.createDataFrame(
+        [
+            (1, 1, 10.0),  # cluster 1: doc 2 has the best score
+            (2, 1, 30.0),
+            (3, 1, 20.0),
+            (7, 7, 5.0),   # singleton keeps itself
+        ],
+        "doc_id long, cluster long, score double",
+    )
+    out = dedup.select_canonical(clustered)
+    got = {r["doc_id"]: r["keep"] for r in out.collect()}
+    assert got == {1: False, 2: True, 3: False, 7: True}
+    assert out.columns == ["cluster", "doc_id", "score", "keep"]
+
+
+def test_select_canonical_ties_to_smallest_id(spark):
+    clustered = spark.createDataFrame(
+        [(5, 1, 9.0), (4, 1, 9.0), (6, 1, 9.0)],
+        "doc_id long, cluster long, score double",
+    )
+    got = {r["doc_id"]: r["keep"]
+           for r in dedup.select_canonical(clustered).collect()}
+    assert got == {4: True, 5: False, 6: False}
+
+
+def test_select_canonical_plan_has_no_window(spark):
+    """Skew guarantee: the winner is a partial-aggregatable min-struct
+    groupBy, never a per-cluster Window (which would concentrate a Zipfian
+    mega-cluster onto one task)."""
+    clustered = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "doc_id long, cluster long, score double",
+    )
+    plan = (
+        dedup.select_canonical(clustered)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "partial_min" in plan
