@@ -23,12 +23,14 @@ Env knobs:
   SPARK_GRAFT_REPL     deterministic corpus replication factor (default 1) —
                        used by the scaling study to get a build long enough
                        to measure (BENCH/BASELINE.md)
-  SPARK_GRAFT_RUNS     repeats per timed section, min reported (default 2).
+  SPARK_GRAFT_RUNS     repeats per timed section, min reported (default 3).
                        This VM stalls multi-second with zero CPU/IO/memory
                        pressure (PSI-verified); min-of-N is the steady-state
                        estimate a dedicated cluster would measure. Raw build
                        walls are reported in build_runs_sec; builds longer
-                       than 60 s are never repeated.
+                       than 60 s are never repeated. A tiny untimed 64-doc
+                       build runs first so JVM codegen + Arrow worker fork
+                       warm-up never lands inside the first timed run.
 """
 
 from __future__ import annotations
@@ -129,7 +131,7 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     tmp = tempfile.mkdtemp(prefix="tantiny_bench_")
     timings: dict[str, float] = {}
     try:
@@ -142,6 +144,14 @@ def main():
         # to `runs` times and reports the MIN — the steady-state estimate a
         # dedicated cluster would measure. Raw walls ship in build_runs_sec
         # so nothing is hidden.
+        # untimed warm-up: a 64-doc build forks the Arrow Python workers and
+        # JIT-compiles every codegen stage in the build path once, so the
+        # first timed run measures the engine, not JVM/worker warm-up
+        warm = Index(spark, os.path.join(tmp, "warm"), build_schema())
+        warm.add_dataframe(src.limit(64))
+        warm.reload()
+        warm.search(warm.all_query(), limit=1)
+
         build_walls = []
         index = None
         for r in range(max(1, runs)):
