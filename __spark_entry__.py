@@ -828,6 +828,25 @@ def q_engine_boost(spark, sf_dir):
     return _engine_topk(ix, ix.term_query("text", "vector").boost(2.5))
 
 
+_MLT_SEED_DOC = 7
+_MLT_PARAMS = dict(max_query_terms=5, min_term_freq=2, min_doc_freq=2)
+
+
+def q_engine_mlt(spark, sf_dir):
+    """Engine-routed MoreLikeThis: seed with the text of doc 7 (a point
+    lookup on the source corpus — the index keeps no stored fields), select
+    the top-5 terms by seed-tf * idf with tf>=2 / df>=2 filters, and rank
+    the resulting pure term disjunction through Index.search_df (WAND fast
+    path). The oracle replays the same term selection and BM25-sum in SQL."""
+    ix = _engine_index(spark, sf_dir)
+    seed = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") == _MLT_SEED_DOC)
+        .select("text").collect()[0]["text"]
+    )
+    return _engine_topk(ix, ix.more_like_this("text", seed, **_MLT_PARAMS))
+
+
 def q_engine_ngram(spark, sf_dir):
     """Engine contract for the ngram tokenizer family (reference golden
     spec/tantiny/tokenizer_spec.rb:41-48): a text field tokenized into
@@ -1042,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_bool_or": q_engine_bool_or,
         "engine_bool_not": q_engine_bool_not,
         "engine_boost": q_engine_boost,
+        "engine_mlt": q_engine_mlt,
         "engine_ngram": q_engine_ngram,
         "engine_facet_counts": q_engine_facet_counts,
         "engine_stemmed_de": q_engine_stemmed_de,
@@ -1546,6 +1566,33 @@ WHERE NOT list_contains(ts, 'spark')
 
     sqls["engine_boost"] = _sql_engine_topk(f"""
 SELECT id, score * 2.5 AS score FROM ({_sql_engine_term('vector')})
+""")
+
+    # MoreLikeThis: replay the engine's term selection (seed-doc tf, corpus
+    # df, tf*idf rank, (score desc, term asc) tie-break, top-5 with tf>=2 /
+    # df>=2) then BM25-sum the selected pure term disjunction
+    sqls["engine_mlt"] = _sql_engine_topk(f"""
+SELECT id, sum(score) AS score FROM (
+  SELECT CAST(e.doc_id AS VARCHAR) AS id,
+         {_sql_bm25(dl=_SQL_DLQ, df='sel.df')} AS score
+  FROM (SELECT DISTINCT doc_id, term FROM ex) e
+  JOIN (
+    SELECT term, df FROM (
+      SELECT st.term, st.tf, d.df,
+             st.tf * ln(1.0 + (s2.n - d.df + 0.5) / (d.df + 0.5)) AS tscore
+      FROM (SELECT t AS term, count(*)::DOUBLE AS tf
+            FROM (SELECT unnest(ts) AS t FROM tok WHERE doc_id = {_MLT_SEED_DOC})
+            GROUP BY t) st
+      JOIN (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+            FROM ex GROUP BY term) d USING (term)
+      CROSS JOIN s s2
+      WHERE st.tf >= {_MLT_PARAMS['min_term_freq']}
+        AND d.df >= {_MLT_PARAMS['min_doc_freq']}
+    ) ORDER BY tscore DESC, term ASC LIMIT {_MLT_PARAMS['max_query_terms']}
+  ) sel USING (term)
+  JOIN (SELECT doc_id, len(ts)::DOUBLE AS dl FROM tok) d0 ON e.doc_id = d0.doc_id,
+  s, tbl
+) GROUP BY id
 """)
 
     # ngram field: tokens are character 3..10-grams of the raw text, so a

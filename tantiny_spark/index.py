@@ -344,6 +344,50 @@ class Index:
     def smart_query(self, fields, query_string, **opts):
         return P.smart_query(self.schema, fields, query_string, **opts)
 
+    def more_like_this(
+        self, fields, like_text: str, max_query_terms: int = 10,
+        min_term_freq: int = 1, min_doc_freq: int = 1,
+        boost: float = P.DEFAULT_BOOST,
+    ):
+        """Lucene/Tantivy-style MoreLikeThis over seed TEXT (the
+        ``MoreLikeThis.like(Reader)`` form — the index keeps no stored
+        fields, exactly like the reference engine, so seeding from a doc id
+        means passing that doc's text from the source corpus).
+
+        Term selection per text field: tokenize ``like_text`` with the
+        field's own tokenizer, keep terms with seed tf >= min_term_freq and
+        dictionary df >= min_doc_freq, score tf * idf with the engine's BM25
+        idf, and take the top ``max_query_terms`` by (score desc, term asc).
+        The result is a pure term disjunction, so search() rides the
+        block-max WAND top-k fast path; dictionary dfs come from ONE batched
+        pruned lookup per field (no per-term driver jobs)."""
+        import math
+        from collections import Counter
+
+        names = P._listify(fields)
+        selected: list = []
+        for f in names:
+            if f not in self.schema.text_fields:
+                raise UnsupportedField(f)
+            tf = Counter(self.schema.tokenizer_for(f).terms(like_text))
+            cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+            if not cand:
+                continue
+            dfs = self.ctx.term_dfs(f, cand)
+            n, _ = self.ctx.field_stats(f)
+            scored = []
+            for t in cand:
+                df = dfs[t]
+                if df < max(1, min_doc_freq):
+                    continue
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                scored.append((-tf[t] * idf, t))
+            scored.sort()
+            selected.extend(P.Term(f, t) for _, t in scored[:max_query_terms])
+        if not selected:
+            return P.empty_query()
+        return P.disjunction(*selected).boost(boost)
+
     # --- search (index.rb:87-94, src/index.rs:244-274) ----------------------
     def search(self, query, limit: int = DEFAULT_LIMIT, **smart_opts) -> list:
         """Returns ids of the top ``limit`` docs (scores discarded, like the

@@ -1,0 +1,99 @@
+"""MoreLikeThis query — Lucene/Tantivy-style similar-document retrieval.
+
+Term selection: tokenize the seed text with the field tokenizer, keep terms
+with seed tf >= min_term_freq and dictionary df >= min_doc_freq, rank by
+tf * idf (engine BM25 idf), take top max_query_terms by (score desc, term
+asc), OR the term queries. The result is a pure term disjunction (rides the
+WAND fast path)."""
+
+import math
+
+import pytest
+
+from tantiny_spark import plan as P
+from tantiny_spark.errors import UnsupportedField
+from tantiny_spark.index import Index
+from tantiny_spark.schema import IndexSchema
+
+
+DOCS = [
+    {"id": 1, "text": "spark shuffle join spark spark"},
+    {"id": 2, "text": "spark shuffle merge"},
+    {"id": 3, "text": "cats purr softly"},
+    {"id": 4, "text": "shuffle join merge window"},
+    {"id": 5, "text": "the the the the"},
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    s = IndexSchema()
+    s.text("text")
+    ix = Index(spark, str(tmp_path_factory.mktemp("mlt") / "idx"), s)
+    with ix.transaction():
+        for d in DOCS:
+            ix.add(d)
+    return ix.reload()
+
+
+def _selected_terms(q):
+    node = q
+    if isinstance(node, P.Boost):
+        node = node.child
+    if isinstance(node, P.Term):
+        return [node.term]
+    assert isinstance(node, P.Disjunction)
+    return sorted(t.term for t in node.children)
+
+
+def test_seed_doc_ranks_first(idx):
+    q = idx.more_like_this("text", DOCS[0]["text"])
+    assert idx.search(q, limit=3)[0] == "1"
+
+
+def test_term_selection_ranks_by_tf_idf(idx):
+    # seed: "spark spark shuffle" -> tf(spark)=2, tf(shuffle)=1; both df>0
+    q = idx.more_like_this("text", "spark spark shuffle", max_query_terms=1)
+    # spark: tf=2, df=2; shuffle: tf=1, df=3 -> spark has higher tf*idf
+    assert _selected_terms(q) == ["spark"]
+
+
+def test_min_term_freq_filters_seed_terms(idx):
+    q = idx.more_like_this("text", "spark spark shuffle", min_term_freq=2)
+    assert _selected_terms(q) == ["spark"]
+
+
+def test_min_doc_freq_filters_rare_terms(idx):
+    # "purr" appears in 1 doc; min_doc_freq=2 drops it
+    q = idx.more_like_this("text", "purr shuffle", min_doc_freq=2)
+    assert _selected_terms(q) == ["shuffle"]
+
+
+def test_unindexed_seed_terms_dropped(idx):
+    q = idx.more_like_this("text", "zzz qqq")
+    assert isinstance(q, P.Empty)
+
+
+def test_unknown_field_raises(idx):
+    with pytest.raises(UnsupportedField):
+        idx.more_like_this("nope", "spark")
+
+
+def test_matches_manual_disjunction(idx):
+    """The MLT query scores exactly as the equivalent hand-built OR."""
+    q = idx.more_like_this("text", DOCS[1]["text"])
+    manual = P.disjunction(
+        *[P.Term("text", t) for t in _selected_terms(q)]
+    )
+    got = idx.search_with_scores(q, limit=10)
+    want = idx.search_with_scores(manual, limit=10)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert math.isclose(a, b, rel_tol=1e-12)
+
+
+def test_tie_break_is_term_asc(idx):
+    # craft two terms with identical tf*idf: same tf in seed, same df.
+    # "join" df=2 and "merge" df=2 -> tie; term asc keeps "join" first
+    q = idx.more_like_this("text", "join merge", max_query_terms=1)
+    assert _selected_terms(q) == ["join"]
