@@ -391,6 +391,27 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+def q_unigram_lm(spark, sf_dir):
+    """Unigram-LM quality signal (CCNet's perplexity buckets with the KenLM
+    model swapped for a self-trained corpus unigram model): per-doc mean
+    bits per token under the corpus token distribution."""
+    return textstats.with_unigram_bits(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "bits_per_token"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (training-mix construction):
+    keep-decision is a pure function of (salt, doc_id) with per-stratum
+    rates folded into one codegen'd CASE filter."""
+    from tantiny_spark.pipeline import prep
+
+    return prep.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        rates={"en": 0.5, "de": 0.2}, default_rate=0.8,
+    )
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (MOSS rolling k-gram scheme), exploded to
     (doc_id, fp) rows for order-insensitive cross-engine hashing."""
@@ -1044,6 +1065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "dedup_keep": q_dedup_keep,
         "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "unigram_lm": q_unigram_lm,
         "doc_chunks": q_doc_chunks,
         "lang_dist": q_lang_dist,
         "events_hourly": q_events_hourly,
@@ -1463,6 +1486,25 @@ FROM c GROUP BY canon_url
     sqls["hash_split"] = (
         f"SELECT doc_id, {prep.hash_split_sql('doc_id')} AS split FROM documents"
     )
+
+    sqls["stratified_sample"] = (
+        "SELECT doc_id, lang FROM documents WHERE "
+        + prep.stratified_sample_sql(
+            rates={"en": 0.5, "de": 0.2}, default_rate=0.8
+        )
+    )
+
+    sqls["unigram_lm"] = f"""
+WITH tok AS (SELECT doc_id, {regex_tok} AS ts FROM documents),
+ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
+tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM ex GROUP BY 1, 2),
+vocab AS (SELECT token, count(*)::DOUBLE AS cnt FROM ex GROUP BY token),
+tot AS (SELECT sum(cnt)::DOUBLE AS total FROM vocab)
+SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+       round(sum(tf * -log2(cnt / total)) / sum(tf), 6) AS bits_per_token
+FROM tf JOIN vocab USING (token), tot
+GROUP BY doc_id
+"""
 
     sqls["doc_chunks"] = prep.chunk_documents_sql(max_words=50)
 

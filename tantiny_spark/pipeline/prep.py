@@ -176,3 +176,52 @@ SELECT {id_col}, CAST(chunk_id AS INT) AS chunk_id,
          AS chunk_text
 FROM ex
 """
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum: str = "lang",
+    key: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the data-mixing step that
+    turns a cleaned corpus into a training mix ("keep 100% of books, 30% of
+    web, 5% of low-quality web").
+
+    Keeps a row iff ``hash_fraction(key, salt) < rates[stratum]`` (strata
+    absent from ``rates`` use ``default_rate``). Membership is a pure
+    function of (salt, key): re-runs and incremental appends keep exactly
+    the same rows, and any md5-capable engine reproduces the mix.
+
+    Scale shape: ``rates`` is configuration, not data — it folds into a
+    literal CASE chain, so the whole operator is ONE narrow codegen'd
+    filter: no join, no shuffle, no driver state."""
+    for name, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {name!r} must be in [0,1] (got {r})")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0,1] (got {default_rate})")
+    rate = F.lit(default_rate)
+    for name in sorted(rates):
+        rate = F.when(F.col(stratum) == name, F.lit(rates[name])).otherwise(rate)
+    return df.where(hash_fraction(key, salt) < rate)
+
+
+def stratified_sample_sql(
+    rates: dict[str, float],
+    stratum: str = "lang",
+    key: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> str:
+    """DuckDB WHERE-clause predicate mirroring :func:`stratified_sample`."""
+    frac = (
+        f"(('0x' || substr(md5('{salt}:' || {key}::VARCHAR), 1, 8))::BIGINT"
+        f" / {_HASH_SPACE!r})"
+    )
+    rate = f"{default_rate!r}"
+    for name in sorted(rates):
+        rate = f"CASE WHEN {stratum} = '{name}' THEN {rates[name]!r} ELSE {rate} END"
+    return f"{frac} < ({rate})"

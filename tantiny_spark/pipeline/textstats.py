@@ -159,3 +159,52 @@ def with_language_id(df: DataFrame, text: str = "text") -> DataFrame:
         new_hits = F.when(hits > best_hits, hits).otherwise(best_hits)
         best, best_hits = new_best, new_hits
     return df.withColumn("lang_id", best)
+
+
+def unigram_counts(df: DataFrame, text: str = "text") -> DataFrame:
+    """Corpus-wide unigram counts: DataFrame[token, cnt].
+
+    One explode + sum groupBy — partial aggregation folds the Zipf head
+    map-side, so the shuffle carries one row per (partition, distinct
+    token), not one per occurrence. The vocabulary (~millions of types
+    even at web scale) is orders of magnitude smaller than the corpus."""
+    ex = df.select(F.explode(tokens_col(text)).alias("token"))
+    return ex.groupBy("token").agg(F.count("*").alias("cnt"))
+
+
+def with_unigram_bits(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document unigram-LM score — mean bits per token under a corpus
+    unigram model (CCNet's perplexity-bucket quality signal, with the
+    KenLM 5-gram model replaced by the self-trained unigram model that a
+    pure-SQL oracle can replay exactly).
+
+    Returns (id_col, n_tokens, bits_per_token) where bits_per_token =
+    sum(tf * -log2(cnt/total)) / sum(tf) over the doc's tokens; low bits =
+    stereotypical text, high bits = rare-token soup. Documents with zero
+    tokens produce no row (nothing to score).
+
+    Scale shape: per-doc tf pre-aggregation first (one row per (doc, token)
+    — bounds Zipf-head join fan-out), then a token-keyed join against the
+    vocab (broadcast when small, sort-merge otherwise — no forced hint),
+    then one partial-aggregatable groupBy. The 1-row total is the only
+    broadcast, which is size-safe by construction. ``model`` lets a frozen
+    vocab from a reference corpus score a new corpus (the CCNet setup)."""
+    ex = df.select(id_col, F.explode(tokens_col(text)).alias("token"))
+    tf = ex.groupBy(id_col, "token").agg(F.count("*").cast("double").alias("tf"))
+    vocab = model if model is not None else unigram_counts(df, text)
+    vocab = vocab.select("token", F.col("cnt").cast("double").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = tf.join(vocab, "token").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("tf") * -F.log2(F.col("cnt") / F.col("total")))
+            / F.sum("tf"),
+            6,
+        ).alias("bits_per_token"),
+    )

@@ -1,0 +1,73 @@
+"""Unigram-LM bits-per-token scoring and deterministic stratified sampling."""
+
+import math
+
+import pytest
+
+from tantiny_spark.pipeline import prep, textstats
+
+
+def test_unigram_bits_matches_hand_computation(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+        for r in textstats.with_unigram_bits(df).collect()
+    }
+    # corpus counts: a=2, b=2, c=1, total=5
+    def bits(t):
+        return -math.log2({"a": 2, "b": 2, "c": 1}[t] / 5.0)
+
+    assert got[1][0] == 3
+    assert got[1][1] == pytest.approx((2 * bits("a") + bits("b")) / 3, abs=1e-6)
+    assert got[2][1] == pytest.approx((bits("b") + bits("c")) / 2, abs=1e-6)
+    assert 3 not in got  # zero-token docs produce no row
+
+
+def test_unigram_bits_frozen_model(spark):
+    """A frozen reference-corpus model scores a different corpus (CCNet
+    setup); unknown-token rows simply don't match the vocab."""
+    ref = spark.createDataFrame([(1, "a a a b")], ["doc_id", "text"])
+    model = textstats.unigram_counts(ref)  # a=3, b=1, total=4
+    new = spark.createDataFrame([(9, "a b zzz")], ["doc_id", "text"])
+    row = textstats.with_unigram_bits(new, model=model).collect()[0]
+    # zzz is out-of-vocab -> excluded from both sum(tf) and the numerator
+    want = (-math.log2(3 / 4) + -math.log2(1 / 4)) / 2
+    assert row["n_tokens"] == 2
+    assert row["bits_per_token"] == pytest.approx(want, abs=1e-6)
+
+
+def test_rare_token_soup_scores_higher(spark):
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(9)]
+    rows.append((99, "zyx qwv jkl pqr mno"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["bits_per_token"]
+           for r in textstats.with_unigram_bits(df).collect()}
+    assert got[99] > got[0]
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(400)], ["doc_id", "lang"]
+    )
+    lo = prep.stratified_sample(df, rates={"en": 0.3}, default_rate=0.5)
+    hi = prep.stratified_sample(df, rates={"en": 0.6}, default_rate=1.0)
+    lo_ids = {r["doc_id"] for r in lo.collect()}
+    # determinism: a re-run keeps exactly the same rows
+    assert {r["doc_id"] for r in lo.collect()} == lo_ids
+    # monotonicity: raising every rate only ADDS rows (append-stable mixes)
+    assert lo_ids <= {r["doc_id"] for r in hi.collect()}
+    # rates are roughly honored per stratum
+    en = sum(1 for r in lo_ids if r % 2)
+    de = len(lo_ids) - en
+    assert 0.15 < en / 200 < 0.45
+    assert 0.35 < de / 200 < 0.65
+
+
+def test_stratified_sample_validates_rates(spark):
+    df = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    with pytest.raises(ValueError):
+        prep.stratified_sample(df, rates={"en": 1.5})
+    with pytest.raises(ValueError):
+        prep.stratified_sample(df, rates={}, default_rate=-0.1)
