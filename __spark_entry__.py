@@ -412,6 +412,18 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+_SPAN_K = 8
+
+
+def q_dup_spans(spark, sf_dir):
+    """ExactSubstr-style span dedup (Lee et al. 2022 at k-token
+    granularity): merged deletion intervals covering every repeated
+    8-token window except its first global occurrence."""
+    from tantiny_spark.pipeline import spans
+
+    return spans.duplicate_spans(_docs(spark, sf_dir), k=_SPAN_K)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (MOSS rolling k-gram scheme), exploded to
     (doc_id, fp) rows for order-insensitive cross-engine hashing."""
@@ -1067,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "unigram_lm": q_unigram_lm,
+        "dup_spans": q_dup_spans,
         "doc_chunks": q_doc_chunks,
         "lang_dist": q_lang_dist,
         "events_hourly": q_events_hourly,
@@ -1493,6 +1506,41 @@ FROM c GROUP BY canon_url
             rates={"en": 0.5, "de": 0.2}, default_rate=0.8
         )
     )
+
+    _pb = 1 << 20  # packed (doc_id, pos) key: pos < 2^20 (spans._POS_BITS)
+    sqls["dup_spans"] = f"""
+WITH tok AS (SELECT doc_id, {regex_tok} AS ts FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(ts[i : i + {_SPAN_K - 1}], ' ')) AS gram
+  FROM tok, unnest(generate_series(1, len(ts) - {_SPAN_K - 1})) AS u(i)
+  WHERE len(ts) >= {_SPAN_K}
+),
+stats AS (
+  SELECT gram, min(doc_id * {_pb} + pos) AS first_key
+  FROM g GROUP BY gram HAVING count(*) >= 2
+),
+del AS (
+  SELECT g.doc_id, g.pos FROM g JOIN stats USING (gram)
+  WHERE g.doc_id * {_pb} + g.pos != first_key
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + {_SPAN_K}) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM del
+),
+num AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+       CAST(max(pos) + {_SPAN_K} AS BIGINT) AS end_tok
+FROM num GROUP BY doc_id, island
+"""
 
     sqls["unigram_lm"] = f"""
 WITH tok AS (SELECT doc_id, {regex_tok} AS ts FROM documents),
