@@ -861,6 +861,24 @@ def q_engine_boost(spark, sf_dir):
     return _engine_topk(ix, ix.term_query("text", "vector").boost(2.5))
 
 
+_SNIP_W = 10
+
+
+def q_engine_snippet(spark, sf_dir):
+    """Engine-routed snippet generation: top-10 term hits joined back to
+    the source corpus, best 10-word fragment by (matched words desc,
+    fragment asc). The oracle replays fragmenting + argmax with SQL window
+    functions over the same engine top-k."""
+    ix = _engine_index(spark, sf_dir)
+    out = ix.snippets(
+        ix.term_query("text", "vector"), _docs(spark, sf_dir),
+        field="text", id_col="doc_id", window=_SNIP_W,
+    )
+    return out.select(
+        "id", F.round("score", 4).alias("score"), "snippet", "n_hits"
+    )
+
+
 _MLT_SEED_DOC = 7
 _MLT_PARAMS = dict(max_query_terms=5, min_term_freq=2, min_doc_freq=2)
 
@@ -1098,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_bool_not": q_engine_bool_not,
         "engine_boost": q_engine_boost,
         "engine_mlt": q_engine_mlt,
+        "engine_snippet": q_engine_snippet,
         "engine_ngram": q_engine_ngram,
         "engine_facet_counts": q_engine_facet_counts,
         "engine_stemmed_de": q_engine_stemmed_de,
@@ -1657,6 +1676,29 @@ WHERE NOT list_contains(ts, 'spark')
     sqls["engine_boost"] = _sql_engine_topk(f"""
 SELECT id, score * 2.5 AS score FROM ({_sql_engine_term('vector')})
 """)
+
+    # snippet: engine top-10 for the term query, then 10-word fragmenting
+    # + (hits desc, fragment asc) argmax per hit in SQL window functions
+    sqls["engine_snippet"] = f"""
+{_SQL_ENGINE_PRELUDE},
+q AS ({_sql_engine_term('vector')}),
+top AS (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 10),
+d AS (SELECT t.id, t.score, tok.ts
+      FROM top t JOIN tok ON CAST(tok.doc_id AS VARCHAR) = t.id),
+exw AS (SELECT id, (i - 1) // {_SNIP_W} AS chunk,
+               CASE WHEN ts[i] = 'vector' THEN 1 ELSE 0 END AS hit
+        FROM d, unnest(generate_series(1, len(ts))) AS u(i)),
+pc AS (SELECT id, chunk, sum(hit) AS hits FROM exw GROUP BY 1, 2),
+best AS (SELECT id, chunk, hits,
+                row_number() OVER (PARTITION BY id
+                                   ORDER BY hits DESC, chunk ASC) AS rn
+         FROM pc)
+SELECT d.id, round(d.score, 4) AS score,
+       array_to_string(d.ts[b.chunk * {_SNIP_W} + 1 : b.chunk * {_SNIP_W} + {_SNIP_W}], ' ')
+         AS snippet,
+       b.hits::BIGINT AS n_hits
+FROM best b JOIN d USING (id) WHERE b.rn = 1
+"""
 
     # MoreLikeThis: replay the engine's term selection (seed-doc tf, corpus
     # df, tf*idf rank, (score desc, term asc) tie-break, top-5 with tf>=2 /

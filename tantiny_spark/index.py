@@ -410,6 +410,15 @@ class Index:
             return top_k(fast, self.ctx, limit)
         return top_k(compile_plan(plan, self.ctx), self.ctx, limit)
 
+    def snippets(self, query, source_df, field: str = "text", **kw):
+        """Top-k search + best-fragment snippet per hit (Tantivy
+        SnippetGenerator re-expression; the index stores no fields, so
+        fragments come from joining the broadcast-size hit set back to the
+        caller's source corpus). See tantiny_spark.snippet.snippets."""
+        from tantiny_spark.snippet import snippets as _snippets
+
+        return _snippets(self, query, source_df, field=field, **kw)
+
     def facet_counts(
         self, field: str, prefix: str, query=None, limit: int | None = None,
         **smart_opts,
