@@ -861,6 +861,14 @@ def q_engine_boost(spark, sf_dir):
     return _engine_topk(ix, ix.term_query("text", "vector").boost(2.5))
 
 
+def q_engine_count(spark, sf_dir):
+    """Engine-routed match counting: Index.count for a boolean query (no
+    ranking — the matched set is counted, scores pruned)."""
+    ix = _engine_index(spark, sf_dir)
+    n = ix.count(ix.term_query("text", "spark") | ix.term_query("text", "merge"))
+    return spark.createDataFrame([(n,)], "n_matches bigint")
+
+
 _SNIP_W = 10
 
 
@@ -1117,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_boost": q_engine_boost,
         "engine_mlt": q_engine_mlt,
         "engine_snippet": q_engine_snippet,
+        "engine_count": q_engine_count,
         "engine_ngram": q_engine_ngram,
         "engine_facet_counts": q_engine_facet_counts,
         "engine_stemmed_de": q_engine_stemmed_de,
@@ -1676,6 +1685,12 @@ WHERE NOT list_contains(ts, 'spark')
     sqls["engine_boost"] = _sql_engine_topk(f"""
 SELECT id, score * 2.5 AS score FROM ({_sql_engine_term('vector')})
 """)
+
+    sqls["engine_count"] = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+SELECT count(*)::BIGINT AS n_matches FROM tok
+WHERE list_contains(ts, 'spark') OR list_contains(ts, 'merge')
+"""
 
     # snippet: engine top-10 for the term query, then 10-word fragmenting
     # + (hits desc, fragment asc) argmax per hit in SQL window functions

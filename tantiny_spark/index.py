@@ -410,6 +410,17 @@ class Index:
             return top_k(fast, self.ctx, limit)
         return top_k(compile_plan(plan, self.ctx), self.ctx, limit)
 
+    def count(self, query=None, **smart_opts) -> int:
+        """Number of documents matching ``query`` (all docs when None) —
+        the searcher-count companion to search(): no ranking, no top-k, so
+        the plan is a pure matched-set count that Catalyst prunes down to
+        the postings scan (score expressions are projected away)."""
+        plan = self._as_plan(
+            self.all_query() if query is None else query, smart_opts
+        )
+        prime_stats(plan, self.ctx)
+        return compile_plan(plan, self.ctx).count()
+
     def snippets(self, query, source_df, field: str = "text", **kw):
         """Top-k search + best-fragment snippet per hit (Tantivy
         SnippetGenerator re-expression; the index stores no fields, so

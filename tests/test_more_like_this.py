@@ -97,3 +97,9 @@ def test_tie_break_is_term_asc(idx):
     # "join" df=2 and "merge" df=2 -> tie; term asc keeps "join" first
     q = idx.more_like_this("text", "join merge", max_query_terms=1)
     assert _selected_terms(q) == ["join"]
+
+
+def test_count(idx):
+    assert idx.count(P.term_query(idx.schema, "text", "spark")) == 2
+    assert idx.count() == len(DOCS)
+    assert idx.count(~P.term_query(idx.schema, "text", "spark")) == 3
