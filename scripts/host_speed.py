@@ -155,7 +155,8 @@ def best_recorded() -> dict:
                 except json.JSONDecodeError:
                     continue
                 for k in ("st_matmul_gflops", "st_py_mops",
-                          "mt8_sustained_mops", "disk_w_mbps", "st_membw_gbs"):
+                          "mt8_sustained_mops", "disk_w_mbps",
+                          "st_membw_gbs", "mt8_membw_gbs"):
                     if k in rec:
                         best[k] = max(best.get(k, 0.0), rec[k])
     return best
@@ -171,8 +172,12 @@ def main() -> int:
         fh.write(json.dumps(rec) + "\n")
     verdict = "OK"
     worst_frac = 1.0
+    # mt8_membw is THE discriminating metric for multi-threaded Spark
+    # builds: 2026-08-17 21:55 every gated metric read OK (st_membw 34)
+    # while mt8_membw sat at 36% of best and the engine's own 50k
+    # mini-build ran 3.5k docs/s vs the 13k clean-era rate
     for k in ("st_matmul_gflops", "st_py_mops", "mt8_sustained_mops",
-              "disk_w_mbps", "st_membw_gbs"):
+              "disk_w_mbps", "st_membw_gbs", "mt8_membw_gbs"):
         if prior.get(k):
             worst_frac = min(worst_frac, rec[k] / prior[k])
     if gate and worst_frac < GATE_FRACTION:
