@@ -861,6 +861,14 @@ def q_engine_boost(spark, sf_dir):
     return _engine_topk(ix, ix.term_query("text", "vector").boost(2.5))
 
 
+def q_engine_stats(spark, sf_dir):
+    """Engine-routed numeric stats aggregation (Tantivy StatsAggregation):
+    n_chars stats over the docs matching a term query — matched-set
+    semi-join + one partial-aggregatable global agg."""
+    ix = _engine_index(spark, sf_dir)
+    return ix.stats_df("n_chars", ix.term_query("text", "spark"))
+
+
 def q_engine_count(spark, sf_dir):
     """Engine-routed match counting: Index.count for a boolean query (no
     ranking — the matched set is counted, scores pruned)."""
@@ -1126,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_mlt": q_engine_mlt,
         "engine_snippet": q_engine_snippet,
         "engine_count": q_engine_count,
+        "engine_stats": q_engine_stats,
         "engine_ngram": q_engine_ngram,
         "engine_facet_counts": q_engine_facet_counts,
         "engine_stemmed_de": q_engine_stemmed_de,
@@ -1685,6 +1694,17 @@ WHERE NOT list_contains(ts, 'spark')
     sqls["engine_boost"] = _sql_engine_topk(f"""
 SELECT id, score * 2.5 AS score FROM ({_sql_engine_term('vector')})
 """)
+
+    sqls["engine_stats"] = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+SELECT count(n_chars)::BIGINT AS n_vals,
+       min(n_chars)::DOUBLE AS min_val,
+       max(n_chars)::DOUBLE AS max_val,
+       sum(n_chars)::DOUBLE AS sum_val,
+       round(avg(n_chars), 6) AS avg_val
+FROM documents JOIN tok USING (doc_id)
+WHERE list_contains(ts, 'spark')
+"""
 
     sqls["engine_count"] = """
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)

@@ -421,6 +421,41 @@ class Index:
         prime_stats(plan, self.ctx)
         return compile_plan(plan, self.ctx).count()
 
+    def stats_df(self, field: str, query=None, **smart_opts) -> DataFrame:
+        """Numeric stats aggregation over the docs matching ``query`` (all
+        docs when None) — Tantivy's StatsAggregation for a fast field:
+        (n_vals, min_val, max_val, sum_val, avg_val), nulls excluded.
+
+        Plan shape: matched doc-set semi-join against the docs table (the
+        numeric column lives there, like range queries use), then ONE
+        partial-aggregatable global agg — no window, no collect of values."""
+        if field not in (
+            self.schema.integer_fields + self.schema.double_fields
+        ):
+            raise UnsupportedField(field)
+        docs = self.ctx.docs
+        if query is not None:
+            plan = self._as_plan(query, smart_opts)
+            prime_stats(plan, self.ctx)
+            matched = compile_plan(plan, self.ctx).select("doc_id")
+            docs = docs.join(matched, "doc_id", "left_semi")
+        col = F.col(field).cast("double")
+        return docs.agg(
+            F.count(col).alias("n_vals"),
+            F.min(col).alias("min_val"),
+            F.max(col).alias("max_val"),
+            F.sum(col).alias("sum_val"),
+            F.round(F.avg(col), 6).alias("avg_val"),
+        )
+
+    def stats(self, field: str, query=None, **smart_opts) -> dict:
+        """Dict form of :meth:`stats_df` ({count, min, max, sum, avg})."""
+        r = self.stats_df(field, query, **smart_opts).collect()[0]
+        return {
+            "count": r["n_vals"], "min": r["min_val"], "max": r["max_val"],
+            "sum": r["sum_val"], "avg": r["avg_val"],
+        }
+
     def snippets(self, query, source_df, field: str = "text", **kw):
         """Top-k search + best-fragment snippet per hit (Tantivy
         SnippetGenerator re-expression; the index stores no fields, so

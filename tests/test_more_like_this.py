@@ -103,3 +103,23 @@ def test_count(idx):
     assert idx.count(P.term_query(idx.schema, "text", "spark")) == 2
     assert idx.count() == len(DOCS)
     assert idx.count(~P.term_query(idx.schema, "text", "spark")) == 3
+
+
+def test_stats(spark, tmp_path):
+    from tantiny_spark.schema import IndexSchema
+
+    s = IndexSchema()
+    s.text("text")
+    s.integer("n")
+    ix = Index(spark, str(tmp_path / "statsidx"), s)
+    with ix.transaction():
+        ix.add({"id": 1, "text": "spark build", "n": 10})
+        ix.add({"id": 2, "text": "spark query", "n": 30})
+        ix.add({"id": 3, "text": "other", "n": 100})
+        ix.add({"id": 4, "text": "spark null n"})
+    ix.reload()
+    got = ix.stats("n", ix.term_query("text", "spark"))
+    assert got == {"count": 2, "min": 10.0, "max": 30.0, "sum": 40.0, "avg": 20.0}
+    assert ix.stats("n")["count"] == 3  # all docs, null excluded
+    with pytest.raises(UnsupportedField):
+        ix.stats("text")
