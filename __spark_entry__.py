@@ -861,6 +861,14 @@ def q_engine_boost(spark, sf_dir):
     return _engine_topk(ix, ix.term_query("text", "vector").boost(2.5))
 
 
+def q_engine_phrase_slop(spark, sf_dir):
+    """Engine-routed sloppy phrase (ordered-gap slop=1): "batch batch" with
+    the second term allowed within 2 positions — greedy-minimal chain
+    completion, phrase-tf = valid start count, per-occurrence idf BM25."""
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.phrase_query("text", "batch batch", slop=1))
+
+
 def q_engine_stats(spark, sf_dir):
     """Engine-routed numeric stats aggregation (Tantivy StatsAggregation):
     n_chars stats over the docs matching a term query — matched-set
@@ -1135,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_snippet": q_engine_snippet,
         "engine_count": q_engine_count,
         "engine_stats": q_engine_stats,
+        "engine_phrase_slop": q_engine_phrase_slop,
         "engine_ngram": q_engine_ngram,
         "engine_facet_counts": q_engine_facet_counts,
         "engine_stemmed_de": q_engine_stemmed_de,
@@ -1633,6 +1642,21 @@ FROM (SELECT a.doc_id, count(*)::DOUBLE AS tf
       FROM (SELECT doc_id, pos FROM ex WHERE term = 'batch') a
       JOIN (SELECT doc_id, pos FROM ex WHERE term = 'batch') b
         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.doc_id) ph
+JOIN (SELECT doc_id, len(ts)::DOUBLE AS dl FROM tok) dl0 ON ph.doc_id = dl0.doc_id,
+     (SELECT count(*)::DOUBLE AS df FROM tok WHERE list_contains(ts, 'batch')) d,
+     s, tbl
+""")
+
+    # sloppy phrase (slop=1): a start is valid iff SOME second-term position
+    # lands in (start, start+2] — for two terms, exists == greedy
+    sqls["engine_phrase_slop"] = _sql_engine_topk(f"""
+SELECT CAST(ph.doc_id AS VARCHAR) AS id,
+       2.0 * ({_sql_bm25(dl=_SQL_DLQ, tf='tf')}) AS score
+FROM (SELECT a.doc_id, count(DISTINCT a.pos)::DOUBLE AS tf
+      FROM (SELECT doc_id, pos FROM ex WHERE term = 'batch') a
+      JOIN (SELECT doc_id, pos FROM ex WHERE term = 'batch') b
+        ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
       GROUP BY a.doc_id) ph
 JOIN (SELECT doc_id, len(ts)::DOUBLE AS dl FROM tok) dl0 ON ph.doc_id = dl0.doc_id,
      (SELECT count(*)::DOUBLE AS df FROM tok WHERE list_contains(ts, 'batch')) d,

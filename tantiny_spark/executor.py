@@ -268,13 +268,15 @@ def _phrase(node: P.Phrase, ctx: SearchContext) -> DataFrame:
 
     # k-way positional intersection: shift each term's positions back by its
     # offset; a phrase occurrence is a position present in every shifted list.
+    slop = getattr(node, "slop", 0)
     parts = []
     for i, t in enumerate(terms):
+        shift = 0 if slop else i
         part = (
             ctx.postings.where((F.col("field") == node.field) & (F.col("term") == t))
             .select(
                 "doc_id",
-                F.transform(F.col("positions"), lambda x: x - F.lit(i)).alias(f"pos_{i}"),
+                F.transform(F.col("positions"), lambda x: x - F.lit(shift)).alias(f"pos_{i}"),
                 *( [F.col("norm_id")] if i == 0 else [] ),
             )
         )
@@ -282,12 +284,35 @@ def _phrase(node: P.Phrase, ctx: SearchContext) -> DataFrame:
     joined = parts[0]
     for i in range(1, len(parts)):
         joined = joined.join(parts[i], "doc_id")
-    inter = F.col("pos_0")
-    for i in range(1, len(terms)):
-        inter = F.array_intersect(inter, F.col(f"pos_{i}"))
-    joined = joined.select(
-        "doc_id", "norm_id", F.size(inter).alias("phrase_tf")
-    ).where(F.col("phrase_tf") > 0)
+    if slop:
+        # ordered-gap slop: a start p in pos_0 is a phrase occurrence when a
+        # greedy-minimal chain completes — each next term's position is the
+        # SMALLEST element of its list in (prev, prev + 1 + slop] (greedy is
+        # optimal: any valid chain implies the greedy one). Unrolled per
+        # term at plan time, all JVM array expressions.
+        def _gap_pred(p):
+            # single-arg lambda (a 2-arg callable would get (element, INDEX))
+            return lambda x: (x > p) & (x <= p + 1 + slop)
+
+        def _chain_ok(start):
+            prev = start
+            for i in range(1, len(terms)):
+                prev = F.array_min(
+                    F.filter(F.col(f"pos_{i}"), _gap_pred(prev))
+                )  # null propagates: a broken chain stays null
+            return prev.isNotNull()
+
+        joined = joined.select(
+            "doc_id", "norm_id",
+            F.size(F.filter(F.col("pos_0"), _chain_ok)).alias("phrase_tf"),
+        ).where(F.col("phrase_tf") > 0)
+    else:
+        inter = F.col("pos_0")
+        for i in range(1, len(terms)):
+            inter = F.array_intersect(inter, F.col(f"pos_{i}"))
+        joined = joined.select(
+            "doc_id", "norm_id", F.size(inter).alias("phrase_tf")
+        ).where(F.col("phrase_tf") > 0)
 
     # summed idf over ALL phrase terms INCLUDING repeats (Tantivy's
     # Bm25Weight::for_terms sums per occurrence), phrase frequency as tf

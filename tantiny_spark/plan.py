@@ -82,6 +82,9 @@ class FuzzyTerm(Query):
 class Phrase(Query):
     field: str
     terms: tuple
+    #: ordered-gap slop: term i must appear within (prev, prev + 1 + slop]
+    #: positions of term i-1. 0 = exact adjacency (the reference's phrase).
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -196,16 +199,25 @@ def fuzzy_term_query(
     )
 
 
-def phrase_query(schema: IndexSchema, fields, phrase: str, boost: float = DEFAULT_BOOST) -> Query:
+def phrase_query(
+    schema: IndexSchema, fields, phrase: str, boost: float = DEFAULT_BOOST,
+    slop: int = 0,
+) -> Query:
     """Tokenizes the phrase with each field's own tokenizer (query.rb:46-54);
-    text fields only."""
+    text fields only. ``slop`` extends the reference's exact-adjacency
+    phrase (Tantivy's PhraseQuery slop knob) with ORDERED-GAP semantics:
+    each successive term must appear within ``1 + slop`` positions after
+    the previous match (greedy-minimal completion, which is optimal);
+    slop=0 is exactly the reference behavior."""
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
     names = _listify(fields)
     queries = []
     for f in names:
         terms = schema.tokenizer_for(f).terms(phrase)
         if f not in schema.text_fields:
             raise UnsupportedField(f)
-        queries.append(Phrase(f, tuple(terms)))
+        queries.append(Phrase(f, tuple(terms), int(slop)))
     if not queries:
         return Empty()
     return disjunction(*queries).boost(boost)

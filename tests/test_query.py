@@ -320,3 +320,49 @@ def test_facet_counts(spark, tmp_path):
     assert ix.facet_counts("cat", "/", limit=1).collect()[0]["path"] == "/en"
     with _pytest.raises(UnsupportedField):
         ix.facet_counts("t", "/")
+
+
+def test_phrase_slop(spark, tmp_path):
+    """Ordered-gap slop extension (Tantivy's PhraseQuery slop knob):
+    slop=0 is the reference's exact adjacency; slop=s lets each next term
+    land within 1+s positions of the previous match."""
+    idx = build(
+        spark, tmp_path,
+        [
+            {"id": 1, "text": "alpha beta"},
+            {"id": 2, "text": "alpha gap beta"},
+            {"id": 3, "text": "alpha gap gap beta"},
+            {"id": 4, "text": "beta alpha"},  # wrong order never matches
+            {"id": 5, "text": "alpha x y z beta"},
+        ],
+    )
+    assert ids(idx, idx.phrase_query("text", "alpha beta")) == ["1"]
+    assert ids(idx, idx.phrase_query("text", "alpha beta", slop=1)) == ["1", "2"]
+    assert ids(idx, idx.phrase_query("text", "alpha beta", slop=2)) == ["1", "2", "3"]
+    with pytest.raises(ValueError):
+        idx.phrase_query("text", "alpha beta", slop=-1)
+
+
+def test_phrase_slop_three_terms_greedy(spark, tmp_path):
+    idx = build(
+        spark, tmp_path,
+        [
+            # greedy takes the FIRST "b" (pos 1); chain a(0)->b(1)->c(3)
+            # completes within slop=1 windows
+            {"id": 1, "text": "a b b c"},
+            # a(0)->b(2) needs slop>=1, then c(5) needs gap 3 -> slop>=2
+            {"id": 2, "text": "a x b y z c"},
+        ],
+    )
+    assert ids(idx, idx.phrase_query("text", "a b c", slop=1)) == ["1"]
+    assert ids(idx, idx.phrase_query("text", "a b c", slop=2)) == ["1", "2"]
+
+
+def test_phrase_slop_zero_equals_default(spark, tmp_path):
+    idx = build(
+        spark, tmp_path,
+        [{"id": 1, "text": "one two three"}, {"id": 2, "text": "one x two"}],
+    )
+    q0 = idx.phrase_query("text", "one two", slop=0)
+    qd = idx.phrase_query("text", "one two")
+    assert idx.search_with_scores(q0) == idx.search_with_scores(qd)
