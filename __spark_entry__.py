@@ -861,6 +861,22 @@ def q_engine_boost(spark, sf_dir):
     return _engine_topk(ix, ix.term_query("text", "vector").boost(2.5))
 
 
+def q_engine_top_terms(spark, sf_dir):
+    """Engine-routed terms aggregation: top-15 text terms by doc frequency
+    among the docs matching a term query."""
+    ix = _engine_index(spark, sf_dir)
+    out = ix.top_terms("text", ix.term_query("text", "vector"), limit=15)
+    return out.select("term", F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def q_engine_histogram(spark, sf_dir):
+    """Engine-routed histogram aggregation: matched docs bucketed by
+    n_chars in width-50 buckets."""
+    ix = _engine_index(spark, sf_dir)
+    out = ix.histogram("n_chars", 50.0, ix.term_query("text", "spark"))
+    return out.select("bucket", F.col("n_docs").cast("long").alias("n_docs"))
+
+
 def q_engine_phrase_slop(spark, sf_dir):
     """Engine-routed sloppy phrase (ordered-gap slop=1): "batch batch" with
     the second term allowed within 2 positions — greedy-minimal chain
@@ -1144,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_count": q_engine_count,
         "engine_stats": q_engine_stats,
         "engine_phrase_slop": q_engine_phrase_slop,
+        "engine_top_terms": q_engine_top_terms,
+        "engine_histogram": q_engine_histogram,
         "engine_ngram": q_engine_ngram,
         "engine_facet_counts": q_engine_facet_counts,
         "engine_stemmed_de": q_engine_stemmed_de,
@@ -1718,6 +1736,25 @@ WHERE NOT list_contains(ts, 'spark')
     sqls["engine_boost"] = _sql_engine_topk(f"""
 SELECT id, score * 2.5 AS score FROM ({_sql_engine_term('vector')})
 """)
+
+    # terms agg: doc frequency per distinct term within the matched set.
+    # ORDER BY + LIMIT runs inside the oracle; the driver's sorted-column
+    # hash then compares the same 15 rows.
+    sqls["engine_top_terms"] = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+m AS (SELECT doc_id, ts FROM tok WHERE list_contains(ts, 'vector'))
+SELECT term, count(*)::BIGINT AS n_docs
+FROM (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM m)
+GROUP BY term ORDER BY n_docs DESC, term ASC LIMIT 15
+"""
+
+    sqls["engine_histogram"] = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+SELECT floor(n_chars / 50.0) * 50.0 AS bucket, count(*)::BIGINT AS n_docs
+FROM documents JOIN tok USING (doc_id)
+WHERE list_contains(ts, 'spark') AND n_chars IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
 
     sqls["engine_stats"] = """
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)

@@ -448,6 +448,68 @@ class Index:
             F.round(F.avg(col), 6).alias("avg_val"),
         )
 
+    def top_terms(
+        self, field: str, query=None, limit: int = 10, **smart_opts
+    ) -> DataFrame:
+        """Terms aggregation (Tantivy TermsAggregation): the most frequent
+        terms of ``field`` among the docs matching ``query`` (all docs when
+        None). Returns DataFrame[term, n_docs] ordered (n_docs desc, term
+        asc), ``limit`` rows.
+
+        Plan shape: postings pruned to the field (pushdown), optional
+        matched-set semi-join (broadcast-eligible — top-k hit sets are
+        tiny), then ONE partial-aggregatable count groupBy and a
+        TakeOrdered — postings rows are one per (term, doc), so count(*)
+        IS the doc frequency within the matched set."""
+        if field not in (
+            list(self.schema.text_fields) + list(self.schema.string_fields)
+        ):
+            raise UnsupportedField(field)
+        posts = self.ctx.postings.where(F.col("field") == field)
+        if query is not None:
+            plan = self._as_plan(query, smart_opts)
+            prime_stats(plan, self.ctx)
+            matched = compile_plan(plan, self.ctx).select("doc_id")
+            posts = posts.join(matched, "doc_id", "left_semi")
+        return (
+            posts.groupBy("term")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy(F.col("n_docs").desc(), F.col("term").asc())
+            .limit(limit)
+        )
+
+    def histogram(
+        self, field: str, interval: float, query=None, **smart_opts
+    ) -> DataFrame:
+        """Histogram aggregation (Tantivy HistogramAggregation) over a
+        numeric field: matched docs bucketed by
+        ``floor(value / interval) * interval``. Returns
+        DataFrame[bucket, n_docs] ordered by bucket asc; null values are
+        excluded, empty buckets are not materialized.
+
+        Plan shape: docs-table scan (column-pruned to doc_id + field),
+        optional matched-set semi-join, one partial-aggregatable groupBy."""
+        if interval <= 0:
+            raise ValueError("interval must be > 0")
+        if field not in (
+            self.schema.integer_fields + self.schema.double_fields
+        ):
+            raise UnsupportedField(field)
+        docs = self.ctx.docs
+        if query is not None:
+            plan = self._as_plan(query, smart_opts)
+            prime_stats(plan, self.ctx)
+            matched = compile_plan(plan, self.ctx).select("doc_id")
+            docs = docs.join(matched, "doc_id", "left_semi")
+        val = F.col(field).cast("double")
+        bucket = F.floor(val / F.lit(float(interval))) * F.lit(float(interval))
+        return (
+            docs.where(val.isNotNull())
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy(F.col("bucket").asc())
+        )
+
     def stats(self, field: str, query=None, **smart_opts) -> dict:
         """Dict form of :meth:`stats_df` ({count, min, max, sum, avg})."""
         r = self.stats_df(field, query, **smart_opts).collect()[0]

@@ -123,3 +123,33 @@ def test_stats(spark, tmp_path):
     assert ix.stats("n")["count"] == 3  # all docs, null excluded
     with pytest.raises(UnsupportedField):
         ix.stats("text")
+
+
+def test_top_terms(idx):
+    rows = idx.top_terms("text", limit=3).collect()
+    # corpus df: shuffle=3, join/merge/spark=2... "shuffle" tops; ties term-asc
+    assert (rows[0]["term"], rows[0]["n_docs"]) == ("shuffle", 3)
+    assert (rows[1]["term"], rows[1]["n_docs"]) == ("join", 2)
+    restricted = idx.top_terms("text", P.term_query(idx.schema, "text", "purr"))
+    got = {r["term"]: r["n_docs"] for r in restricted.collect()}
+    assert got == {"cats": 1, "purr": 1, "softly": 1}
+    with pytest.raises(UnsupportedField):
+        idx.top_terms("nope")
+
+
+def test_histogram(spark, tmp_path):
+    from tantiny_spark.schema import IndexSchema
+
+    s = IndexSchema()
+    s.text("text")
+    s.integer("n")
+    ix = Index(spark, str(tmp_path / "histidx"), s)
+    with ix.transaction():
+        for i, n in enumerate([5, 17, 23, 58, 120]):
+            ix.add({"id": i, "text": "w", "n": n})
+        ix.add({"id": 99, "text": "w"})  # null n excluded
+    ix.reload()
+    got = {r["bucket"]: r["n_docs"] for r in ix.histogram("n", 20.0).collect()}
+    assert got == {0.0: 2, 20.0: 1, 40.0: 1, 120.0: 1}
+    with pytest.raises(ValueError):
+        ix.histogram("n", 0)
