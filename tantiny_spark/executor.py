@@ -503,6 +503,49 @@ def top_k(result: DataFrame, ctx: SearchContext, limit: int = 10) -> DataFrame:
     )
 
 
+BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("query", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def batch_rank_prune(tagged: DataFrame, k: int) -> DataFrame:
+    """Per-partition, per-query top-(k+ties) pre-filter for the batched
+    search path — the same shuffle-free prune WAND's final rank uses
+    (wand._local_rank_prune), keyed by query tag.
+
+    A row whose own partition already holds >=k strictly-greater scores
+    FOR ITS QUERY has global per-query rank >k, so dropping it cannot
+    change the final row_number<=k set; rows tied with the local k-th
+    score survive, so the (score desc, id asc) tie-break still sees every
+    boundary candidate. Without this, the final Window.partitionBy(query)
+    ranks each query's ENTIRE matched doc-set in one task (a negation
+    matches ~the whole corpus); with it, each task forwards O(k) rows per
+    query."""
+
+    import numpy as np
+
+    def prune(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat((best, pdf))
+            kept = []
+            for _, g in cur.groupby("query", sort=False):
+                if len(g) > k:
+                    s = g["score"].to_numpy()
+                    kth = np.partition(s, len(s) - k)[len(s) - k]
+                    g = g[g["score"] >= kth]
+                kept.append(g)
+            best = pd.concat(kept) if kept else None
+        if best is not None and len(best):
+            yield best[["query", "doc_id", "score"]]
+
+    return tagged.mapInPandas(prune, BATCH_SCHEMA)
+
+
 def facet_counts(
     ctx: SearchContext,
     field: str,

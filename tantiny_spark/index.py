@@ -569,6 +569,12 @@ class Index:
         unioned = tagged[0]
         for t in tagged[1:]:
             unioned = unioned.unionByName(t)
+        # per-partition per-query top-(k+ties) BEFORE the global window: the
+        # window's partitionBy(query) otherwise ranks each query's whole
+        # matched set in a single task (executor.batch_rank_prune docstring)
+        from tantiny_spark.executor import batch_rank_prune
+
+        unioned = batch_rank_prune(unioned, limit)
         ids = self.ctx.id_map
         w = Window.partitionBy("query").orderBy(
             F.col("score").desc(), F.col("id").asc()
