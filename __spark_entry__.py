@@ -767,12 +767,20 @@ def _engine_index(spark, sf_dir):
         schema.string("lang")
         schema.integer("n_chars")
         schema.facet("src")
+        schema.date("warc_ts")
         path = os.path.join(tempfile.mkdtemp(prefix="tantiny_contract_"), "idx")
         ix = Index(spark, path, schema)
         ix.add_dataframe(
             _docs(spark, sf_dir).select(
                 "doc_id", "text", "lang", "n_chars",
                 F.concat(F.lit("/"), "lang", F.lit("/"), "source").alias("src"),
+                # deterministic crawl timestamp: 2026-01-01T00:00:00Z +
+                # doc_id seconds (the bench corpus convention; epoch
+                # 1767225600 + doc_id in the oracle)
+                (
+                    F.lit("2026-01-01 00:00:00").cast("timestamp")
+                    + F.make_interval(secs=F.col("doc_id"))
+                ).alias("warc_ts"),
             )
         )
         ix.reload()
@@ -875,6 +883,17 @@ def q_engine_histogram(spark, sf_dir):
     ix = _engine_index(spark, sf_dir)
     out = ix.histogram("n_chars", 50.0, ix.term_query("text", "spark"))
     return out.select("bucket", F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def q_engine_date_histogram(spark, sf_dir):
+    """Engine-routed date-histogram aggregation: matched docs bucketed into
+    minute buckets of the synthesized warc_ts crawl timestamp."""
+    ix = _engine_index(spark, sf_dir)
+    out = ix.histogram("warc_ts", 60.0, ix.term_query("text", "spark"))
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket_epoch"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
 
 
 def q_engine_phrase_slop(spark, sf_dir):
@@ -1162,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_phrase_slop": q_engine_phrase_slop,
         "engine_top_terms": q_engine_top_terms,
         "engine_histogram": q_engine_histogram,
+        "engine_date_histogram": q_engine_date_histogram,
         "engine_ngram": q_engine_ngram,
         "engine_facet_counts": q_engine_facet_counts,
         "engine_stemmed_de": q_engine_stemmed_de,
@@ -1746,6 +1766,15 @@ m AS (SELECT doc_id, ts FROM tok WHERE list_contains(ts, 'vector'))
 SELECT term, count(*)::BIGINT AS n_docs
 FROM (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM m)
 GROUP BY term ORDER BY n_docs DESC, term ASC LIMIT 15
+"""
+
+    sqls["engine_date_histogram"] = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+SELECT (floor((1767225600 + doc_id) / 60.0) * 60)::BIGINT AS bucket_epoch,
+       count(*)::BIGINT AS n_docs
+FROM documents JOIN tok USING (doc_id)
+WHERE list_contains(ts, 'spark')
+GROUP BY 1 ORDER BY 1
 """
 
     sqls["engine_histogram"] = """

@@ -481,9 +481,11 @@ class Index:
     def histogram(
         self, field: str, interval: float, query=None, **smart_opts
     ) -> DataFrame:
-        """Histogram aggregation (Tantivy HistogramAggregation) over a
-        numeric field: matched docs bucketed by
-        ``floor(value / interval) * interval``. Returns
+        """Histogram aggregation (Tantivy Histogram/DateHistogram
+        aggregation) over a numeric or date field: matched docs bucketed by
+        ``floor(value / interval) * interval``. For date fields ``interval``
+        is in SECONDS and ``bucket`` is returned as a timestamp (bucket
+        start); for numeric fields it is a double. Returns
         DataFrame[bucket, n_docs] ordered by bucket asc; null values are
         excluded, empty buckets are not materialized.
 
@@ -491,7 +493,8 @@ class Index:
         optional matched-set semi-join, one partial-aggregatable groupBy."""
         if interval <= 0:
             raise ValueError("interval must be > 0")
-        if field not in (
+        is_date = field in self.schema.date_fields
+        if not is_date and field not in (
             self.schema.integer_fields + self.schema.double_fields
         ):
             raise UnsupportedField(field)
@@ -501,8 +504,11 @@ class Index:
             prime_stats(plan, self.ctx)
             matched = compile_plan(plan, self.ctx).select("doc_id")
             docs = docs.join(matched, "doc_id", "left_semi")
-        val = F.col(field).cast("double")
+        # timestamp→long cast is epoch seconds; numeric stays double
+        val = F.col(field).cast("long" if is_date else "double").cast("double")
         bucket = F.floor(val / F.lit(float(interval))) * F.lit(float(interval))
+        if is_date:
+            bucket = F.timestamp_seconds(bucket.cast("long"))
         return (
             docs.where(val.isNotNull())
             .groupBy(bucket.alias("bucket"))

@@ -153,3 +153,25 @@ def test_histogram(spark, tmp_path):
     assert got == {0.0: 2, 20.0: 1, 40.0: 1, 120.0: 1}
     with pytest.raises(ValueError):
         ix.histogram("n", 0)
+
+
+def test_date_histogram(spark, tmp_path):
+    from datetime import datetime
+
+    from tantiny_spark.schema import IndexSchema
+
+    s = IndexSchema()
+    s.text("text")
+    s.date("d")
+    ix = Index(spark, str(tmp_path / "dhist"), s)
+    with ix.transaction():
+        ix.add({"id": 1, "text": "w", "d": datetime(2026, 1, 1, 0, 10)})
+        ix.add({"id": 2, "text": "w", "d": datetime(2026, 1, 1, 0, 50)})
+        ix.add({"id": 3, "text": "w", "d": datetime(2026, 1, 1, 2, 5)})
+    ix.reload()
+    rows = ix.histogram("d", 3600.0).collect()
+    got = {r["bucket"]: r["n_docs"] for r in rows}
+    assert got == {
+        datetime(2026, 1, 1, 0): 2,
+        datetime(2026, 1, 1, 2): 1,
+    }
