@@ -53,6 +53,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "BENCH", "HOSTSPEED.jsonl")
 GATE_FRACTION = 0.75
 MEMBW_FLOOR_GBS = 2.0
+#: absolute floor for 8-thread memcpy: clean-era readings sit at 110-150
+#: GB/s, degraded windows at 50-75; an absolute floor avoids ratcheting
+#: against a single outlier best
+MT8_MEMBW_FLOOR_GBS = 90.0
 _N = 768
 _PY_ITERS = 2_000_000
 
@@ -177,7 +181,7 @@ def main() -> int:
     # while mt8_membw sat at 36% of best and the engine's own 50k
     # mini-build ran 3.5k docs/s vs the 13k clean-era rate
     for k in ("st_matmul_gflops", "st_py_mops", "mt8_sustained_mops",
-              "disk_w_mbps", "st_membw_gbs", "mt8_membw_gbs"):
+              "disk_w_mbps", "st_membw_gbs"):
         if prior.get(k):
             worst_frac = min(worst_frac, rec[k] / prior[k])
     if gate and worst_frac < GATE_FRACTION:
@@ -185,6 +189,8 @@ def main() -> int:
     # absolute floor: the one KNOWN failure mode here is the hypervisor
     # memory-bandwidth collapse; no healthy host is under 2 GB/s memcpy
     if gate and rec["st_membw_gbs"] < MEMBW_FLOOR_GBS:
+        verdict = "DEGRADED"
+    if gate and rec["mt8_membw_gbs"] < MT8_MEMBW_FLOOR_GBS:
         verdict = "DEGRADED"
     out = dict(rec, vs_best=round(worst_frac, 3), verdict=verdict)
     if not quiet:
