@@ -885,6 +885,13 @@ def q_engine_histogram(spark, sf_dir):
     return out.select("bucket", F.col("n_docs").cast("long").alias("n_docs"))
 
 
+def q_engine_phrase_prefix(spark, sf_dir):
+    """Engine-routed search-as-you-type: 'batch b' = exact 'batch' followed
+    adjacently by any of the first-50 dictionary terms starting with 'b'."""
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.phrase_prefix_query("text", "batch b"))
+
+
 def q_engine_date_histogram(spark, sf_dir):
     """Engine-routed date-histogram aggregation: matched docs bucketed into
     minute buckets of the synthesized warc_ts crawl timestamp."""
@@ -1182,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_top_terms": q_engine_top_terms,
         "engine_histogram": q_engine_histogram,
         "engine_date_histogram": q_engine_date_histogram,
+        "engine_phrase_prefix": q_engine_phrase_prefix,
         "engine_ngram": q_engine_ngram,
         "engine_facet_counts": q_engine_facet_counts,
         "engine_stemmed_de": q_engine_stemmed_de,
@@ -1684,6 +1692,17 @@ FROM (SELECT a.doc_id, count(*)::DOUBLE AS tf
 JOIN (SELECT doc_id, len(ts)::DOUBLE AS dl FROM tok) dl0 ON ph.doc_id = dl0.doc_id,
      (SELECT count(*)::DOUBLE AS df FROM tok WHERE list_contains(ts, 'batch')) d,
      s, tbl
+""")
+
+    # phrase prefix: exact 'batch' then any first-50 'b%' dictionary term
+    # adjacent; constant score, engine top-k tie-break
+    sqls["engine_phrase_prefix"] = _sql_engine_topk("""
+SELECT DISTINCT CAST(a.doc_id AS VARCHAR) AS id, 1.0::DOUBLE AS score
+FROM (SELECT doc_id, pos FROM ex WHERE term = 'batch') a
+JOIN (SELECT doc_id, pos, term FROM ex) b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+JOIN (SELECT DISTINCT term FROM ex WHERE term LIKE 'b%'
+      ORDER BY term LIMIT 50) e ON b.term = e.term
 """)
 
     # sloppy phrase (slop=1): a start is valid iff SOME second-term position

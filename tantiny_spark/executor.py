@@ -187,6 +187,8 @@ def compile_plan(node: P.Query, ctx: SearchContext) -> DataFrame:
         return _term(node, ctx)
     if isinstance(node, P.Phrase):
         return _phrase(node, ctx)
+    if isinstance(node, P.PhrasePrefix):
+        return _phrase_prefix(node, ctx)
     if isinstance(node, P.FuzzyTerm):
         return _fuzzy(node, ctx)
     if isinstance(node, P.Regex):
@@ -324,6 +326,63 @@ def _phrase(node: P.Phrase, ctx: SearchContext) -> DataFrame:
     return joined.select(
         "doc_id",
         (F.lit(idf_sum) * (scoring.K1 + 1.0) * tf / (tf + norm)).alias("score"),
+    )
+
+
+def _phrase_prefix(node: P.PhrasePrefix, ctx: SearchContext) -> DataFrame:
+    """Search-as-you-type: fixed terms adjacent, then ANY of the first
+    ``max_expansions`` dictionary terms (term order) with the prefix at the
+    next position. Constant score 1.0 like the other expansion queries.
+
+    The expansion collect is bounded by max_expansions (<=50 default) over
+    the pushdown-pruned dictionary slice — the fst-seek shape, never a
+    corpus scan; per-doc expansion positions union via ONE flatten agg
+    bounded by expansions-per-doc."""
+    k = len(node.terms)
+    exp = [
+        r["term"]
+        for r in (
+            ctx.dictionary.where(
+                (F.col("field") == node.field)
+                & F.col("term").startswith(node.prefix)
+            )
+            .select("term").distinct()
+            .orderBy("term").limit(node.max_expansions).collect()
+        )
+    ]
+    if not exp:
+        return ctx.docs.sparkSession.createDataFrame([], RESULT_SCHEMA)
+    parts = []
+    for i, t in enumerate(node.terms):
+        parts.append(
+            ctx.postings.where(
+                (F.col("field") == node.field) & (F.col("term") == t)
+            ).select(
+                "doc_id",
+                F.transform(F.col("positions"), lambda x: x - F.lit(i)).alias(f"pos_{i}"),
+            )
+        )
+    exp_part = (
+        ctx.postings.where(
+            (F.col("field") == node.field) & F.col("term").isin(exp)
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("positions"), lambda x: x - F.lit(k)).alias("__pe"),
+        )
+        .groupBy("doc_id")
+        .agg(F.flatten(F.collect_list("__pe")).alias(f"pos_{k}"))
+    )
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined.join(p, "doc_id")
+    joined = joined.join(exp_part, "doc_id")
+    inter = F.col("pos_0")
+    for i in range(1, k + 1):
+        inter = F.array_intersect(inter, F.col(f"pos_{i}"))
+    return (
+        joined.where(F.size(inter) > 0)
+        .select("doc_id", F.lit(1.0).alias("score"))
     )
 
 

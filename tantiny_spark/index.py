@@ -158,6 +158,31 @@ class Index:
                 self._pending_ops.append(("del", str(doc_id)))
         return self
 
+    def delete_by_query(self, query, **smart_opts) -> int:
+        """Queue deletes for every doc matching ``query`` — Tantivy's
+        ``IndexWriter::delete_query`` / Lucene's ``deleteDocuments(Query)``.
+        Matching runs against the CURRENT snapshot (docs added in the open
+        transaction are not yet searchable, exactly like search()).
+
+        Tombstones live in the manifest (bounded by deletes-since-merge —
+        the reference's delete model), so this is the *incremental* delete
+        path: dropping a bounded matched set between merges. Bulk drops of
+        a large corpus fraction belong in a filtered rebuild, not the
+        tombstone list. Returns the number of ids queued."""
+        plan = self._as_plan(query, smart_opts)
+        prime_stats(plan, self.ctx)
+        matched = compile_plan(plan, self.ctx).select("doc_id").distinct()
+        ids = [
+            r["id"]
+            for r in matched.join(self.ctx.id_map, "doc_id").select("id").collect()
+        ]
+        if self._in_txn:
+            self._pending_ops.extend(("del", i) for i in sorted(ids))
+        else:
+            with self.transaction():
+                self._pending_ops.extend(("del", i) for i in sorted(ids))
+        return len(ids)
+
     def add_dataframe(self, df: DataFrame) -> int:
         """Bulk build: index every row of ``df`` (columns named per schema) as
         one segment. Returns the committed version."""
@@ -328,6 +353,9 @@ class Index:
 
     def phrase_query(self, fields, phrase, **opts):
         return P.phrase_query(self.schema, fields, phrase, **opts)
+
+    def phrase_prefix_query(self, fields, phrase, **opts):
+        return P.phrase_prefix_query(self.schema, fields, phrase, **opts)
 
     def regex_query(self, fields, pattern, **opts):
         return P.regex_query(self.schema, fields, pattern, **opts)

@@ -88,6 +88,18 @@ class Phrase(Query):
 
 
 @dataclass(frozen=True)
+class PhrasePrefix(Query):
+    """Fixed terms matched adjacently, then ANY dictionary term with the
+    given prefix at the next position (Tantivy's PhrasePrefixQuery — the
+    search-as-you-type query). Constant score 1.0, like the engine's other
+    expansion queries (prefix/regex/fuzzy)."""
+    field: str
+    terms: tuple  # the fixed (exact) leading terms, len >= 1
+    prefix: str
+    max_expansions: int = 50
+
+
+@dataclass(frozen=True)
 class Regex(Query):
     field: str
     pattern: str
@@ -218,6 +230,36 @@ def phrase_query(
         if f not in schema.text_fields:
             raise UnsupportedField(f)
         queries.append(Phrase(f, tuple(terms), int(slop)))
+    if not queries:
+        return Empty()
+    return disjunction(*queries).boost(boost)
+
+
+def phrase_prefix_query(
+    schema: IndexSchema, fields, phrase: str, boost: float = DEFAULT_BOOST,
+    max_expansions: int = 50,
+) -> Query:
+    """Search-as-you-type phrase: every token but the last matches exactly
+    and adjacently; the last token is a dictionary PREFIX expanded to at
+    most ``max_expansions`` terms in term order (Tantivy PhrasePrefixQuery
+    semantics; expansion-capped like Lucene). A single-token input reduces
+    to the plain prefix query. Text fields only; constant score 1.0."""
+    if max_expansions < 1:
+        raise ValueError("max_expansions must be >= 1")
+    names = _listify(fields)
+    queries = []
+    for f in names:
+        if f not in schema.text_fields:
+            raise UnsupportedField(f)
+        terms = schema.tokenizer_for(f).terms(phrase)
+        if not terms:
+            continue
+        if len(terms) == 1:
+            queries.append(Prefix(f, terms[0]))
+        else:
+            queries.append(
+                PhrasePrefix(f, tuple(terms[:-1]), terms[-1], int(max_expansions))
+            )
     if not queries:
         return Empty()
     return disjunction(*queries).boost(boost)

@@ -36,6 +36,8 @@ def query_terms(node: P.Query, field: str) -> list:
             out.add(n.term)
         elif isinstance(n, P.Phrase) and n.field == field:
             out.update(n.terms)
+        elif isinstance(n, P.PhrasePrefix) and n.field == field:
+            out.update(n.terms)
         elif isinstance(n, P.Boost):
             walk(n.child)
         elif isinstance(n, (P.Conjunction, P.Disjunction)):

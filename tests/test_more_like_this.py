@@ -175,3 +175,27 @@ def test_date_histogram(spark, tmp_path):
         datetime(2026, 1, 1, 0): 2,
         datetime(2026, 1, 1, 2): 1,
     }
+
+
+def test_delete_by_query(spark, tmp_path):
+    from tantiny_spark.schema import IndexSchema
+
+    s = IndexSchema()
+    s.text("text")
+    ix = Index(spark, str(tmp_path / "dbq"), s)
+    with ix.transaction():
+        for i in range(6):
+            ix.add({"id": i, "text": "drop me" if i % 2 else "keep me"})
+    ix.reload()
+    n = ix.delete_by_query(P.term_query(ix.schema, "text", "drop"))
+    assert n == 3
+    # visible only after reload (snapshot isolation)
+    assert len(ix.search(P.all_query(), limit=10)) == 6
+    ix.reload()
+    assert sorted(ix.search(P.all_query(), limit=10)) == ["0", "2", "4"]
+    # inside an open transaction: queued with the batch, atomically
+    with ix.transaction():
+        ix.delete_by_query(P.term_query(ix.schema, "text", "keep"))
+        ix.add({"id": 99, "text": "fresh"})
+    ix.reload()
+    assert ix.search(P.all_query(), limit=10) == ["99"]

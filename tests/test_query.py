@@ -366,3 +366,32 @@ def test_phrase_slop_zero_equals_default(spark, tmp_path):
     q0 = idx.phrase_query("text", "one two", slop=0)
     qd = idx.phrase_query("text", "one two")
     assert idx.search_with_scores(q0) == idx.search_with_scores(qd)
+
+
+def test_phrase_prefix(spark, tmp_path):
+    """Search-as-you-type (Tantivy PhrasePrefixQuery): fixed terms adjacent,
+    last token expanded as a dictionary prefix; constant score 1.0."""
+    idx = build(
+        spark, tmp_path,
+        [
+            {"id": 1, "text": "big data engine"},
+            {"id": 2, "text": "big database rows"},
+            {"id": 3, "text": "big apple data"},     # not adjacent
+            {"id": 4, "text": "data big nothing"},   # wrong order
+        ],
+    )
+    q = idx.phrase_prefix_query("text", "big dat")
+    assert ids(idx, q) == ["1", "2"]
+    # scores are constant 1.0
+    assert all(s == 1.0 for _, s in idx.search_with_scores(q))
+    # single token reduces to plain prefix
+    q1 = idx.phrase_prefix_query("text", "dat")
+    assert ids(idx, q1) == ["1", "2", "3", "4"]
+    # unmatched prefix -> empty
+    assert ids(idx, idx.phrase_prefix_query("text", "big zz")) == []
+    # expansion cap: with max_expansions=1 only the alphabetically-first
+    # expansion ("data") survives, dropping the "database" match
+    qcap = idx.phrase_prefix_query("text", "big dat", max_expansions=1)
+    assert ids(idx, qcap) == ["1"]
+    with pytest.raises(UnsupportedField):
+        idx.phrase_prefix_query("string", "big dat")
