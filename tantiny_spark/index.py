@@ -544,6 +544,47 @@ class Index:
             .orderBy(F.col("bucket").asc())
         )
 
+    def explain(self, query, doc_id, **smart_opts) -> dict:
+        """Score explanation for one document (Lucene/Tantivy ``explain``):
+        a tree mirroring the query plan where every node carries its score
+        contribution for ``doc_id`` (absent/0.0 when the node doesn't match
+        the doc). Each leaf is evaluated by filtering its own compiled
+        doc-set to the target doc — the same execution path search uses, so
+        the explanation can't drift from the engine."""
+        plan = self._as_plan(query, smart_opts)
+        prime_stats(plan, self.ctx)
+        target = (
+            self.ctx.id_map.where(F.col("id") == str(doc_id))
+            .select("doc_id").collect()
+        )
+        if not target:
+            return {"type": type(plan).__name__, "score": 0.0,
+                    "matches": False, "detail": "unknown doc id"}
+        did = target[0]["doc_id"]
+
+        def walk(n) -> dict:
+            out: dict = {"type": type(n).__name__}
+            if isinstance(n, (P.Term, P.Phrase, P.PhrasePrefix, P.FuzzyTerm)):
+                out["field"] = n.field
+                out["terms"] = list(getattr(n, "terms", ())) or [n.term]
+            elif isinstance(n, (P.Prefix, P.Regex, P.Range, P.Facet)):
+                out["field"] = n.field
+            if isinstance(n, (P.Conjunction, P.Disjunction)):
+                out["children"] = [walk(c) for c in n.children]
+            elif isinstance(n, (P.Negation, P.Boost)):
+                out["children"] = [walk(n.child)]
+                if isinstance(n, P.Boost):
+                    out["factor"] = n.factor
+            rows = (
+                compile_plan(n, self.ctx)
+                .where(F.col("doc_id") == did).take(1)
+            )
+            out["matches"] = bool(rows)
+            out["score"] = float(rows[0]["score"]) if rows else 0.0
+            return out
+
+        return walk(plan)
+
     def stats(self, field: str, query=None, **smart_opts) -> dict:
         """Dict form of :meth:`stats_df` ({count, min, max, sum, avg})."""
         r = self.stats_df(field, query, **smart_opts).collect()[0]

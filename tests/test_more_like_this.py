@@ -199,3 +199,25 @@ def test_delete_by_query(spark, tmp_path):
         ix.add({"id": 99, "text": "fresh"})
     ix.reload()
     assert ix.search(P.all_query(), limit=10) == ["99"]
+
+
+def test_explain(idx):
+    q = (P.term_query(idx.schema, "text", "spark")
+         | P.term_query(idx.schema, "text", "merge")).boost(2.0)
+    ex = idx.explain(q, 2)  # doc 2: "spark shuffle merge"
+    assert ex["type"] == "Boost" and ex["factor"] == 2.0 and ex["matches"]
+    dis = ex["children"][0]
+    assert dis["type"] == "Disjunction"
+    leaf_scores = {c["terms"][0]: c["score"] for c in dis["children"]}
+    assert leaf_scores["spark"] > 0 and leaf_scores["merge"] > 0
+    # algebra holds: boost * sum(leaves) == root score == search score
+    assert ex["score"] == pytest.approx(2.0 * dis["score"], rel=1e-12)
+    assert dis["score"] == pytest.approx(sum(leaf_scores.values()), rel=1e-12)
+    top = dict(idx.search_with_scores(q))
+    assert ex["score"] == pytest.approx(top["2"], rel=1e-12)
+    # non-matching doc
+    ex3 = idx.explain(P.term_query(idx.schema, "text", "spark"), 3)
+    assert ex3 == {"type": "Term", "field": "text", "terms": ["spark"],
+                   "matches": False, "score": 0.0}
+    # unknown id
+    assert idx.explain(q, "zzz")["matches"] is False
