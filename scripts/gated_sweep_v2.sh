@@ -6,9 +6,12 @@
 #   1. no /tmp/graft_busy sentinel (foreground dev work owns the machine),
 #   2. scheduler-latency probe FAST,
 #   3. host_speed.py --gate OK (fixed-work rates incl. 2 GB/s memcpy floor),
-#   4. a 50k-doc local[8] mini-build at >= MINI_FLOOR docs/s — the engine's
-#      own work as the probe (clean-era >= 13k, degraded windows 2.2-3.3k;
-#      every attempt appended to BENCH/MINIBUILD.jsonl),
+#   4. a 200k-doc local[8] mini-build at >= MINI_FLOOR docs/s — the
+#      engine's own work as the probe. Calibration (2026-08-17): the build
+#      is ~7.5 s fixed cost + ~17.5k docs/s marginal, so a 50k mini tops
+#      out at ~6.5k docs/s even on a clean host — 200k separates cleanly
+#      (measured 9.9k clean vs 2.2-6.9k degraded, back-to-back A/B with
+#      identical code; every attempt appended to BENCH/MINIBUILD.jsonl),
 # then runs the full 500k sweep and re-checks gates 2+3 afterwards. A sweep
 # whose post-gates fail is archived under BENCH/discarded/ and the
 # committed BASELINE.md is restored.
@@ -39,7 +42,7 @@ PYEOF
 }
 
 mini_build() {
-  SPARK_GRAFT_REPL=10 SPARK_GRAFT_CPUS=8 SPARK_GRAFT_RUNS=1 \
+  SPARK_GRAFT_REPL=40 SPARK_GRAFT_CPUS=8 SPARK_GRAFT_RUNS=1 \
     timeout 600 python bench.py 2>/dev/null | grep '^{' | tail -1
 }
 
