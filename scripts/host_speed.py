@@ -176,22 +176,28 @@ def main() -> int:
         fh.write(json.dumps(rec) + "\n")
     verdict = "OK"
     worst_frac = 1.0
-    # mt8_membw is THE discriminating metric for multi-threaded Spark
-    # builds: 2026-08-17 21:55 every gated metric read OK (st_membw 34)
-    # while mt8_membw sat at 36% of best and the engine's own 50k
-    # mini-build ran 3.5k docs/s vs the 13k clean-era rate
     for k in ("st_matmul_gflops", "st_py_mops", "mt8_sustained_mops",
               "disk_w_mbps", "st_membw_gbs"):
         if prior.get(k):
             worst_frac = min(worst_frac, rec[k] / prior[k])
-    if gate and worst_frac < GATE_FRACTION:
-        verdict = "DEGRADED"
-    # absolute floor: the one KNOWN failure mode here is the hypervisor
-    # memory-bandwidth collapse; no healthy host is under 2 GB/s memcpy
-    if gate and rec["st_membw_gbs"] < MEMBW_FLOOR_GBS:
-        verdict = "DEGRADED"
-    if gate and rec["mt8_membw_gbs"] < MT8_MEMBW_FLOOR_GBS:
-        verdict = "DEGRADED"
+    # ABSOLUTE floors calibrated from the 2026-08-17/18 clean-vs-degraded
+    # distributions (HOSTSPEED.jsonl). The earlier relative-to-best rule
+    # ratcheted on every metric's one-off burst (553 MB/s disk, 240 GB/s
+    # memcpy) and then refused demonstrably clean windows; the engine-work
+    # mini-build in gated_sweep_v2.sh stays the decisive gate, these floors
+    # only filter gross collapse. vs_best stays in the record for context.
+    floors = {
+        "st_matmul_gflops": 40.0,   # clean 44-58
+        "st_py_mops": 9.5,          # CPU-steal windows read 8.2
+        "mt8_sustained_mops": 65.0,  # clean 73-89
+        "disk_w_mbps": 100.0,        # clean 110-553 (bursty, barely relevant)
+        "st_membw_gbs": 20.0,        # hypervisor collapse reads 0.16-16
+        "mt8_membw_gbs": MT8_MEMBW_FLOOR_GBS,  # degraded 39-75, clean 109-240
+    }
+    if gate:
+        for k, floor in floors.items():
+            if rec[k] < floor:
+                verdict = "DEGRADED"
     out = dict(rec, vs_best=round(worst_frac, 3), verdict=verdict)
     if not quiet:
         print(json.dumps(out))
