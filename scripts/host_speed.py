@@ -191,7 +191,10 @@ def main() -> int:
         "st_py_mops": 9.5,          # CPU-steal windows read 8.2
         "mt8_sustained_mops": 65.0,  # clean 73-89
         "disk_w_mbps": 100.0,        # clean 110-553 (bursty, barely relevant)
-        "st_membw_gbs": 20.0,        # hypervisor collapse reads 0.16-16
+        "st_membw_gbs": 10.0,        # true collapse reads 0.16-8; 17 GB/s
+                                     # single-thread co-occurred with
+                                     # mt8=117 (the build is MT — let the
+                                     # mini-build decide such windows)
         "mt8_membw_gbs": MT8_MEMBW_FLOOR_GBS,  # degraded 39-75, clean 109-240
     }
     if gate:
