@@ -56,3 +56,8 @@ class UnsupportedRegexSyntax(TantinyError):
     lookaround, possessive quantifiers, or conditionals. The reference would
     raise on these patterns, so accepting them here would silently diverge —
     the supported dialect is the common Rust∩Java subset."""
+
+
+class QueryParseError(TantinyError):
+    """parse_query could not parse the query string (bad syntax, unknown
+    field, or an atom unsupported for the target field kind)."""

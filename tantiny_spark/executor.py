@@ -169,6 +169,9 @@ def _collect_stat_keys(node: P.Query, per_field: dict) -> None:
         elif isinstance(n, (P.Conjunction, P.Disjunction)):
             for c in n.children:
                 walk(c)
+        elif isinstance(n, P.BooleanOccur):
+            for c in (*n.must, *n.should, *n.must_not):
+                walk(c)
         elif isinstance(n, P.Negation):
             walk(n.child)
         elif isinstance(n, P.Boost):
@@ -207,6 +210,21 @@ def compile_plan(node: P.Query, ctx: SearchContext) -> DataFrame:
         )
     if isinstance(node, P.Facet):
         return _facet(node, ctx)
+    if isinstance(node, P.TermSet):
+        # literal IN predicate on the (field, term)-sorted postings layout:
+        # pushes to the scan exactly like a dictionary range; constant 1.0,
+        # distinct because several set members can hit the same doc
+        return (
+            ctx.postings.where(
+                (F.col("field") == node.field)
+                & F.col("term").isin(*node.terms)
+            )
+            .select("doc_id")
+            .distinct()
+            .select("doc_id", F.lit(1.0).alias("score"))
+        )
+    if isinstance(node, P.BooleanOccur):
+        return _boolean_occur(node, ctx)
     if isinstance(node, P.Conjunction):
         children = [compile_plan(c, ctx) for c in node.children]
         out = children[0]
@@ -231,6 +249,37 @@ def compile_plan(node: P.Query, ctx: SearchContext) -> DataFrame:
         child = compile_plan(node.child, ctx)
         return child.select("doc_id", (F.col("score") * F.lit(node.factor)).alias("score"))
     raise TantinyError(f"Unknown plan node {type(node).__name__}")
+
+
+def _boolean_occur(node: P.BooleanOccur, ctx: SearchContext) -> DataFrame:
+    """Lucene BooleanQuery semantics (plan.BooleanOccur docstring). Plan
+    shape: musts compose as score-summing inner joins (identical to
+    Conjunction); shoulds as ONE union + partial-aggregatable sum groupBy
+    (identical to Disjunction); the optional-scoring attach is a LEFT join
+    of the should sums onto the must base (coalesce 0) — no window, no
+    driver materialization; must_nots are a final left_anti join, so
+    tombstone-style exclusion never touches scoring."""
+    base = None
+    if node.must:
+        base = compile_plan(P.conjunction(*node.must), ctx)
+    if node.should:
+        shoulds = compile_plan(P.disjunction(*node.should), ctx)
+        if base is None:
+            base = shoulds
+        else:
+            extra = shoulds.withColumnRenamed("score", "__should")
+            base = base.join(extra, "doc_id", "left").select(
+                "doc_id",
+                (F.col("score") + F.coalesce(F.col("__should"), F.lit(0.0))
+                 ).alias("score"),
+            )
+    if base is None:
+        # must_not only: pure negation over their disjunction
+        base = ctx.docs.select("doc_id", F.lit(1.0).alias("score"))
+    if node.must_not:
+        excluded = compile_plan(P.disjunction(*node.must_not), ctx)
+        base = base.join(excluded.select("doc_id"), "doc_id", "left_anti")
+    return base
 
 
 def _term(node: P.Term, ctx: SearchContext) -> DataFrame:
@@ -287,26 +336,42 @@ def _phrase(node: P.Phrase, ctx: SearchContext) -> DataFrame:
     for i in range(1, len(parts)):
         joined = joined.join(parts[i], "doc_id")
     if slop:
-        # ordered-gap slop: a start p in pos_0 is a phrase occurrence when a
-        # greedy-minimal chain completes — each next term's position is the
-        # SMALLEST element of its list in (prev, prev + 1 + slop] (greedy is
-        # optimal: any valid chain implies the greedy one). Unrolled per
-        # term at plan time, all JVM array expressions.
-        def _gap_pred(p):
+        # ordered-gap slop: a start s in pos_0 is a phrase occurrence when
+        # SOME chain completes — each next term's position falls in the
+        # window (prev, prev + 1 + slop] after ANY reachable previous match.
+        # A greedy-minimal chain is NOT sufficient here: the window is
+        # bounded on both sides, so taking the smallest candidate can strand
+        # a later term ('a b b x c' with slop=1 needs b@2, not b@1). We
+        # therefore track the full reachable-position SET per start:
+        #   reach_1[s] = {x in pos_1 : s < x <= s + 1 + slop}
+        #   reach_i[s] = {x in pos_i : EXISTS p in reach_{i-1}[s]
+        #                              with p < x <= p + 1 + slop}
+        # and a start matches iff reach_{n-1}[s] is non-empty. Each step's
+        # reachable set is the COLLECTION argument of the next transform()
+        # (evaluated once per row, lambdas only reference its elements), so
+        # the DP is polynomial and stays a JVM array expression — no UDF,
+        # no explode.
+        def _window(p):
             # single-arg lambda (a 2-arg callable would get (element, INDEX))
             return lambda x: (x > p) & (x <= p + 1 + slop)
 
-        def _chain_ok(start):
-            prev = start
-            for i in range(1, len(terms)):
-                prev = F.array_min(
-                    F.filter(F.col(f"pos_{i}"), _gap_pred(prev))
-                )  # null propagates: a broken chain stays null
-            return prev.isNotNull()
-
+        reach = F.transform(
+            F.col("pos_0"), lambda s: F.filter(F.col("pos_1"), _window(s))
+        )
+        for i in range(2, len(terms)):
+            pos_i = F.col(f"pos_{i}")
+            reach = F.transform(
+                reach,
+                lambda prev: F.filter(
+                    pos_i,
+                    lambda x: F.exists(
+                        prev, lambda p: (x > p) & (x <= p + 1 + slop)
+                    ),
+                ),
+            )
         joined = joined.select(
             "doc_id", "norm_id",
-            F.size(F.filter(F.col("pos_0"), _chain_ok)).alias("phrase_tf"),
+            F.size(F.filter(reach, lambda r: F.size(r) > 0)).alias("phrase_tf"),
         ).where(F.col("phrase_tf") > 0)
     else:
         inter = F.col("pos_0")

@@ -158,7 +158,7 @@ class Index:
                 self._pending_ops.append(("del", str(doc_id)))
         return self
 
-    def delete_by_query(self, query, **smart_opts) -> int:
+    def delete_by_query(self, query, max_deletes: int = 100_000, **smart_opts) -> int:
         """Queue deletes for every doc matching ``query`` — Tantivy's
         ``IndexWriter::delete_query`` / Lucene's ``deleteDocuments(Query)``.
         Matching runs against the CURRENT snapshot (docs added in the open
@@ -168,14 +168,30 @@ class Index:
         the reference's delete model), so this is the *incremental* delete
         path: dropping a bounded matched set between merges. Bulk drops of
         a large corpus fraction belong in a filtered rebuild, not the
-        tombstone list. Returns the number of ids queued."""
+        tombstone list — and the bound is ENFORCED: the matched ids are
+        fetched via ``limit(max_deletes + 1)`` (the `_dict_expansion`
+        capped-collect pattern) and a match set larger than ``max_deletes``
+        raises instead of materializing an unbounded Python list on the
+        driver. Returns the number of ids queued."""
+        if max_deletes <= 0:
+            raise ValueError("max_deletes must be positive")
         plan = self._as_plan(query, smart_opts)
         prime_stats(plan, self.ctx)
         matched = compile_plan(plan, self.ctx).select("doc_id").distinct()
-        ids = [
-            r["id"]
-            for r in matched.join(self.ctx.id_map, "doc_id").select("id").collect()
-        ]
+        head = (
+            matched.join(self.ctx.id_map, "doc_id")
+            .select("id")
+            .limit(max_deletes + 1)
+            .collect()
+        )
+        if len(head) > max_deletes:
+            raise ValueError(
+                f"delete_by_query matched more than max_deletes={max_deletes} "
+                "docs; tombstones are for bounded incremental deletes — use a "
+                "filtered rebuild for bulk drops, or raise max_deletes "
+                "explicitly"
+            )
+        ids = [r["id"] for r in head]
         if self._in_txn:
             self._pending_ops.extend(("del", i) for i in sorted(ids))
         else:
@@ -369,6 +385,20 @@ class Index:
     def facet_query(self, field, path, **opts):
         return P.facet_query(self.schema, field, path, **opts)
 
+    def term_set_query(self, fields, terms, **opts):
+        return P.term_set_query(self.schema, fields, terms, **opts)
+
+    def boolean_query(self, must=None, should=None, must_not=None, **opts):
+        return P.boolean_query(must, should, must_not, **opts)
+
+    def parse_query(self, query_string: str, default_fields=None, **opts):
+        """Parse a Lucene/Tantivy-style query string (quotes, +must,
+        -must_not, AND/OR/NOT, field:, ranges, prefix*, fuzzy~) into a
+        plan Query — see :mod:`tantiny_spark.queryparser`."""
+        from tantiny_spark.queryparser import parse_query as _pq
+
+        return _pq(self.schema, query_string, default_fields, **opts)
+
     def smart_query(self, fields, query_string, **opts):
         return P.smart_query(self.schema, fields, query_string, **opts)
 
@@ -544,6 +574,140 @@ class Index:
             .orderBy(F.col("bucket").asc())
         )
 
+    def _matched_docs(self, query, smart_opts):
+        """Docs table, optionally semi-joined to a query's matched set —
+        the shared front half of every aggregation."""
+        docs = self.ctx.docs
+        if query is not None:
+            plan = self._as_plan(query, smart_opts)
+            prime_stats(plan, self.ctx)
+            matched = compile_plan(plan, self.ctx).select("doc_id")
+            docs = docs.join(matched, "doc_id", "left_semi")
+        return docs
+
+    def range_agg(self, field: str, ranges, query=None, **smart_opts) -> DataFrame:
+        """Range aggregation (Tantivy RangeAggregation, ES ranges agg):
+        doc counts for explicit half-open ``[from, to)`` value ranges over
+        a numeric fast field; ``None`` means unbounded on that side.
+        Ranges may overlap — a doc counts in every range containing it.
+        Returns DataFrame[range_key, from_val, to_val, n_docs] in the
+        given range order.
+
+        Plan shape: optional matched-set semi-join, then ONE global agg
+        computing every bucket as a conditional count in a single pass
+        (map-side partial agg — no shuffle keyed by bucket, no explode),
+        unpivoted to rows with a constant-size stack over the 1-row
+        result."""
+        if field not in (
+            self.schema.integer_fields + self.schema.double_fields
+        ):
+            raise UnsupportedField(field)
+        ranges = list(ranges)
+        if not ranges:
+            raise ValueError("ranges must be non-empty")
+        docs = self._matched_docs(query, smart_opts)
+        col = F.col(field).cast("double")
+        aggs, tuples = [], []
+        for i, (lo, hi) in enumerate(ranges):
+            cond = col.isNotNull()
+            if lo is not None:
+                cond = cond & (col >= float(lo))
+            if hi is not None:
+                cond = cond & (col < float(hi))
+            aggs.append(
+                F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+                .cast("long").alias(f"__r{i}")
+            )
+            # explicit DOUBLE casts: bare numeric literals parse as DECIMAL
+            # with per-literal precision, which stack() refuses to unify
+            lo_s = (
+                "CAST(NULL AS DOUBLE)" if lo is None
+                else f"CAST({float(lo)!r} AS DOUBLE)"
+            )
+            hi_s = (
+                "CAST(NULL AS DOUBLE)" if hi is None
+                else f"CAST({float(hi)!r} AS DOUBLE)"
+            )
+            key = f"{'*' if lo is None else float(lo)}-" \
+                  f"{'*' if hi is None else float(hi)}"
+            tuples.append(f"'{key}', {lo_s}, {hi_s}, __r{i}")
+        row = docs.agg(*aggs)
+        return row.selectExpr(
+            f"stack({len(ranges)}, {', '.join(tuples)}) AS "
+            "(range_key, from_val, to_val, n_docs)"
+        )
+
+    def percentiles(
+        self, field: str, percents=(1, 5, 25, 50, 75, 95, 99),
+        query=None, approx: bool = False, **smart_opts,
+    ) -> DataFrame:
+        """Percentiles aggregation (Tantivy PercentilesAggregation; the
+        default cuts are ES/Tantivy's 1,5,25,50,75,95,99). Returns
+        DataFrame[percent, value], nulls excluded.
+
+        By default EXACT linear-interpolation percentiles (Spark
+        ``percentile`` ≡ DuckDB ``quantile_cont`` — certifiable parity);
+        ``approx=True`` switches to ``percentile_approx`` (fixed-memory
+        sketch, the preferred path at 100 TB where an exact percentile
+        means a full sort of the matched set's values on one reducer).
+        Either way it is ONE global aggregate over the (semi-joined) docs
+        table; the result is a single row exploded to len(percents)
+        rows."""
+        if field not in (
+            self.schema.integer_fields + self.schema.double_fields
+        ):
+            raise UnsupportedField(field)
+        pcts = [float(p) for p in percents]
+        if not pcts or any(p < 0 or p > 100 for p in pcts):
+            raise ValueError("percents must be in [0, 100]")
+        fracs = ", ".join(repr(p / 100.0) for p in pcts)
+        fn = "percentile_approx" if approx else "percentile"
+        extra = ", 10000" if approx else ""
+        arr = F.expr(
+            f"{fn}(CAST({field} AS DOUBLE), array({fracs}){extra})"
+        )
+        row = self._matched_docs(query, smart_opts).agg(arr.alias("__v"))
+        pct_arr = F.array(*[F.lit(p) for p in pcts])
+        return row.select(
+            F.posexplode("__v").alias("__i", "__val")
+        ).select(
+            F.element_at(pct_arr, F.col("__i") + 1).alias("percent"),
+            F.round(F.col("__val"), 6).alias("value"),
+        )
+
+    def cardinality(
+        self, field: str, query=None, exact: bool = True, rsd: float = 0.05,
+        **smart_opts,
+    ) -> int:
+        """Cardinality aggregation (Tantivy CardinalityAggregation): the
+        distinct count of a field's values within the matched set. For a
+        TEXT field this counts distinct TERMS (the dictionary view of the
+        matched docs); for string/numeric/date fields, distinct stored
+        values (nulls excluded).
+
+        ``exact=False`` switches to HyperLogLog++
+        (``approx_count_distinct``, relative sd ``rsd``) — the 100 TB
+        path: one pass, fixed memory per partition, no exact-distinct
+        shuffle."""
+        if field in self.schema.text_fields:
+            vals = self.ctx.postings.where(F.col("field") == field)
+            if query is not None:
+                plan = self._as_plan(query, smart_opts)
+                prime_stats(plan, self.ctx)
+                matched = compile_plan(plan, self.ctx).select("doc_id")
+                vals = vals.join(matched, "doc_id", "left_semi")
+            col = F.col("term")
+        elif field in self.schema.fields:
+            vals = self._matched_docs(query, smart_opts)
+            col = F.col(field)
+        else:
+            raise UnsupportedField(field)
+        agg = (
+            F.count_distinct(col) if exact
+            else F.approx_count_distinct(col, rsd)
+        )
+        return int(vals.agg(agg.alias("n")).collect()[0]["n"])
+
     def explain(self, query, doc_id, **smart_opts) -> dict:
         """Score explanation for one document (Lucene/Tantivy ``explain``):
         a tree mirroring the query plan where every node carries its score
@@ -569,8 +733,20 @@ class Index:
                 out["terms"] = list(getattr(n, "terms", ())) or [n.term]
             elif isinstance(n, (P.Prefix, P.Regex, P.Range, P.Facet)):
                 out["field"] = n.field
+            elif isinstance(n, P.TermSet):
+                out["field"] = n.field
+                out["terms"] = list(n.terms)
             if isinstance(n, (P.Conjunction, P.Disjunction)):
                 out["children"] = [walk(c) for c in n.children]
+            elif isinstance(n, P.BooleanOccur):
+                out["children"] = [
+                    dict(walk(c), occur=occ)
+                    for occ, cs in (
+                        ("must", n.must), ("should", n.should),
+                        ("must_not", n.must_not),
+                    )
+                    for c in cs
+                ]
             elif isinstance(n, (P.Negation, P.Boost)):
                 out["children"] = [walk(n.child)]
                 if isinstance(n, P.Boost):

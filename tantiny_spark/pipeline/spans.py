@@ -63,8 +63,31 @@ def duplicate_spans(
     first global occurrence. Removing these spans keeps exactly one copy
     of every repeated >=k-token passage corpus-wide.
     """
+    # the first-occurrence min-key packs (key, pos) into ONE BIGINT so the
+    # groupBy folds Zipf-head grams map-side; that packing is only sound for
+    # integral keys (a string key would cast to NULL and silently report
+    # zero duplicate spans) and positions below 2^_POS_BITS — validate the
+    # former at plan time, enforce the latter in-row (ADVICE r03)
+    ktype = df.schema[key].dataType.simpleString()
+    if ktype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"duplicate_spans requires an integral key column; {key!r} is "
+            f"{ktype} — add an integral surrogate key (e.g. "
+            "monotonically_increasing_id or a zipWithIndex rank) first"
+        )
     occ = _occurrences(df, text, key, k)
-    packed = (F.col(key).cast("long") * (1 << _POS_BITS)) + F.col("pos")
+    pos_ok = F.col("pos") < F.lit(1 << _POS_BITS)
+    packed = F.when(
+        pos_ok, (F.col(key).cast("long") * (1 << _POS_BITS)) + F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"duplicate_spans: token position >= 2^{_POS_BITS} would "
+                "corrupt the packed first-occurrence order; chunk documents "
+                f"below {1 << _POS_BITS} tokens first (pipeline.prep.doc_chunks)"
+            )
+        ).cast("long")
+    )
     stats = (
         occ.groupBy("gram").agg(
             F.count("*").alias("n_occ"),

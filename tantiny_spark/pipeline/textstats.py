@@ -186,20 +186,32 @@ def with_unigram_bits(
     Returns (id_col, n_tokens, bits_per_token) where bits_per_token =
     sum(tf * -log2(cnt/total)) / sum(tf) over the doc's tokens; low bits =
     stereotypical text, high bits = rare-token soup. Documents with zero
-    tokens produce no row (nothing to score).
+    tokens produce no row (nothing to score). With a frozen ``model``,
+    out-of-vocabulary tokens are NOT dropped: they cost the add-one
+    smoothed -log2(1/total) each (so n_tokens counts every token and an
+    all-OOV doc still gets a row, at the model's maximum surprisal —
+    ADVICE r03).
 
     Scale shape: per-doc tf pre-aggregation first (one row per (doc, token)
-    — bounds Zipf-head join fan-out), then a token-keyed join against the
-    vocab (broadcast when small, sort-merge otherwise — no forced hint),
-    then one partial-aggregatable groupBy. The 1-row total is the only
-    broadcast, which is size-safe by construction. ``model`` lets a frozen
-    vocab from a reference corpus score a new corpus (the CCNet setup)."""
+    — bounds Zipf-head join fan-out), then a token-keyed LEFT join against
+    the vocab (broadcast when small, sort-merge otherwise — no forced
+    hint), then one partial-aggregatable groupBy. The 1-row total is the
+    only broadcast, which is size-safe by construction. ``model`` lets a
+    frozen vocab from a reference corpus score a new corpus (the CCNet
+    setup)."""
     ex = df.select(id_col, F.explode(tokens_col(text)).alias("token"))
     tf = ex.groupBy(id_col, "token").agg(F.count("*").cast("double").alias("tf"))
     vocab = model if model is not None else unigram_counts(df, text)
     vocab = vocab.select("token", F.col("cnt").cast("double").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
-    scored = tf.join(vocab, "token").crossJoin(F.broadcast(total))
+    # LEFT join: OOV tokens under a frozen model keep their tf and cost the
+    # smoothed minimum count 1 (self-trained vocab never misses, so the
+    # coalesce is a no-op there)
+    scored = (
+        tf.join(vocab, "token", "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(1.0)))
+        .crossJoin(F.broadcast(total))
+    )
     return scored.groupBy(id_col).agg(
         F.sum("tf").cast("long").alias("n_tokens"),
         F.round(

@@ -924,7 +924,7 @@ def host_stats_sql(table: str, url: str = "url", text: str = "text") -> str:
 SELECT {host} AS host,
        count(*) AS n_pages,
        count(DISTINCT {canonical_url_sql(url)}) AS n_urls,
-       sum(length(coalesce({text}, ''))) AS total_chars,
+       sum(length(coalesce({text}, '')))::BIGINT AS total_chars,
        round(avg(length(coalesce({text}, ''))), 4) AS mean_chars
 FROM {table}
 GROUP BY 1

@@ -100,6 +100,36 @@ class PhrasePrefix(Query):
 
 
 @dataclass(frozen=True)
+class TermSet(Query):
+    """Docs containing ANY of a set of exact terms on one field — Tantivy's
+    ``TermSetQuery`` (src/query/term_set_query.rs): constant score 1.0,
+    like the engine's other expansion queries. The Spark-natural shape is a
+    literal IN predicate on the (field, term)-sorted postings layout, so
+    the term set prunes at the scan like a dictionary range would."""
+    field: str
+    terms: tuple
+
+
+@dataclass(frozen=True)
+class BooleanOccur(Query):
+    """Lucene/Tantivy BooleanQuery with per-clause occurs
+    (``[(Occur, subquery)]`` — tantivy src/query/boolean_query.rs):
+
+    - ``must`` clauses all gate matching and all contribute score;
+    - ``should`` clauses contribute score when they match, and gate
+      matching ONLY when there is no must clause (then: any-of);
+    - ``must_not`` clauses exclude their matches and never score.
+
+    This is strictly more expressive than Conjunction/Disjunction/Negation
+    composition: a should clause alongside musts is *optional-scoring* —
+    it widens no match set but raises the score of docs that also match
+    it, which the plain operators cannot express."""
+    must: tuple = ()
+    should: tuple = ()
+    must_not: tuple = ()
+
+
+@dataclass(frozen=True)
 class Regex(Query):
     field: str
     pattern: str
@@ -219,8 +249,10 @@ def phrase_query(
     text fields only. ``slop`` extends the reference's exact-adjacency
     phrase (Tantivy's PhraseQuery slop knob) with ORDERED-GAP semantics:
     each successive term must appear within ``1 + slop`` positions after
-    the previous match (greedy-minimal completion, which is optimal);
-    slop=0 is exactly the reference behavior."""
+    SOME reachable previous match (existential chain completion — the
+    executor tracks the full reachable-position set per start, since a
+    greedy-minimal chain can strand a later term when the window is
+    bounded on both sides); slop=0 is exactly the reference behavior."""
     if slop < 0:
         raise ValueError("slop must be >= 0")
     names = _listify(fields)
@@ -436,6 +468,44 @@ def facet_query(schema: IndexSchema, field, path: str, boost: float = DEFAULT_BO
     return _construct(
         schema, schema.facet_fields, field, lambda f: Facet(f, str(path)), boost
     )
+
+
+def term_set_query(
+    schema: IndexSchema, fields, terms, boost: float = DEFAULT_BOOST
+) -> Query:
+    """Tantivy ``TermSetQuery``: docs containing ANY of ``terms`` (exact,
+    already-analyzed — like term_query) on any of ``fields``; constant
+    score 1.0 per matched field."""
+    tset = tuple(sorted({str(t) for t in _listify(terms)}))
+    if not tset:
+        return Empty()
+    return _construct(
+        schema, _text_and_strings(schema), fields,
+        lambda f: TermSet(f, tset), boost,
+    )
+
+
+def boolean_query(
+    must=None, should=None, must_not=None, boost: float = DEFAULT_BOOST
+) -> Query:
+    """Lucene/Tantivy BooleanQuery constructor. Degenerate occur mixes
+    simplify to the plain algebra (keeping e.g. the pure-term-disjunction
+    WAND fast path): only-must → conjunction, only-should → disjunction,
+    only-must_not → negation of their disjunction."""
+    must = tuple(_listify(must))
+    should = tuple(_listify(should))
+    must_not = tuple(_listify(must_not))
+    for q in (*must, *should, *must_not):
+        _check(q)
+    if not (must or should or must_not):
+        return Empty()
+    if must and not should and not must_not:
+        return conjunction(*must).boost(boost)
+    if should and not must and not must_not:
+        return disjunction(*should).boost(boost)
+    if must_not and not must and not should:
+        return Negation(disjunction(*must_not)).boost(boost)
+    return BooleanOccur(must, should, must_not).boost(boost)
 
 
 def smart_query(  # noqa: C901

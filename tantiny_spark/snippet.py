@@ -38,10 +38,16 @@ def query_terms(node: P.Query, field: str) -> list:
             out.update(n.terms)
         elif isinstance(n, P.PhrasePrefix) and n.field == field:
             out.update(n.terms)
+        elif isinstance(n, P.TermSet) and n.field == field:
+            out.update(n.terms)
         elif isinstance(n, P.Boost):
             walk(n.child)
         elif isinstance(n, (P.Conjunction, P.Disjunction)):
             for c in n.children:
+                walk(c)
+        elif isinstance(n, P.BooleanOccur):
+            # must_not terms never appear in the doc — don't highlight them
+            for c in (*n.must, *n.should):
                 walk(c)
         elif isinstance(n, P.Negation):
             walk(n.child)
@@ -135,9 +141,13 @@ def snippets(
             (-F.col("__b.neg_hits")).cast("long").alias("n_hits"),
         )
     )
-    # docs with no words at all (posexplode_outer null row) -> empty snippet
+    # zero-hit docs (negation-only matches, range filters, or no words at
+    # all — the posexplode_outer null row) -> empty snippet, n_hits = 0,
+    # exactly as the docstring promises (ADVICE r03: previously a worded
+    # zero-hit doc leaked its first fragment)
     return best.withColumn(
-        "snippet", F.when(F.col("n_hits").isNull(), F.lit("")).otherwise(F.col("snippet"))
-    ).withColumn(
         "n_hits", F.coalesce("n_hits", F.lit(0))
+    ).withColumn(
+        "snippet",
+        F.when(F.col("n_hits") == 0, F.lit("")).otherwise(F.col("snippet")),
     ).orderBy(F.col("score").desc(), F.col("id").asc())

@@ -201,6 +201,32 @@ def test_delete_by_query(spark, tmp_path):
     assert ix.search(P.all_query(), limit=10) == ["99"]
 
 
+def test_delete_by_query_bounded(spark, tmp_path):
+    """A corpus-wide delete_by_query must NOT materialize an unbounded id
+    list on the driver: past max_deletes it raises (the capped-collect
+    pattern), and raising max_deletes opts in explicitly (VERDICT r03)."""
+    from tantiny_spark.schema import IndexSchema
+
+    s = IndexSchema()
+    s.text("text")
+    ix = Index(spark, str(tmp_path / "dbqb"), s)
+    with ix.transaction():
+        for i in range(8):
+            ix.add({"id": i, "text": "wipe me"})
+    ix.reload()
+    with pytest.raises(ValueError, match="max_deletes"):
+        ix.delete_by_query(P.all_query(), max_deletes=5)
+    with pytest.raises(ValueError, match="positive"):
+        ix.delete_by_query(P.all_query(), max_deletes=0)
+    # nothing was queued by the failed calls
+    ix.reload()
+    assert len(ix.search(P.all_query(), limit=20)) == 8
+    # explicit opt-in works
+    assert ix.delete_by_query(P.all_query(), max_deletes=8) == 8
+    ix.reload()
+    assert ix.search(P.all_query(), limit=20) == []
+
+
 def test_explain(idx):
     q = (P.term_query(idx.schema, "text", "spark")
          | P.term_query(idx.schema, "text", "merge")).boost(2.0)

@@ -343,12 +343,11 @@ def test_phrase_slop(spark, tmp_path):
         idx.phrase_query("text", "alpha beta", slop=-1)
 
 
-def test_phrase_slop_three_terms_greedy(spark, tmp_path):
+def test_phrase_slop_three_terms(spark, tmp_path):
     idx = build(
         spark, tmp_path,
         [
-            # greedy takes the FIRST "b" (pos 1); chain a(0)->b(1)->c(3)
-            # completes within slop=1 windows
+            # chain a(0)->b(1)->c(3) completes within slop=1 windows
             {"id": 1, "text": "a b b c"},
             # a(0)->b(2) needs slop>=1, then c(5) needs gap 3 -> slop>=2
             {"id": 2, "text": "a x b y z c"},
@@ -356,6 +355,32 @@ def test_phrase_slop_three_terms_greedy(spark, tmp_path):
     )
     assert ids(idx, idx.phrase_query("text", "a b c", slop=1)) == ["1"]
     assert ids(idx, idx.phrase_query("text", "a b c", slop=2)) == ["1", "2"]
+
+
+def test_phrase_slop_reachable_set_not_greedy(spark, tmp_path):
+    """A greedy-minimal chain is NOT the defined semantics: in 'a b b x c'
+    with slop=1 the valid chain is a(0)->b(2)->c(4); greedy would pick
+    b(1) and strand c (c not in (1, 3]). The executor must track the full
+    reachable-position set per start (ADVICE r03)."""
+    idx = build(
+        spark, tmp_path,
+        [
+            {"id": 1, "text": "a b b x c"},     # exists-chain only via b@2
+            {"id": 2, "text": "a b x x c"},     # no chain at slop=1
+            # 4-term chain where every step must take the LATER candidate:
+            # a(0)->b(2)->c(4)->d(6), greedy strands at b(1)
+            {"id": 3, "text": "a b b x c x d"},
+            # multiple starts: both a@0 (via b@2) and a@1 (via b@2) chain
+            {"id": 4, "text": "a a b c"},
+        ],
+    )
+    assert ids(idx, idx.phrase_query("text", "a b c", slop=1)) == ["1", "3", "4"]
+    assert ids(idx, idx.phrase_query("text", "a b c d", slop=1)) == ["3"]
+    # slop=0 unaffected: exact adjacency only
+    assert ids(idx, idx.phrase_query("text", "a b c", slop=0)) == ["4"]
+    # phrase_tf counts valid STARTS: doc 4 has two chaining starts
+    scores = dict(idx.search_with_scores(idx.phrase_query("text", "a b c", slop=1)))
+    assert scores["4"] > scores["1"]
 
 
 def test_phrase_slop_zero_equals_default(spark, tmp_path):

@@ -43,6 +43,17 @@ def test_best_fragment_and_counts(idx_and_src):
     assert "3" not in got
 
 
+def test_zero_hit_doc_gets_empty_snippet(idx_and_src):
+    """A scored doc whose field contains NO query term (negation-only
+    match) returns snippet='' and n_hits=0 — not its first fragment
+    (ADVICE r03)."""
+    ix, src = idx_and_src
+    q = ~ix.term_query("text", "spark")  # matches doc 3 only
+    rows = snippets(ix, q, src, window=5).collect()
+    got = {r["id"]: (r["snippet"], r["n_hits"]) for r in rows}
+    assert got["3"] == ("", 0)
+
+
 def test_order_follows_search_ranking(idx_and_src):
     ix, src = idx_and_src
     q = ix.term_query("text", "spark")

@@ -80,3 +80,29 @@ def test_min_count_threshold(spark):
 def test_short_docs_skipped(spark):
     df = spark.createDataFrame([(1, "a b"), (2, "a b")], ["doc_id", "text"])
     assert _spans(df) == set()  # shorter than k -> no windows
+
+
+def test_string_key_rejected(spark):
+    """A non-integral key casts to NULL inside the packed first-occurrence
+    BIGINT and would silently report zero spans — it must raise instead
+    (ADVICE r03)."""
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")], ["doc_id", "text"]
+    )
+    with pytest.raises(TypeError, match="integral key"):
+        spans.duplicate_spans(df, k=3)
+
+
+def test_huge_position_fails_loud(spark, monkeypatch):
+    """Token positions >= 2^_POS_BITS would corrupt the packed order; the
+    packing raises in-row rather than silently mis-picking first
+    occurrences. _POS_BITS is shrunk so the guard fires on a small doc —
+    the production 2^20 path is identical code."""
+    monkeypatch.setattr(spans, "_POS_BITS", 4)
+    text = " ".join(f"w{i % 3}" for i in range(20))  # positions up to 17 >= 2^4
+    df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    with pytest.raises(Exception, match="2\\^4|corrupt"):
+        spans.duplicate_spans(df, k=3).collect()
+    # below the cap the same data shape still works
+    monkeypatch.setattr(spans, "_POS_BITS", 20)
+    assert spans.duplicate_spans(df, k=3).count() > 0

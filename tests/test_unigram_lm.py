@@ -27,15 +27,27 @@ def test_unigram_bits_matches_hand_computation(spark):
 
 def test_unigram_bits_frozen_model(spark):
     """A frozen reference-corpus model scores a different corpus (CCNet
-    setup); unknown-token rows simply don't match the vocab."""
+    setup); out-of-vocab tokens COUNT, at the add-one smoothed maximum
+    surprisal -log2(1/total) (ADVICE r03: they were silently dropped)."""
     ref = spark.createDataFrame([(1, "a a a b")], ["doc_id", "text"])
     model = textstats.unigram_counts(ref)  # a=3, b=1, total=4
     new = spark.createDataFrame([(9, "a b zzz")], ["doc_id", "text"])
     row = textstats.with_unigram_bits(new, model=model).collect()[0]
-    # zzz is out-of-vocab -> excluded from both sum(tf) and the numerator
-    want = (-math.log2(3 / 4) + -math.log2(1 / 4)) / 2
-    assert row["n_tokens"] == 2
+    # zzz is out-of-vocab -> smoothed count 1, cost -log2(1/4)
+    want = (-math.log2(3 / 4) + -math.log2(1 / 4) + -math.log2(1 / 4)) / 3
+    assert row["n_tokens"] == 3
     assert row["bits_per_token"] == pytest.approx(want, abs=1e-6)
+
+
+def test_unigram_bits_all_oov_doc_gets_row(spark):
+    """A doc made entirely of OOV tokens still produces a row at the
+    model's maximum surprisal instead of vanishing."""
+    ref = spark.createDataFrame([(1, "a a a b")], ["doc_id", "text"])
+    model = textstats.unigram_counts(ref)  # total=4
+    new = spark.createDataFrame([(9, "zzz yyy")], ["doc_id", "text"])
+    row = textstats.with_unigram_bits(new, model=model).collect()[0]
+    assert row["n_tokens"] == 2
+    assert row["bits_per_token"] == pytest.approx(math.log2(4), abs=1e-6)
 
 
 def test_rare_token_soup_scores_higher(spark):
