@@ -83,3 +83,79 @@ def test_range_scan_prunes_columns(plan_index):
     # reads only doc_id — text/facet columns never deserialize
     assert "EqualTo(term,w0)" in plan
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_term_set_plan_shape(plan_index):
+    """TermSetQuery = a literal In predicate pushed into the postings scan
+    (the dictionary-range analog); distinct is a partial-aggregatable
+    groupBy, no window, no Python."""
+    ix = plan_index
+    scored = compile_plan(ix.term_set_query("t", ["w0", "w1"]), ix.ctx)
+    plan = _physical(scored)
+    assert "In(term, [w0,w1])" in plan or "In(term" in plan
+    assert "positions" not in plan
+    assert "Python" not in plan
+    assert "Window" not in plan
+
+
+def test_boolean_occur_plan_shape(plan_index):
+    """BooleanOccur's optional-scoring should clause is ONE left outer join
+    over the must base — no window, no driver collect, scoring stays JVM."""
+    ix = plan_index
+    q = ix.boolean_query(
+        must=[ix.term_query("t", "w0")],
+        should=[ix.term_query("t", "w1")],
+        must_not=[ix.term_query("t", "w2")],
+    )
+    scored = compile_plan(q, ix.ctx)
+    plan = _physical(scored)
+    assert "LeftOuter" in plan       # the optional-scoring attach
+    assert "LeftAnti" in plan        # the must_not exclusion
+    assert "Window" not in plan
+    assert "Python" not in plan
+
+
+def test_range_agg_single_pass(plan_index, spark, tmp_path_factory):
+    """Range aggregation = ONE aggregate computing every bucket as a
+    conditional count (single pass over the docs), then a constant-size
+    stack over the 1-row result — no per-bucket scan, no explode of data
+    rows, no shuffle keyed by bucket."""
+    s = IndexSchema()
+    s.text("t")
+    s.integer("n")
+    ix = Index(spark, str(tmp_path_factory.mktemp("ragg") / "idx"), s)
+    ix.add_dataframe(
+        spark.createDataFrame(
+            [(f"r{i}", "w", i) for i in range(50)], "id string, t string, n int"
+        )
+    )
+    ix.reload()
+    plan = _physical(ix.range_agg("n", [(None, 10), (10, 30), (30, None)]))
+    # exactly one aggregate pair (partial + final) over the scan
+    assert plan.count("HashAggregate") <= 2
+    assert "partial_sum" in plan or "partial_count" in plan
+    # the docs parquet is scanned ONCE (bucket counts share the pass)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_percentiles_single_agg(spark, tmp_path_factory):
+    """Exact percentiles = ONE global aggregate (all cuts share the pass),
+    then a constant-size posexplode of the 1-row array — no Python, no
+    per-cut scan."""
+    s = IndexSchema()
+    s.text("t")
+    s.integer("n")
+    ix = Index(spark, str(tmp_path_factory.mktemp("pctl") / "idx"), s)
+    ix.add_dataframe(
+        spark.createDataFrame(
+            [(f"p{i}", "w", i) for i in range(40)], "id string, t string, n int"
+        )
+    )
+    ix.reload()
+    plan = _physical(ix.percentiles("n", (25, 50, 75)))
+    assert plan.count("Scan parquet") == 1   # one pass for all cuts
+    assert "Python" not in plan
+    # the explode acts on the single aggregated row, not on data rows:
+    # Generate appears AFTER the aggregate in the plan tree (higher up the
+    # printed string)
+    assert plan.index("Generate") < plan.index("HashAggregate")
