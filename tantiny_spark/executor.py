@@ -166,7 +166,7 @@ def _collect_stat_keys(node: P.Query, per_field: dict) -> None:
             per_field.setdefault(n.field, set()).update(n.terms)
         elif isinstance(n, P.Facet):
             per_field.setdefault(n.field, set()).add(n.path)
-        elif isinstance(n, (P.Conjunction, P.Disjunction)):
+        elif isinstance(n, (P.Conjunction, P.Disjunction, P.DisjunctionMax)):
             for c in n.children:
                 walk(c)
         elif isinstance(n, P.BooleanOccur):
@@ -175,6 +175,8 @@ def _collect_stat_keys(node: P.Query, per_field: dict) -> None:
         elif isinstance(n, P.Negation):
             walk(n.child)
         elif isinstance(n, P.Boost):
+            walk(n.child)
+        elif isinstance(n, P.ConstScore):
             walk(n.child)
 
     walk(node)
@@ -248,6 +250,42 @@ def compile_plan(node: P.Query, ctx: SearchContext) -> DataFrame:
     if isinstance(node, P.Boost):
         child = compile_plan(node.child, ctx)
         return child.select("doc_id", (F.col("score") * F.lit(node.factor)).alias("score"))
+    if isinstance(node, P.DisjunctionMax):
+        # same single partial-aggregatable groupBy shape as Disjunction —
+        # max and sum ride the one shuffle, then the tie-breaker combine is
+        # a codegen'd Project (Lucene DisMax: max + tie * (sum - max))
+        children = [compile_plan(c, ctx) for c in node.children]
+        unioned = children[0]
+        for child in children[1:]:
+            unioned = unioned.unionByName(child)
+        return (
+            unioned.groupBy("doc_id")
+            .agg(F.max("score").alias("__mx"), F.sum("score").alias("__sm"))
+            .select(
+                "doc_id",
+                (
+                    F.col("__mx")
+                    + F.lit(node.tie_breaker) * (F.col("__sm") - F.col("__mx"))
+                ).alias("score"),
+            )
+        )
+    if isinstance(node, P.ConstScore):
+        child = compile_plan(node.child, ctx)
+        return child.select("doc_id", F.lit(node.score).alias("score"))
+    if isinstance(node, P.Exists):
+        if node.via_postings:
+            # ≥1 posting on the field proves existence; distinct is a
+            # partial-aggregatable groupBy on the (field)-pruned scan
+            return (
+                ctx.postings.where(F.col("field") == node.field)
+                .select("doc_id")
+                .distinct()
+                .select("doc_id", F.lit(1.0).alias("score"))
+            )
+        col = F.col(node.field)
+        return ctx.docs.where(col.isNotNull()).select(
+            "doc_id", F.lit(1.0).alias("score")
+        )
     raise TantinyError(f"Unknown plan node {type(node).__name__}")
 
 

@@ -379,6 +379,9 @@ class Index:
     def prefix_query(self, fields, prefix, **opts):
         return P.prefix_query(self.schema, fields, prefix, **opts)
 
+    def wildcard_query(self, fields, pattern, **opts):
+        return P.wildcard_query(self.schema, fields, pattern, **opts)
+
     def range_query(self, fields, rng, **opts):
         return P.range_query(self.schema, fields, rng, **opts)
 
@@ -390,6 +393,15 @@ class Index:
 
     def boolean_query(self, must=None, should=None, must_not=None, **opts):
         return P.boolean_query(must, should, must_not, **opts)
+
+    def dis_max_query(self, queries, tie_breaker: float = 0.0, **opts):
+        return P.dis_max_query(queries, tie_breaker, **opts)
+
+    def const_score_query(self, query, score: float = 1.0):
+        return P.const_score_query(query, score)
+
+    def exists_query(self, field, **opts):
+        return P.exists_query(self.schema, field, **opts)
 
     def parse_query(self, query_string: str, default_fields=None, **opts):
         """Parse a Lucene/Tantivy-style query string (quotes, +must,
@@ -467,6 +479,42 @@ class Index:
         if fast is not None:
             return top_k(fast, self.ctx, limit)
         return top_k(compile_plan(plan, self.ctx), self.ctx, limit)
+
+    def search_by_field(
+        self, query, field: str, limit: int = DEFAULT_LIMIT,
+        ascending: bool = False, **smart_opts,
+    ) -> DataFrame:
+        """Top ``limit`` matching docs ordered by a stored VALUE field
+        instead of relevance — Tantivy's ``TopDocs::order_by_u64_field``
+        (src/collector/top_score_collector.rs, public API). Returns
+        ``(id, value)``; ties break on id-string asc like search_df.
+
+        Plan shape: the matched doc-set (scores projected away by pruning)
+        semi-joins the docs table for the sort column, then ONE
+        TakeOrderedAndProject — per-partition partial top-k, never a global
+        sort, same scale story as top_k()."""
+        if field not in (
+            self.schema.integer_fields + self.schema.double_fields
+            + self.schema.date_fields
+        ):
+            raise UnsupportedField(
+                f"search_by_field needs an integer/double/date field, "
+                f"got {field!r}"
+            )
+        plan = self._as_plan(query, smart_opts)
+        prime_stats(plan, self.ctx)
+        matched = compile_plan(plan, self.ctx).select("doc_id")
+        vals = self.ctx.docs.where(F.col(field).isNotNull()).select(
+            "doc_id", F.col(field).alias("value")
+        )
+        order = F.col("value").asc() if ascending else F.col("value").desc()
+        return (
+            matched.join(vals, "doc_id")
+            .join(self.ctx.id_map, "doc_id")
+            .orderBy(order, F.col("id").asc())
+            .limit(limit)
+            .select("id", "value")
+        )
 
     def count(self, query=None, **smart_opts) -> int:
         """Number of documents matching ``query`` (all docs when None) —
@@ -731,13 +779,15 @@ class Index:
             if isinstance(n, (P.Term, P.Phrase, P.PhrasePrefix, P.FuzzyTerm)):
                 out["field"] = n.field
                 out["terms"] = list(getattr(n, "terms", ())) or [n.term]
-            elif isinstance(n, (P.Prefix, P.Regex, P.Range, P.Facet)):
+            elif isinstance(n, (P.Prefix, P.Regex, P.Range, P.Facet, P.Exists)):
                 out["field"] = n.field
             elif isinstance(n, P.TermSet):
                 out["field"] = n.field
                 out["terms"] = list(n.terms)
-            if isinstance(n, (P.Conjunction, P.Disjunction)):
+            if isinstance(n, (P.Conjunction, P.Disjunction, P.DisjunctionMax)):
                 out["children"] = [walk(c) for c in n.children]
+                if isinstance(n, P.DisjunctionMax):
+                    out["tie_breaker"] = n.tie_breaker
             elif isinstance(n, P.BooleanOccur):
                 out["children"] = [
                     dict(walk(c), occur=occ)
@@ -747,10 +797,12 @@ class Index:
                     )
                     for c in cs
                 ]
-            elif isinstance(n, (P.Negation, P.Boost)):
+            elif isinstance(n, (P.Negation, P.Boost, P.ConstScore)):
                 out["children"] = [walk(n.child)]
                 if isinstance(n, P.Boost):
                     out["factor"] = n.factor
+                if isinstance(n, P.ConstScore):
+                    out["const"] = n.score
             rows = (
                 compile_plan(n, self.ctx)
                 .where(F.col("doc_id") == did).take(1)

@@ -225,3 +225,97 @@ def stratified_sample_sql(
     for name in sorted(rates):
         rate = f"CASE WHEN {stratum} = '{name}' THEN {rates[name]!r} ELSE {rate} END"
     return f"{frac} < ({rate})"
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str = "doc_id",
+    tokens: str = "n_tokens",
+    budget: int = 2048,
+    n_buckets: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-cut sequence packing — assign every document its slot in
+    a fixed-token-budget training sequence (the sample-packing step between
+    a cleaned corpus and an LLM dataloader).
+
+    Documents are dealt into ``n_buckets`` uniform hash buckets, shuffled
+    into a deterministic pseudo-random order inside each bucket
+    (``hash_fraction(key, salt)``, key tie-break), then concatenated;
+    sequence boundaries fall every ``budget`` tokens, so a document starts
+    in sequence ``floor(prev_cum / budget)`` at offset
+    ``prev_cum % budget`` (documents may straddle a boundary — standard
+    concat-then-cut packing). Returns
+    ``(key, bucket, seq_id, seq_off, <tokens>)``.
+
+    Everything is a pure function of (salt, key, token counts): re-runs
+    and engine ports reproduce identical packing.
+
+    Scale shape: ONE hash-partition shuffle on ``bucket`` feeding a
+    per-bucket running sum — parallelism = ``n_buckets`` (set it ≥ cluster
+    cores; buckets are md5-uniform so no skew), each bucket streams in
+    sorted order with O(1) window state. Never a global sort, never a
+    single-partition window.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from pyspark.sql import Window
+
+    bucket = F.floor(
+        hash_fraction(key, salt + ":bucket") * F.lit(n_buckets)
+    ).cast("int")
+    order = hash_fraction(key, salt + ":order")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("__ord", key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.sum(F.col(tokens)).over(w) - F.col(tokens)
+    return (
+        df.select(
+            F.col(key), F.col(tokens), bucket.alias("bucket"),
+            order.alias("__ord"),
+        )
+        .withColumn("seq_id", F.floor(prev / F.lit(budget)).cast("long"))
+        .withColumn("seq_off", (prev % F.lit(budget)).cast("long"))
+        .drop("__ord")
+        .select(key, "bucket", "seq_id", "seq_off", tokens)
+    )
+
+
+def pack_sequences_sql(
+    table: str,
+    key: str = "doc_id",
+    tokens: str = "n_tokens",
+    budget: int = 2048,
+    n_buckets: int = 64,
+    salt: str = "pack",
+) -> str:
+    """DuckDB mirror of :func:`pack_sequences` (identical md5 bucket/order
+    derivation, window running sum, floor-div boundaries)."""
+    def frac(s: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{s}:' || {key}::VARCHAR), 1, 8))::BIGINT"
+            f" / {_HASH_SPACE!r})"
+        )
+
+    return f"""
+WITH base AS (
+  SELECT {key}, {tokens},
+         CAST(floor({frac(salt + ':bucket')} * {n_buckets}) AS INT) AS bucket,
+         {frac(salt + ':order')} AS ord
+  FROM {table}
+),
+cum AS (
+  SELECT {key}, {tokens}, bucket,
+         (sum({tokens}) OVER (PARTITION BY bucket ORDER BY ord, {key}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - {tokens})::BIGINT AS prev
+  FROM base
+)
+SELECT {key}, bucket, (prev // {budget})::BIGINT AS seq_id,
+       (prev % {budget})::BIGINT AS seq_off, {tokens}
+FROM cum
+"""

@@ -929,3 +929,67 @@ SELECT {host} AS host,
 FROM {table}
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Domain-blocklist filtering (UT1 / adult-domain-list style)
+# ---------------------------------------------------------------------------
+
+def domain_suffixes(host: Column) -> Column:
+    """All blockable domain suffixes of a host, most-specific first:
+    ``a.b.example.com`` → ``[a.b.example.com, b.example.com, example.com]``.
+    Bare TLD suffixes (single label) are excluded — no real blocklist
+    blocks ``com``, and keeping them would make one bad list entry
+    catastrophic. Pure codegen'd array expression, no Python."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+    )
+
+
+def filter_blocked_hosts(
+    df: DataFrame, blocked: DataFrame, url: str = "url"
+) -> DataFrame:
+    """Drop rows whose URL host — or ANY parent domain of it — appears in
+    ``blocked`` (one ``domain`` column), the UT1-blocklist semantics used
+    by RefinedWeb/FineWeb-style web curation. Returns the input rows that
+    survive, with a ``host`` column attached.
+
+    Scale shape: the suffix explosion runs on the DISTINCT host set (host
+    cardinality ≪ page count on a web corpus), the blocklist side is
+    blocklist-sized (MBs — broadcast-eligible, left to AQE), and the final
+    exclusion is one LEFT ANTI join of pages against blocked hosts. No
+    per-page suffix explosion, no window, no driver materialization."""
+    pages = df.withColumn("host", host_of(url))
+    hosts = pages.select("host").distinct()
+    blocked_hosts = (
+        hosts.select(
+            "host", F.explode(domain_suffixes(F.col("host"))).alias("__sfx")
+        )
+        .join(blocked.select(F.col("domain").alias("__sfx")), "__sfx", "leftsemi")
+        .select("host")
+        .distinct()
+    )
+    return pages.join(blocked_hosts, "host", "left_anti")
+
+
+def filter_blocked_hosts_sql(
+    table: str, blocked_domains: list, url: str = "url"
+) -> str:
+    """DuckDB oracle for :func:`filter_blocked_hosts` with a literal
+    blocklist: a host is blocked when it equals a blocked domain or ends
+    with ``'.' || domain``."""
+    host = (
+        f"regexp_replace(lower(regexp_extract({url}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1)), ':[0-9]+$', '')"
+    )
+    conds = " OR ".join(
+        f"h = '{d}' OR h LIKE '%.{d}'" for d in blocked_domains
+    ) or "FALSE"
+    return f"""
+SELECT * EXCLUDE (h), h AS host FROM (
+  SELECT *, {host} AS h FROM {table}
+) WHERE NOT ({conds})
+"""

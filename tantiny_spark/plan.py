@@ -176,6 +176,37 @@ class Boost(Query):
     factor: float
 
 
+@dataclass(frozen=True)
+class DisjunctionMax(Query):
+    """Lucene/Tantivy DisjunctionMaxQuery (tantivy
+    src/query/disjunction_max_query.rs): a doc matching any child scores
+    ``max(child scores) + tie_breaker * (sum of the other child scores)``.
+    The classic cross-field query — unlike Disjunction's sum, a doc hitting
+    the same word in several fields is NOT rewarded multiplicatively."""
+    children: tuple
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class ConstScore(Query):
+    """Tantivy ConstScoreQuery (src/query/const_score_query.rs): the child
+    gates matching, the score is a constant — a filter clause that still
+    participates in score-summing composition."""
+    child: Query
+    score: float = 1.0
+
+
+@dataclass(frozen=True)
+class Exists(Query):
+    """Tantivy ExistsQuery (src/query/exists_query.rs): docs that have ANY
+    value for the field, constant score 1.0. ``via_postings`` is resolved
+    at build time from the schema: text/string/facet fields prove existence
+    by having at least one posting; value fields (integer/double/date) by a
+    non-null stored column (an IS NOT NULL scan-pushed filter)."""
+    field: str
+    via_postings: bool
+
+
 def conjunction(*queries: Query) -> Query:
     if len(queries) == 1:
         return queries[0]
@@ -418,6 +449,29 @@ def regex_query(schema: IndexSchema, fields, pattern: str, boost: float = DEFAUL
     )
 
 
+def wildcard_query(
+    schema: IndexSchema, fields, pattern: str, boost: float = DEFAULT_BOOST
+) -> Query:
+    """Lucene WildcardQuery: ``*`` = any run of characters, ``?`` = exactly
+    one; everything else is literal. Compiles onto the Regex node (anchored
+    dictionary-expansion scan) — zero new execution machinery, and a
+    pattern with no leading wildcard keeps the dictionary range prune the
+    regex path gets from the literal prefix."""
+    pattern = str(pattern)
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return _construct(
+        schema, _text_and_strings(schema), fields,
+        lambda f: Regex(f, "".join(out)), boost,
+    )
+
+
 def prefix_query(schema: IndexSchema, fields, prefix: str, boost: float = DEFAULT_BOOST) -> Query:
     """Reference rewrites prefix → regex (query.rb:61-63). We go the other
     way where possible: if the 'prefix' is regex-free it becomes a dictionary
@@ -506,6 +560,49 @@ def boolean_query(
     if must_not and not must and not should:
         return Negation(disjunction(*must_not)).boost(boost)
     return BooleanOccur(must, should, must_not).boost(boost)
+
+
+def dis_max_query(queries, tie_breaker: float = 0.0,
+                  boost: float = DEFAULT_BOOST) -> Query:
+    """Tantivy DisjunctionMaxQuery constructor. ``tie_breaker`` must lie in
+    [0, 1]; 1.0 degenerates to the plain score-summing Disjunction (kept as
+    that node so a pure-term dis_max(tie=1) still takes the WAND path)."""
+    children = tuple(_listify(queries))
+    for q in children:
+        _check(q)
+    tie = float(tie_breaker)
+    if not 0.0 <= tie <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie}")
+    if not children:
+        return Empty()
+    if len(children) == 1:
+        return children[0].boost(boost)
+    if tie == 1.0:
+        return disjunction(*children).boost(boost)
+    return DisjunctionMax(children, tie).boost(boost)
+
+
+def const_score_query(query: Query, score: float = 1.0) -> Query:
+    """Tantivy ConstScoreQuery constructor: ``query`` gates, score is
+    constant."""
+    _check(query)
+    return ConstScore(query, float(score))
+
+
+def exists_query(schema: IndexSchema, field, boost: float = DEFAULT_BOOST) -> Query:
+    """Tantivy ExistsQuery constructor: docs with any value on ``field``.
+    The storage route (postings presence vs stored-column IS NOT NULL) is
+    resolved here from the schema so the executor stays schema-free."""
+    indexed = set(schema.text_fields) | set(schema.string_fields) | set(
+        schema.facet_fields
+    )
+    allowed = list(indexed) + list(schema.integer_fields) + list(
+        schema.double_fields
+    ) + list(schema.date_fields)
+    return _construct(
+        schema, allowed, field,
+        lambda f: Exists(f, via_postings=f in indexed), boost,
+    )
 
 
 def smart_query(  # noqa: C901

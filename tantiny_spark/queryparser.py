@@ -14,6 +14,8 @@ module is a beyond-reference feature in the same family. Grammar::
               | '[' lit TO lit ']'         (inclusive range; needs FIELD ':')
               | WORD '*'                   (prefix)
               | WORD '~' INT?              (fuzzy, default distance 1)
+              | '*'                        (match-all; FIELD ':' '*' = exists)
+              | WORD with '*' / '?' inside (Lucene wildcard, e.g. fo*ba?r)
               | WORD
     boost    := '^' NUMBER
 
@@ -242,6 +244,30 @@ class _Parser:
         return P.disjunction(*per_field)
 
     def _word_atom(self, field, word: str, fuzzy):
+        if word == "*" and fuzzy is None:
+            # Lucene classic: bare '*' matches every doc; 'field:*' matches
+            # docs that have ANY value for the field (ExistsQuery)
+            if field is None:
+                return P.All()
+            try:
+                return P.exists_query(self.schema, field)
+            except UnsupportedField as e:
+                raise QueryParseError(str(e)) from e
+        if ("*" in word or "?" in word) and not (
+            word.endswith("*") and "*" not in word[:-1] and "?" not in word
+        ):
+            # internal/multiple wildcards: a Lucene WildcardQuery atom
+            # (trailing-*-only words stay the cheaper Prefix query below;
+            # wildcard terms are matched verbatim-lowercased, not analyzed)
+            per_field = []
+            for f in self._fields_for(field):
+                try:
+                    per_field.append(
+                        P.wildcard_query(self.schema, f, word.lower())
+                    )
+                except UnsupportedField as e:  # pragma: no cover
+                    raise QueryParseError(str(e)) from e
+            return P.disjunction(*per_field)
         prefix = word.endswith("*") and len(word) > 1
         if prefix:
             word = word[:-1]

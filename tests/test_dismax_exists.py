@@ -1,0 +1,202 @@
+"""DisjunctionMax / ConstScore / Exists queries and order-by-field top-k
+(Tantivy query family: src/query/disjunction_max_query.rs,
+const_score_query.rs, exists_query.rs; TopDocs::order_by_u64_field)."""
+
+import pytest
+
+from tantiny_spark import plan as P
+from tantiny_spark.errors import QueryParseError, UnsupportedField
+from tantiny_spark.index import Index
+from tantiny_spark.schema import IndexSchema
+
+
+@pytest.fixture(scope="module")
+def ix(spark, tmp_path_factory):
+    s = IndexSchema()
+    s.text("text")
+    s.string("tag")
+    s.integer("n")
+    idx = Index(spark, str(tmp_path_factory.mktemp("dismax") / "idx"), s)
+    with idx.transaction():
+        for i, (txt, tag, n) in enumerate(
+            [
+                ("apple banana", "x", 10),
+                ("apple apple cherry", "x", 30),
+                ("banana cherry", None, 20),
+                ("cherry date", "y", None),
+                ("date elder", "y", 40),
+            ]
+        ):
+            idx.add({"id": i, "text": txt, "tag": tag, "n": n})
+    return idx.reload()
+
+
+def _scores(ix, q):
+    return dict(ix.search_with_scores(q, limit=100))
+
+
+# --- DisjunctionMax ---------------------------------------------------------
+
+def test_dismax_math_matches_children(ix):
+    a = _scores(ix, ix.term_query("text", "apple"))
+    b = _scores(ix, ix.term_query("text", "banana"))
+    got = _scores(
+        ix, ix.dis_max_query(
+            [ix.term_query("text", "apple"), ix.term_query("text", "banana")],
+            tie_breaker=0.3,
+        )
+    )
+    assert set(got) == set(a) | set(b)
+    for doc in got:
+        sa, sb = a.get(doc, 0.0), b.get(doc, 0.0)
+        mx, sm = max(sa, sb), sa + sb
+        assert got[doc] == pytest.approx(mx + 0.3 * (sm - mx), rel=1e-12)
+
+
+def test_dismax_tie_zero_is_pure_max(ix):
+    a = _scores(ix, ix.term_query("text", "apple"))
+    b = _scores(ix, ix.term_query("text", "cherry"))
+    got = _scores(
+        ix, ix.dis_max_query(
+            [ix.term_query("text", "apple"), ix.term_query("text", "cherry")]
+        )
+    )
+    for doc in got:
+        assert got[doc] == pytest.approx(
+            max(a.get(doc, 0.0), b.get(doc, 0.0)), rel=1e-12
+        )
+
+
+def test_dismax_degenerate_forms():
+    t1, t2 = P.Term("text", "a"), P.Term("text", "b")
+    # tie=1.0 is score-summing: stays a Disjunction (keeps the WAND path)
+    assert isinstance(P.dis_max_query([t1, t2], 1.0), P.Disjunction)
+    assert P.dis_max_query([t1]) is t1
+    assert isinstance(P.dis_max_query([]), P.Empty)
+    with pytest.raises(ValueError):
+        P.dis_max_query([t1, t2], 1.5)
+    with pytest.raises(TypeError):
+        P.dis_max_query([t1, "nope"])
+
+
+# --- ConstScore -------------------------------------------------------------
+
+def test_const_score_gates_and_scores(ix):
+    got = _scores(
+        ix, ix.const_score_query(ix.term_query("text", "apple"), 0.5)
+    )
+    assert got == {"0": 0.5, "1": 0.5}
+
+
+def test_const_score_composes_in_disjunction(ix):
+    b = _scores(ix, ix.term_query("text", "banana"))
+    got = _scores(
+        ix,
+        ix.const_score_query(ix.term_query("text", "apple"), 0.75)
+        | ix.term_query("text", "banana"),
+    )
+    # doc 0 matches both: exactly 0.75 + banana's BM25; doc 1 const-only
+    assert got["0"] == pytest.approx(0.75 + b["0"], rel=1e-12)
+    assert got["1"] == pytest.approx(0.75, rel=1e-12)
+    assert got["2"] == pytest.approx(b["2"], rel=1e-12)
+
+
+# --- Exists -----------------------------------------------------------------
+
+def test_exists_value_field_excludes_nulls(ix):
+    assert ix.search(ix.exists_query("n"), limit=10) == ["0", "1", "2", "4"]
+
+
+def test_exists_string_field_via_postings(ix):
+    # tag is a string field: existence = at least one posting (doc 2's
+    # null tag produced none)
+    q = ix.exists_query("tag")
+    assert isinstance(q, P.Exists) and q.via_postings
+    assert ix.search(q, limit=10) == ["0", "1", "3", "4"]
+
+
+def test_exists_validation(ix):
+    with pytest.raises(UnsupportedField):
+        ix.exists_query("nope")
+
+
+# --- parser sugar -----------------------------------------------------------
+
+def test_parser_field_star_is_exists(ix):
+    q = ix.parse_query("n:*")
+    assert q == P.Exists("n", via_postings=False)
+    assert ix.search(q, limit=10) == ["0", "1", "2", "4"]
+
+
+def test_parser_bare_star_is_all(ix):
+    assert isinstance(ix.parse_query("*"), P.All)
+    # Lucene-style filtered exists: docs with a tag, minus the 'y' ones
+    got = ix.search(ix.parse_query("tag:* -tag:y"), limit=10)
+    assert got == ["0", "1"]
+
+
+def test_parser_star_unknown_field(ix):
+    with pytest.raises(QueryParseError):
+        ix.parse_query("nope:*")
+
+
+# --- order-by-field top-k ----------------------------------------------------
+
+def test_search_by_field_desc_and_asc(ix):
+    rows = ix.search_by_field(
+        ix.term_query("text", "cherry"), "n", limit=10
+    ).collect()
+    # matched docs 1,2,3; doc 3 has n=NULL and is excluded from the order
+    assert [(r["id"], r["value"]) for r in rows] == [("1", 30), ("2", 20)]
+    rows = ix.search_by_field(
+        ix.all_query(), "n", limit=3, ascending=True
+    ).collect()
+    assert [r["value"] for r in rows] == [10, 20, 30]
+
+
+def test_search_by_field_validation(ix):
+    with pytest.raises(UnsupportedField):
+        ix.search_by_field(ix.all_query(), "text")
+
+
+# --- explain ----------------------------------------------------------------
+
+def test_explain_new_nodes(ix):
+    q = ix.dis_max_query(
+        [ix.const_score_query(ix.term_query("text", "apple"), 0.5),
+         ix.term_query("text", "banana")],
+        tie_breaker=0.2,
+    )
+    tree = ix.explain(q, "0")
+    assert tree["type"] == "DisjunctionMax"
+    assert tree["tie_breaker"] == 0.2
+    kinds = {c["type"] for c in tree["children"]}
+    assert kinds == {"ConstScore", "Term"}
+    const = next(c for c in tree["children"] if c["type"] == "ConstScore")
+    assert const["const"] == 0.5 and const["score"] == 0.5
+
+
+# --- wildcard ----------------------------------------------------------------
+
+def test_wildcard_query(ix):
+    from tantiny_spark import plan as P2
+    q = ix.wildcard_query("text", "b?n*a")
+    # translated onto the Regex node: b + one char + n + any run + a
+    assert q == P2.Regex("text", "b.n.*a")
+    assert ix.search(q, limit=10) == ["0", "2"]  # banana docs
+
+
+def test_wildcard_escapes_regex_metachars(ix):
+    # '.' must be literal, not regex-any: 'd.te' matches nothing
+    assert ix.search(ix.wildcard_query("text", "d.te"), limit=10) == []
+    assert ix.search(ix.wildcard_query("text", "d?te"), limit=10) == ["3", "4"]
+
+
+def test_parser_wildcard_atom(ix):
+    q = ix.parse_query("text:d?te")
+    from tantiny_spark import plan as P2
+    assert q == P2.Regex("text", "d.te")
+    # trailing-* only stays the cheaper Prefix query
+    assert isinstance(ix.parse_query("text:che*"), P2.Prefix)
+    # but a second wildcard promotes to wildcard semantics
+    assert ix.parse_query("text:c?er*") == P2.Regex("text", "c.er.*")

@@ -159,3 +159,51 @@ def test_percentiles_single_agg(spark, tmp_path_factory):
     # Generate appears AFTER the aggregate in the plan tree (higher up the
     # printed string)
     assert plan.index("Generate") < plan.index("HashAggregate")
+
+
+def test_dismax_single_groupby(plan_index):
+    """DisjunctionMax = union → ONE partial-aggregatable groupBy carrying
+    max+sum together → codegen'd tie-breaker Project. Same shuffle count
+    as a plain OR; no join, no window."""
+    ix = plan_index
+    q = ix.dis_max_query(
+        [ix.term_query("t", "w0"), ix.term_query("t", "w1")], tie_breaker=0.3
+    )
+    plan = _physical(compile_plan(q, ix.ctx))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_max" in plan and "partial_sum" in plan
+    assert "Window" not in plan and "Python" not in plan
+
+
+def test_exists_value_field_pushes_isnotnull(plan_index, spark, tmp_path_factory):
+    """Exists on a value field = IS NOT NULL reaching the docs Parquet
+    scan — no join, no aggregate."""
+    s = IndexSchema()
+    s.text("t")
+    s.integer("n")
+    ix = Index(spark, str(tmp_path_factory.mktemp("exists") / "idx"), s)
+    ix.add_dataframe(spark.createDataFrame(
+        [("a", "x y", 1), ("b", "y z", None)], "id string, t string, n long"
+    ))
+    ix = ix.reload()
+    plan = _physical(compile_plan(ix.exists_query("n"), ix.ctx))
+    assert "IsNotNull(n)" in plan  # pushed to the scan
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_search_by_field_take_ordered(spark, tmp_path_factory):
+    """Order-by-fast-field top-k ends in TakeOrderedAndProject (partial
+    per-partition top-k), never a global Sort, and stays JVM-side."""
+    s = IndexSchema()
+    s.text("t")
+    s.integer("n")
+    ix = Index(spark, str(tmp_path_factory.mktemp("orderby") / "idx"), s)
+    ix.add_dataframe(spark.createDataFrame(
+        [(str(i), "x y" if i % 2 else "y z", i * 10) for i in range(20)],
+        "id string, t string, n long",
+    ))
+    ix = ix.reload()
+    plan = _physical(ix.search_by_field(ix.term_query("t", "x"), "n", limit=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+    assert "Python" not in plan

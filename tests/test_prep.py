@@ -82,3 +82,82 @@ def test_prep_plans_have_no_shuffle(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "PythonUDF" not in plan and "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_boundaries(spark):
+    """Within one bucket, docs concatenate in deterministic order and a doc
+    starting at prev_cum tokens lands in sequence prev_cum // budget at
+    offset prev_cum % budget."""
+    df = spark.createDataFrame(
+        [(i, 30) for i in range(10)], ["doc_id", "n_tokens"]
+    )
+    out = prep.pack_sequences(
+        df, budget=100, n_buckets=1, salt="t"
+    ).collect()
+    assert len(out) == 10
+    # single bucket: replay the same md5 order + running sum in Python
+    import hashlib
+    def frac(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / float(1 << 32)
+    order = sorted(range(10), key=lambda i: (frac(f"t:order:{i}"), i))
+    prev = 0
+    expected = {}
+    for i in order:
+        expected[i] = (prev // 100, prev % 100)
+        prev += 30
+    got = {r["doc_id"]: (r["seq_id"], r["seq_off"]) for r in out}
+    assert got == expected
+    # docs straddle boundaries (30s into 100): some offset + 30 > 100
+    assert any(off + 30 > 100 for _, off in got.values())
+
+
+def test_pack_sequences_deterministic_and_bucketed(spark):
+    df = spark.createDataFrame(
+        [(i, 10 + i % 5) for i in range(50)], ["doc_id", "n_tokens"]
+    )
+    a = sorted(tuple(r) for r in prep.pack_sequences(df, budget=64, n_buckets=4).collect())
+    b = sorted(tuple(r) for r in prep.pack_sequences(df, budget=64, n_buckets=4).collect())
+    assert a == b
+    buckets = {r[1] for r in a}
+    assert buckets <= set(range(4)) and len(buckets) == 4
+
+
+def test_pack_sequences_sql_parity(spark):
+    import duckdb
+    rows = [(i, 7 + (i * 13) % 40) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = sorted(
+        tuple(r) for r in prep.pack_sequences(df, budget=96, n_buckets=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, n_tokens BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        con.sql(prep.pack_sequences_sql("t", budget=96, n_buckets=4)).fetchall()
+    )
+    assert got == want
+
+
+def test_pack_sequences_window_is_per_bucket(spark):
+    """The running sum's window is partitioned by bucket — the physical
+    plan sorts WITHIN hash partitions of bucket, never a single global
+    partition."""
+    df = spark.createDataFrame([(i, 5) for i in range(20)], ["doc_id", "n_tokens"])
+    plan = (
+        prep.pack_sequences(df, budget=10, n_buckets=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(bucket" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pack_sequences_validation(spark):
+    df = spark.createDataFrame([(1, 5)], ["doc_id", "n_tokens"])
+    with pytest.raises(ValueError):
+        prep.pack_sequences(df, budget=0)
+    with pytest.raises(ValueError):
+        prep.pack_sequences(df, n_buckets=0)

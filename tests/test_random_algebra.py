@@ -1,7 +1,7 @@
 """Randomized query-algebra parity: engine vs an independent Python model.
 
 The contract queries pin specific plans; this sweeps ~30 random algebra
-trees (term/&/|/!/boost, depth ≤3) over a seeded corpus and checks the
+trees (term/&/|/!/boost/dis-max/const-score, depth ≤3) over a seeded corpus and checks the
 engine's top-k (ids AND scores) against a from-first-principles pure-Python
 scorer that shares nothing with the executor: its own tokenize → tf=1 BM25
 over the quantized dl → score algebra → (score desc, id asc) ranking.
@@ -91,6 +91,16 @@ class Model:
             return {i: 1.0 for i in self.ids if i not in inside}
         if isinstance(node, P.Boost):
             return {i: sc * node.factor for i, sc in self.eval(node.child).items()}
+        if isinstance(node, P.DisjunctionMax):
+            parts = [self.eval(c) for c in node.children]
+            out = {}
+            for i in {k for p in parts for k in p}:
+                scores = [p[i] for p in parts if i in p]
+                mx, sm = max(scores), sum(scores)
+                out[i] = mx + node.tie_breaker * (sm - mx)
+            return out
+        if isinstance(node, P.ConstScore):
+            return {i: node.score for i in self.eval(node.child)}
         raise AssertionError(type(node))
 
     def topk(self, node, k):
@@ -101,7 +111,8 @@ class Model:
 
 def _random_tree(rng, depth=0):
     kind = rng.choice(
-        ["term"] * 3 + (["and", "or", "not", "boost"] if depth < 3 else [])
+        ["term"] * 3
+        + (["and", "or", "not", "boost", "dismax", "const"] if depth < 3 else [])
     )
     if kind == "term":
         return P.Term("t", rng.choice(VOCAB))
@@ -113,6 +124,15 @@ def _random_tree(rng, depth=0):
         )
     if kind == "not":
         return ~_random_tree(rng, depth + 1)
+    if kind == "dismax":
+        return P.dis_max_query(
+            [_random_tree(rng, depth + 1) for _ in range(rng.choice([2, 3]))],
+            tie_breaker=rng.choice([0.0, 0.3, 0.7]),
+        )
+    if kind == "const":
+        return P.const_score_query(
+            _random_tree(rng, depth + 1), rng.choice([0.5, 1.0, 2.0])
+        )
     return _random_tree(rng, depth + 1).boost(rng.choice([0.5, 2.0, 3.5]))
 
 

@@ -449,3 +449,70 @@ def test_dedup_paragraphs_single_agg_shuffle(spark):
     plan = _physical(webclean.dedup_paragraphs(df))
     assert "Window" not in plan
     assert "partial_min" in plan or "partial_ min".replace(" ", "") in plan
+
+
+# ---------------------------------------------------------------------------
+# domain blocklist
+# ---------------------------------------------------------------------------
+
+BLOCK_PAGES = [
+    (1, "https://ads.bad.example/x"),       # subdomain of a blocked domain
+    (2, "https://bad.example/y"),           # the blocked domain itself
+    (3, "https://good.example/z"),
+    (4, "http://Sub.Deep.ADS.bad.example:80/q"),  # deep subdomain, mixed case
+    (5, "https://notbad.example/k"),        # suffix must match on label edge
+    (6, "https://tracker.net/t"),           # second blocklist entry
+]
+BLOCKLIST = ["bad.example", "tracker.net"]
+
+
+def test_filter_blocked_hosts(spark):
+    df = spark.createDataFrame(BLOCK_PAGES, ["doc_id", "url"])
+    blocked = spark.createDataFrame([(d,) for d in BLOCKLIST], ["domain"])
+    out = webclean.filter_blocked_hosts(df, blocked)
+    assert sorted(r["doc_id"] for r in out.collect()) == [3, 5]
+    hosts = {r["doc_id"]: r["host"] for r in out.collect()}
+    assert hosts[5] == "notbad.example"  # 'notbad.example' !endswith '.bad.example'
+
+
+def test_domain_suffixes_label_edges(spark):
+    df = spark.createDataFrame([("a.b.example.com",)], ["h"])
+    row = df.select(
+        webclean.domain_suffixes(F.col("h")).alias("s")
+    ).collect()[0]
+    # TLD-only suffix excluded
+    assert row["s"] == ["a.b.example.com", "b.example.com", "example.com"]
+
+
+def test_filter_blocked_hosts_sql_parity(spark):
+    df = spark.createDataFrame(BLOCK_PAGES, ["doc_id", "url"])
+    blocked = spark.createDataFrame([(d,) for d in BLOCKLIST], ["domain"])
+    got = sorted(
+        tuple(r)
+        for r in webclean.filter_blocked_hosts(df, blocked)
+        .select("doc_id", "url", "host").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", BLOCK_PAGES)
+    want = sorted(
+        con.sql(
+            "SELECT doc_id, url, host FROM ("
+            + webclean.filter_blocked_hosts_sql("p", BLOCKLIST)
+            + ")"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_filter_blocked_hosts_plan_shape(spark):
+    """Suffix explode runs on the DISTINCT host set, pages leave via ONE
+    left-anti join, no Python, no window."""
+    df = spark.createDataFrame(BLOCK_PAGES, ["doc_id", "url"])
+    blocked = spark.createDataFrame([(d,) for d in BLOCKLIST], ["domain"])
+    plan = (
+        webclean.filter_blocked_hosts(df, blocked)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("LeftAnti") == 1
+    assert "Window" not in plan and "PythonUDF" not in plan
