@@ -1075,6 +1075,42 @@ def q_engine_wildcard(spark, sf_dir):
     return _engine_topk(ix, ix.wildcard_query("text", "s?a*k"))
 
 
+def q_engine_msm(spark, sf_dir):
+    """Engine-routed BooleanQuery minimum_should_match (Lucene
+    BooleanQuery.Builder.setMinimumNumberShouldMatch): pure-should over
+    {spark, merge, hash} requiring >= 2 matches. Plan shape: the SAME one
+    union + partial-aggregatable groupBy as a plain OR, carrying a
+    matched-clause count beside the score sum; the gate is a post-agg
+    filter, no extra shuffle. All matching shoulds score (Lucene sums
+    every matching optional clause)."""
+    ix = _engine_index(spark, sf_dir)
+    q = ix.boolean_query(
+        should=[
+            ix.term_query("text", "spark"),
+            ix.term_query("text", "merge"),
+            ix.term_query("text", "hash"),
+        ],
+        minimum_should_match=2,
+    )
+    return _engine_topk(ix, q)
+
+
+def q_engine_nested_agg(spark, sf_dir):
+    """Engine-routed NESTED aggregation request (Tantivy
+    src/aggregation/mod.rs — ES-style bucket + metric sub-agg tree):
+    terms buckets on lang carrying a stats sub-agg over n_chars and an
+    avg over the optional rating field, restricted to the 'spark' matched
+    set. The whole tree compiles to ONE partial-aggregatable groupBy —
+    counts and all metrics ride a single shuffle keyed by the bucket."""
+    ix = _engine_index(spark, sf_dir)
+    return ix.aggregate(
+        {"lang": {"terms": {"field": "lang"},
+                  "aggs": {"chars": {"stats": {"field": "n_chars"}},
+                           "avg_rating": {"avg": {"field": "rating"}}}}},
+        query=ix.term_query("text", "spark"),
+    )
+
+
 def q_engine_stats(spark, sf_dir):
     """Engine-routed numeric stats aggregation (Tantivy StatsAggregation):
     n_chars stats over the docs matching a term query — matched-set
@@ -1356,6 +1392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scripts/check_contract.py
         # ------------------------------------------------------------------
         "engine_wildcard": q_engine_wildcard,
+        "engine_msm": q_engine_msm,
+        "engine_nested_agg": q_engine_nested_agg,
         "postings_sample": q_postings_sample,
         "dict_topdf": q_dict_topdf,
         "corpus_stats": q_corpus_stats,
@@ -2111,6 +2149,40 @@ SELECT id, sum(score) AS score FROM (
     sqls["engine_wildcard"] = _sql_engine_topk("""
 SELECT CAST(doc_id AS VARCHAR) AS id, 1.0::DOUBLE AS score FROM tok
 WHERE len(list_filter(ts, x -> regexp_matches(x, '^s.a.*k$'))) > 0
+""")
+
+    # nested aggregation: terms(lang) → stats(n_chars) + avg(rating); the
+    # oracle replays the rating synthesis (doc_id % 3 null gate, % 7 value)
+    sqls["engine_nested_agg"] = f"""
+WITH tok AS ({_SQL_TOK}),
+m AS (
+  SELECT d.lang, d.n_chars,
+         CASE WHEN d.doc_id % 3 = 0 THEN NULL
+              ELSE d.doc_id % 7 END AS rating
+  FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tok WHERE list_contains(ts, 'spark'))
+)
+SELECT lang, count(*)::BIGINT AS doc_count,
+       count(n_chars)::BIGINT AS chars_count,
+       min(n_chars)::DOUBLE AS chars_min,
+       max(n_chars)::DOUBLE AS chars_max,
+       sum(n_chars)::DOUBLE AS chars_sum,
+       round(avg(n_chars), 6) AS chars_avg,
+       round(avg(rating), 6) AS avg_rating
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+    # minimum_should_match=2 over three shoulds: each per-term relation
+    # emits one row per matching doc, so count(*) per id is the
+    # matched-clause count; ALL matching shoulds still sum into the score
+    sqls["engine_msm"] = _sql_engine_topk(f"""
+SELECT id, sum(score) AS score FROM (
+  SELECT * FROM ({_sql_engine_term('spark')})
+  UNION ALL
+  SELECT * FROM ({_sql_engine_term('merge')})
+  UNION ALL
+  SELECT * FROM ({_sql_engine_term('hash')})
+) GROUP BY id HAVING count(*) >= 2
 """)
 
     # rating is synthesized as NULL for doc_id % 3 == 0 (see _engine_index)

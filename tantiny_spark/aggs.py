@@ -1,0 +1,361 @@
+"""Nested aggregation requests (Tantivy aggregation module,
+src/aggregation/mod.rs — the Elasticsearch-compatible request tree of
+bucket aggregations carrying metric sub-aggregations).
+
+The reference engine gets this tree via Tantivy's ``AggregationCollector``;
+the Spark-first re-expression compiles the WHOLE request to ONE
+DataFrame aggregation:
+
+- every bucket level becomes a groupBy key expression (term column from
+  the field-pruned postings scan, or a codegen'd floor()/timestamp bucket
+  over the docs table's fast fields);
+- every metric sub-aggregation becomes one more agg expression riding the
+  SAME partial-aggregatable groupBy — counts and metrics share a single
+  shuffle, there is never a per-bucket re-query or a window;
+- ``range`` roots compile to a single global one-pass agg (one
+  conditional expression set per range, overlap-safe), stack-unpivoted —
+  zero shuffles keyed by bucket.
+
+At 100 TB this matters: an ES-style nested request (terms → stats) over a
+trillion postings is exactly one map-side-combined shuffle whose key
+space is the bucket space, not the doc space.
+
+Request shape (ES / Tantivy JSON, Python dicts)::
+
+    {
+      "langs": {
+        "terms": {"field": "lang"},
+        "aggs": {
+          "chars": {"stats": {"field": "n_chars"}},
+          "hosts": {"cardinality": {"field": "n_chars"}}
+        }
+      }
+    }
+
+Output is a FLAT DataFrame: one column per bucket level (named by the
+aggregation name), ``doc_count``, then one column per metric (``stats``
+expands to ``<name>_count/_min/_max/_sum/_avg``). Flat-over-nested is
+deliberate: it is the shape a distributed engine can stream and a caller
+can re-aggregate, and parent-bucket totals are one trivial groupBy away.
+
+Scale-honest restrictions (each raises with guidance instead of silently
+planning a window):
+
+- ``size`` (top-N buckets) is only supported on a SINGLE-level terms
+  root — per-parent top-N inside a nested request would need a per-group
+  rank; run a second request for the parents instead;
+- metrics live at the DEEPEST bucket level; parent-level metrics are a
+  second one-line ``aggregate()`` call;
+- ``range`` roots take metrics but not nested buckets (the one-pass
+  conditional form has no grouping key to nest under).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tantiny_spark.errors import UnsupportedField
+
+BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range")
+METRIC_KINDS = (
+    "avg", "min", "max", "sum", "value_count", "stats", "cardinality"
+)
+
+
+def _split_spec(name: str, spec: dict):
+    """Return (kind, params, sub_aggs) for one named aggregation node."""
+    if not isinstance(spec, dict):
+        raise ValueError(f"aggregation '{name}' must be a dict spec")
+    kinds = [k for k in spec if k in BUCKET_KINDS + METRIC_KINDS]
+    extra = [k for k in spec if k not in BUCKET_KINDS + METRIC_KINDS + ("aggs",)]
+    if len(kinds) != 1 or extra:
+        raise ValueError(
+            f"aggregation '{name}' needs exactly one kind of "
+            f"{BUCKET_KINDS + METRIC_KINDS}, got {sorted(spec)}"
+        )
+    return kinds[0], spec[kinds[0]], spec.get("aggs", {})
+
+
+def _numeric_col(ix, field: str):
+    if field not in (ix.schema.integer_fields + ix.schema.double_fields):
+        raise UnsupportedField(field)
+    return F.col(field).cast("double")
+
+
+def _metric_exprs(ix, name: str, kind: str, params: dict) -> list:
+    """Agg expressions for one metric sub-aggregation (column-naming
+    contract in the module docstring)."""
+    col = _numeric_col(ix, params["field"])
+    if kind == "avg":
+        return [F.round(F.avg(col), 6).alias(name)]
+    if kind == "min":
+        return [F.min(col).alias(name)]
+    if kind == "max":
+        return [F.max(col).alias(name)]
+    if kind == "sum":
+        return [F.sum(col).alias(name)]
+    if kind == "value_count":
+        return [F.count(col).cast("long").alias(name)]
+    if kind == "cardinality":
+        agg = (
+            F.approx_count_distinct(col, params.get("rsd", 0.05))
+            if params.get("approx") else F.count_distinct(col)
+        )
+        return [agg.cast("long").alias(name)]
+    if kind == "stats":
+        return [
+            F.count(col).cast("long").alias(f"{name}_count"),
+            F.min(col).alias(f"{name}_min"),
+            F.max(col).alias(f"{name}_max"),
+            F.sum(col).alias(f"{name}_sum"),
+            F.round(F.avg(col), 6).alias(f"{name}_avg"),
+        ]
+    raise ValueError(f"unknown metric kind {kind!r}")
+
+
+def _bucket_fields(ix, kind: str, params: dict) -> tuple:
+    """(field, via_postings) for a bucket level, validating the field
+    against the schema like the single-shot aggregations do."""
+    field = params["field"]
+    if kind == "terms":
+        if field in (
+            list(ix.schema.text_fields) + list(ix.schema.string_fields)
+        ):
+            return field, True
+        if field in (
+            ix.schema.integer_fields + ix.schema.double_fields
+            + list(ix.schema.date_fields)
+        ):
+            return field, False
+        raise UnsupportedField(field)
+    if kind == "histogram":
+        if field not in (ix.schema.integer_fields + ix.schema.double_fields):
+            raise UnsupportedField(field)
+    elif kind == "date_histogram":
+        if field not in ix.schema.date_fields:
+            raise UnsupportedField(field)
+    return field, False
+
+
+def _bucket_key(kind: str, params: dict, out_name: str):
+    """Key expression over the base relation for a non-postings bucket.
+    Postings buckets are handled at base-build time (the term column is
+    projected straight off the field-pruned postings scan)."""
+    field = params["field"]
+    if kind == "terms":
+        return F.col(field).alias(out_name)
+    if kind == "histogram":
+        interval = float(params["interval"])
+        if interval <= 0:
+            raise ValueError("interval must be > 0")
+        val = F.col(field).cast("double")
+        return (F.floor(val / F.lit(interval)) * F.lit(interval)).alias(out_name)
+    if kind == "date_histogram":
+        interval = float(params["interval_sec"])
+        if interval <= 0:
+            raise ValueError("interval_sec must be > 0")
+        val = F.col(field).cast("long").cast("double")
+        return F.timestamp_seconds(
+            (F.floor(val / F.lit(interval)) * F.lit(interval)).cast("long")
+        ).alias(out_name)
+    raise ValueError(f"unknown bucket kind {kind!r}")
+
+
+def _range_root_build(ix, name, ranges, metrics, docs, col) -> DataFrame:
+    """Range root with metrics: ONE global one-pass conditional agg
+    (overlap-safe — a doc feeds every range containing it), then a
+    constant-size stack unpivot. Mirrors Index.range_agg and extends it
+    with per-range metric expressions riding the same single pass."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    aggs, tuples, out_cols = [], [], []
+    # metric output column names (shared across ranges)
+    mcols = []
+    for mname, mkind, mparams in metrics:
+        if mkind == "stats":
+            mcols += [f"{mname}_{s}" for s in ("count", "min", "max", "sum", "avg")]
+        else:
+            mcols.append(mname)
+    for i, r in enumerate(ranges):
+        lo, hi = r.get("from"), r.get("to")
+        cond = col.isNotNull()
+        if lo is not None:
+            cond = cond & (col >= float(lo))
+        if hi is not None:
+            cond = cond & (col < float(hi))
+        aggs.append(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias(f"__c{i}")
+        )
+        cells = [f"__c{i}"]
+        j = 0
+        for mname, mkind, mparams in metrics:
+            mval = F.when(cond, _numeric_col(ix, mparams["field"]))
+            exprs = {
+                "avg": [F.round(F.avg(mval), 6)],
+                "min": [F.min(mval)],
+                "max": [F.max(mval)],
+                "sum": [F.sum(mval)],
+                "value_count": [F.count(mval).cast("long")],
+                "cardinality": [
+                    (F.approx_count_distinct(mval, mparams.get("rsd", 0.05))
+                     if mparams.get("approx") else F.count_distinct(mval)
+                     ).cast("long")
+                ],
+                "stats": [
+                    F.count(mval).cast("long"), F.min(mval), F.max(mval),
+                    F.sum(mval), F.round(F.avg(mval), 6),
+                ],
+            }[mkind]
+            for e in exprs:
+                alias = f"__m{i}_{j}"
+                aggs.append(e.alias(alias))
+                cells.append(alias)
+                j += 1
+        key = (f"{'*' if lo is None else float(lo)}-"
+               f"{'*' if hi is None else float(hi)}")
+        tuples.append(f"'{key}', " + ", ".join(cells))
+    row = docs.agg(*aggs)
+    cols = ", ".join([name, "doc_count"] + mcols)
+    return row.selectExpr(
+        f"stack({len(ranges)}, {', '.join(tuples)}) AS ({cols})"
+    )
+
+
+def aggregate(ix, request: dict, query=None, **smart_opts) -> DataFrame:
+    """Compile one ES/Tantivy-style aggregation request (module docstring)
+    against ``ix``'s live snapshot, optionally restricted to the docs
+    matching ``query``."""
+    from tantiny_spark.executor import compile_plan, prime_stats
+
+    if not isinstance(request, dict) or len(request) != 1:
+        raise ValueError("request must contain exactly one root aggregation")
+    (root_name, root_spec), = request.items()
+    root_kind, root_params, root_sub = _split_spec(root_name, root_spec)
+    if root_kind in METRIC_KINDS:
+        raise ValueError(
+            f"root '{root_name}' is a metric; for global metrics use "
+            "stats_df/percentiles/cardinality, or wrap in a bucket agg"
+        )
+
+    # split sub-aggs into metrics and (at most one) nested bucket
+    def split_subs(subs: dict):
+        metrics, nested = [], []
+        for n, s in subs.items():
+            k, p, deeper = _split_spec(n, s)
+            if k in METRIC_KINDS:
+                if deeper:
+                    raise ValueError(f"metric '{n}' cannot carry sub-aggs")
+                metrics.append((n, k, p))
+            else:
+                nested.append((n, k, p, deeper))
+        if len(nested) > 1:
+            raise ValueError(
+                "at most one nested bucket aggregation per level"
+            )
+        return metrics, (nested[0] if nested else None)
+
+    root_metrics, nested = split_subs(root_sub)
+
+    if root_kind == "range":
+        if nested:
+            raise ValueError(
+                "range roots take metric sub-aggs only; nest under "
+                "terms/histogram instead"
+            )
+        return _range_root_build(
+            ix, root_name, list(root_params["ranges"]), root_metrics,
+            ix._matched_docs(query, smart_opts),
+            _numeric_col(ix, root_params["field"]),
+        )
+
+    levels = [(root_name, root_kind, root_params)]
+    metrics = root_metrics
+    if nested:
+        n_name, n_kind, n_params, n_sub = nested
+        if metrics:
+            raise ValueError(
+                "metrics live at the deepest bucket level; compute "
+                "parent-level metrics with a second aggregate() call"
+            )
+        if n_kind == "range":
+            raise ValueError("range buckets are root-only")
+        n_metrics, deeper = split_subs(n_sub)
+        if deeper:
+            raise ValueError("bucket nesting is limited to two levels")
+        levels.append((n_name, n_kind, n_params))
+        metrics = n_metrics
+    if any("size" in params for _, k, params in levels if k == "terms") and (
+        len(levels) > 1
+    ):
+        raise ValueError(
+            "size (top-N buckets) needs a per-group rank inside a nested "
+            "request — run a single-level terms request for the parents"
+        )
+
+    # ---- build the base relation: doc_id + postings term columns + the
+    # docs-table columns the keys/metrics read. The docs scan is column-
+    # pruned; a postings-only request never touches the docs table.
+    doc_fields = {p["field"] for _, _, p in metrics}
+    postings_levels, key_exprs = [], []
+    for name, kind, params in levels:
+        field, via_postings = _bucket_fields(ix, kind, params)
+        if via_postings:
+            postings_levels.append((name, field))
+        else:
+            doc_fields.add(field)
+            key_exprs.append((name, kind, params))
+
+    if query is not None:
+        plan = ix._as_plan(query, smart_opts)
+        prime_stats(plan, ix.ctx)
+        matched = compile_plan(plan, ix.ctx).select("doc_id")
+    else:
+        matched = None
+
+    base = None
+    if doc_fields:
+        base = ix.ctx.docs.select("doc_id", *sorted(doc_fields))
+        if matched is not None:
+            base = base.join(matched, "doc_id", "left_semi")
+    for name, field in postings_levels:
+        posts = (
+            ix.ctx.postings.where(F.col("field") == field)
+            .select("doc_id", F.col("term").alias(name))
+        )
+        if base is None:
+            base = posts
+            if matched is not None:
+                base = base.join(matched, "doc_id", "left_semi")
+                matched = None  # applied once; joins below carry it
+        else:
+            base = base.join(posts, "doc_id")
+    if base is None:
+        raise ValueError("request resolved to no bucket keys")
+
+    keys = [name for name, _ in postings_levels]
+    for name, kind, params in key_exprs:
+        base = base.withColumn(name, _bucket_key(kind, params, name))
+        keys.append(name)
+    # histogram/date_histogram buckets exclude null values (Tantivy does
+    # not emit a null bucket); terms on value fields likewise
+    for name, kind, params in key_exprs:
+        base = base.where(F.col(name).isNotNull())
+    # keep declared level order (root key first)
+    keys = [name for name, _, _ in levels]
+
+    agg_exprs = [F.count(F.lit(1)).alias("doc_count")]
+    for mname, mkind, mparams in metrics:
+        agg_exprs += _metric_exprs(ix, mname, mkind, mparams)
+    out = base.groupBy(*keys).agg(*agg_exprs)
+
+    root_is_sized_terms = (
+        len(levels) == 1 and levels[0][1] == "terms"
+        and "size" in levels[0][2]
+    )
+    if root_is_sized_terms:
+        size = int(levels[0][2]["size"])
+        return out.orderBy(
+            F.col("doc_count").desc(), F.col(keys[0]).asc()
+        ).limit(size)
+    return out.orderBy(*[F.col(k).asc() for k in keys])

@@ -296,21 +296,53 @@ def _boolean_occur(node: P.BooleanOccur, ctx: SearchContext) -> DataFrame:
     (identical to Disjunction); the optional-scoring attach is a LEFT join
     of the should sums onto the must base (coalesce 0) — no window, no
     driver materialization; must_nots are a final left_anti join, so
-    tombstone-style exclusion never touches scoring."""
+    tombstone-style exclusion never touches scoring.
+
+    minimum_should_match > gate rides the SAME single union + groupBy:
+    each compiled child emits at most one row per doc, so a count
+    alongside the sum is the matched-clause count and the gate is a
+    post-agg filter — no extra shuffle vs the plain Disjunction, and the
+    optional LEFT join becomes an INNER join (the gate prunes)."""
     base = None
+    msm = node.minimum_should_match
     if node.must:
         base = compile_plan(P.conjunction(*node.must), ctx)
     if node.should:
-        shoulds = compile_plan(P.disjunction(*node.should), ctx)
-        if base is None:
-            base = shoulds
+        if msm <= (1 if base is None else 0):
+            shoulds = compile_plan(P.disjunction(*node.should), ctx)
+            if base is None:
+                base = shoulds
+            else:
+                extra = shoulds.withColumnRenamed("score", "__should")
+                base = base.join(extra, "doc_id", "left").select(
+                    "doc_id",
+                    (F.col("score")
+                     + F.coalesce(F.col("__should"), F.lit(0.0))
+                     ).alias("score"),
+                )
         else:
-            extra = shoulds.withColumnRenamed("score", "__should")
-            base = base.join(extra, "doc_id", "left").select(
-                "doc_id",
-                (F.col("score") + F.coalesce(F.col("__should"), F.lit(0.0))
-                 ).alias("score"),
+            children = [compile_plan(c, ctx) for c in node.should]
+            unioned = children[0]
+            for child in children[1:]:
+                unioned = unioned.unionByName(child)
+            hits = (
+                unioned.groupBy("doc_id")
+                .agg(
+                    F.sum("score").alias("__should"),
+                    F.count(F.lit(1)).alias("__n_should"),
+                )
+                .where(F.col("__n_should") >= F.lit(msm))
+                .select("doc_id", "__should")
             )
+            if base is None:
+                base = hits.select(
+                    "doc_id", F.col("__should").alias("score")
+                )
+            else:
+                base = base.join(hits, "doc_id").select(
+                    "doc_id",
+                    (F.col("score") + F.col("__should")).alias("score"),
+                )
     if base is None:
         # must_not only: pure negation over their disjunction
         base = ctx.docs.select("doc_id", F.lit(1.0).alias("score"))

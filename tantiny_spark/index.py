@@ -756,6 +756,17 @@ class Index:
         )
         return int(vals.agg(agg.alias("n")).collect()[0]["n"])
 
+    def aggregate(self, request: dict, query=None, **smart_opts) -> DataFrame:
+        """ES/Tantivy-style nested aggregation request (Tantivy
+        src/aggregation/mod.rs): bucket aggregations (terms / histogram /
+        date_histogram / range) carrying metric sub-aggregations (avg /
+        min / max / sum / value_count / stats / cardinality), up to two
+        bucket levels — compiled to ONE partial-aggregatable groupBy (or
+        one global pass for range roots). See tantiny_spark.aggs."""
+        from tantiny_spark.aggs import aggregate as _agg
+
+        return _agg(self, request, query, **smart_opts)
+
     def explain(self, query, doc_id, **smart_opts) -> dict:
         """Score explanation for one document (Lucene/Tantivy ``explain``):
         a tree mirroring the query plan where every node carries its score
@@ -797,6 +808,8 @@ class Index:
                     )
                     for c in cs
                 ]
+                if n.minimum_should_match:
+                    out["minimum_should_match"] = n.minimum_should_match
             elif isinstance(n, (P.Negation, P.Boost, P.ConstScore)):
                 out["children"] = [walk(n.child)]
                 if isinstance(n, P.Boost):

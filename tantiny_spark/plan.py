@@ -123,10 +123,17 @@ class BooleanOccur(Query):
     This is strictly more expressive than Conjunction/Disjunction/Negation
     composition: a should clause alongside musts is *optional-scoring* —
     it widens no match set but raises the score of docs that also match
-    it, which the plain operators cannot express."""
+    it, which the plain operators cannot express.
+
+    ``minimum_should_match`` (Lucene ``BooleanQuery.Builder
+    .setMinimumNumberShouldMatch``): when > 0, a doc must additionally
+    match at least that many should clauses; ALL matching shoulds still
+    contribute score (Lucene sums every matching optional clause, not
+    just the first m)."""
     must: tuple = ()
     should: tuple = ()
     must_not: tuple = ()
+    minimum_should_match: int = 0
 
 
 @dataclass(frozen=True)
@@ -540,26 +547,46 @@ def term_set_query(
 
 
 def boolean_query(
-    must=None, should=None, must_not=None, boost: float = DEFAULT_BOOST
+    must=None, should=None, must_not=None,
+    minimum_should_match: int | None = None, boost: float = DEFAULT_BOOST,
 ) -> Query:
     """Lucene/Tantivy BooleanQuery constructor. Degenerate occur mixes
     simplify to the plain algebra (keeping e.g. the pure-term-disjunction
     WAND fast path): only-must → conjunction, only-should → disjunction,
-    only-must_not → negation of their disjunction."""
+    only-must_not → negation of their disjunction.
+
+    ``minimum_should_match`` follows Lucene's defaults when None: 0 with
+    must clauses present (shoulds are purely optional-scoring), 1 without
+    (any-of gating). Asking for more matches than there are should
+    clauses can never match (Lucene BooleanWeight) → Empty."""
     must = tuple(_listify(must))
     should = tuple(_listify(should))
     must_not = tuple(_listify(must_not))
     for q in (*must, *should, *must_not):
         _check(q)
+    if minimum_should_match is None:
+        msm = 0 if must else (1 if should else 0)
+    else:
+        msm = int(minimum_should_match)
+        if msm < 0:
+            raise ValueError(f"minimum_should_match must be >= 0, got {msm}")
+        if msm > 0 and not should:
+            raise ValueError(
+                "minimum_should_match requires should clauses"
+            )
+        if not must and should and msm == 0:
+            msm = 1  # Lucene: pure-should queries always gate on >= 1
+    if msm > len(should):
+        return Empty()
     if not (must or should or must_not):
         return Empty()
     if must and not should and not must_not:
         return conjunction(*must).boost(boost)
-    if should and not must and not must_not:
+    if should and not must and not must_not and msm <= 1:
         return disjunction(*should).boost(boost)
     if must_not and not must and not should:
         return Negation(disjunction(*must_not)).boost(boost)
-    return BooleanOccur(must, should, must_not).boost(boost)
+    return BooleanOccur(must, should, must_not, msm).boost(boost)
 
 
 def dis_max_query(queries, tie_breaker: float = 0.0,

@@ -159,6 +159,64 @@ def test_search_by_field_validation(ix):
         ix.search_by_field(ix.all_query(), "text")
 
 
+# --- minimum_should_match -----------------------------------------------------
+
+def test_msm_pure_should_gates_and_sums_all_matches(ix):
+    shoulds = [ix.term_query("text", t) for t in ("apple", "banana", "cherry")]
+    per = [_scores(ix, q) for q in shoulds]
+    got = _scores(ix, ix.boolean_query(should=shoulds, minimum_should_match=2))
+    # docs 0,1,2 match exactly two clauses; 3 (cherry only) and 4 (none) gate out
+    assert set(got) == {"0", "1", "2"}
+    for doc in got:  # ALL matching shoulds score, not just the counted two
+        assert got[doc] == pytest.approx(
+            sum(p.get(doc, 0.0) for p in per), rel=1e-12
+        )
+
+
+def test_msm_with_must_prunes_and_keeps_must_score(ix):
+    must = ix.term_query("text", "cherry")
+    shoulds = [ix.term_query("text", "apple"), ix.term_query("text", "date")]
+    base = _scores(ix, must)
+    per = [_scores(ix, q) for q in shoulds]
+    got = _scores(
+        ix, ix.boolean_query(must=[must], should=shoulds,
+                             minimum_should_match=1)
+    )
+    # cherry docs are 1,2,3; doc 2 matches no should and is pruned
+    assert set(got) == {"1", "3"}
+    for doc in got:
+        assert got[doc] == pytest.approx(
+            base[doc] + sum(p.get(doc, 0.0) for p in per), rel=1e-12
+        )
+
+
+def test_msm_degenerate_and_validation():
+    t = [P.Term("text", x) for x in "abc"]
+    # pure-should msm<=1 keeps the plain Disjunction (WAND path)
+    assert isinstance(P.boolean_query(should=t, minimum_should_match=1),
+                      P.Disjunction)
+    assert isinstance(P.boolean_query(should=t, minimum_should_match=None),
+                      P.Disjunction)
+    # impossible gate can never match (Lucene BooleanWeight)
+    assert isinstance(P.boolean_query(should=t, minimum_should_match=4),
+                      P.Empty)
+    with pytest.raises(ValueError):
+        P.boolean_query(should=t, minimum_should_match=-1)
+    with pytest.raises(ValueError):
+        P.boolean_query(must=t, minimum_should_match=2)
+
+
+def test_msm_with_must_not(ix):
+    shoulds = [ix.term_query("text", t) for t in ("apple", "banana", "cherry")]
+    got = ix.search(
+        ix.boolean_query(should=shoulds,
+                         must_not=[ix.term_query("text", "banana")],
+                         minimum_should_match=2),
+        limit=10,
+    )
+    assert got == ["1"]  # 0 and 2 excluded by banana, 3 fails the gate
+
+
 # --- explain ----------------------------------------------------------------
 
 def test_explain_new_nodes(ix):

@@ -1,0 +1,145 @@
+"""Nested aggregation requests (Tantivy aggregation module,
+src/aggregation/mod.rs: ES-style bucket aggs carrying metric sub-aggs),
+compiled by tantiny_spark.aggs to one groupBy / one global pass."""
+
+import pytest
+
+from tantiny_spark.errors import UnsupportedField
+from tantiny_spark.index import Index
+from tantiny_spark.schema import IndexSchema
+
+
+@pytest.fixture(scope="module")
+def ix(spark, tmp_path_factory):
+    s = IndexSchema()
+    s.text("text")
+    s.string("tag")
+    s.integer("n")
+    idx = Index(spark, str(tmp_path_factory.mktemp("nagg") / "idx"), s)
+    with idx.transaction():
+        for i, (txt, tag, n) in enumerate(
+            [
+                ("spark a", "x", 10),
+                ("spark b", "x", 20),
+                ("spark c", "y", 30),
+                ("other d", "y", 40),
+                ("other e", "z", None),
+            ]
+        ):
+            idx.add({"id": i, "text": txt, "tag": tag, "n": n})
+    return idx.reload()
+
+
+def test_terms_with_metric_subaggs(ix):
+    out = ix.aggregate(
+        {"tags": {"terms": {"field": "tag"},
+                  "aggs": {"avg_n": {"avg": {"field": "n"}},
+                           "sum_n": {"sum": {"field": "n"}}}}}
+    ).collect()
+    rows = {r["tags"]: (r["doc_count"], r["avg_n"], r["sum_n"]) for r in out}
+    assert rows == {
+        "x": (2, 15.0, 30.0),
+        "y": (2, 35.0, 70.0),
+        "z": (1, None, None),  # doc 4's n is null: count 1, no values
+    }
+    # key-ordered output
+    assert [r["tags"] for r in out] == ["x", "y", "z"]
+
+
+def test_terms_stats_expansion_and_query(ix):
+    out = ix.aggregate(
+        {"tags": {"terms": {"field": "tag"},
+                  "aggs": {"n": {"stats": {"field": "n"}}}}},
+        query=ix.term_query("text", "spark"),
+    ).collect()
+    got = {r["tags"]: r.asDict() for r in out}
+    assert set(got) == {"x", "y"}
+    assert got["x"]["n_count"] == 2 and got["x"]["n_sum"] == 30.0
+    assert got["x"]["n_min"] == 10.0 and got["x"]["n_max"] == 20.0
+    assert got["y"]["doc_count"] == 1 and got["y"]["n_avg"] == 30.0
+
+
+def test_terms_sized_root_is_topk(ix):
+    out = ix.aggregate(
+        {"words": {"terms": {"field": "text", "size": 2}}}
+    ).collect()
+    # spark(3) and other(2) are the two most frequent terms
+    assert [(r["words"], r["doc_count"]) for r in out] == [
+        ("spark", 3), ("other", 2)
+    ]
+
+
+def test_nested_terms_buckets(ix):
+    out = ix.aggregate(
+        {"words": {"terms": {"field": "text"},
+                   "aggs": {"tags": {"terms": {"field": "tag"}},
+                            }}},
+        query=ix.term_query("text", "spark"),
+    ).collect()
+    pairs = {(r["words"], r["tags"]): r["doc_count"] for r in out}
+    # docs 0,1,2 tokens × their tags
+    assert pairs[("spark", "x")] == 2
+    assert pairs[("spark", "y")] == 1
+    assert pairs[("a", "x")] == 1
+    # flat output is ordered by (root key, child key)
+    keys = [(r["words"], r["tags"]) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_histogram_root_with_cardinality(ix):
+    out = ix.aggregate(
+        {"h": {"histogram": {"field": "n", "interval": 25},
+               "aggs": {"tags_n": {"cardinality": {"field": "n"}}}}}
+    ).collect()
+    got = {r["h"]: (r["doc_count"], r["tags_n"]) for r in out}
+    # 10,20 -> bucket 0; 30,40 -> bucket 25; null n excluded
+    assert got == {0.0: (2, 2), 25.0: (2, 2)}
+
+
+def test_range_root_with_metrics(ix):
+    out = ix.aggregate(
+        {"r": {"range": {"field": "n",
+                         "ranges": [{"to": 25}, {"from": 25}]},
+               "aggs": {"mx": {"max": {"field": "n"}},
+                        "cnt": {"value_count": {"field": "n"}}}}}
+    ).collect()
+    got = {r["r"]: (r["doc_count"], r["mx"], r["cnt"]) for r in out}
+    assert got == {"*-25.0": (2, 20.0, 2), "25.0-*": (2, 40.0, 2)}
+
+
+def test_validation_errors(ix):
+    with pytest.raises(ValueError):  # two roots
+        ix.aggregate({"a": {"terms": {"field": "tag"}},
+                      "b": {"terms": {"field": "tag"}}})
+    with pytest.raises(ValueError):  # metric root
+        ix.aggregate({"a": {"avg": {"field": "n"}}})
+    with pytest.raises(UnsupportedField):
+        ix.aggregate({"a": {"terms": {"field": "missing"}}})
+    with pytest.raises(ValueError):  # size inside a nested request
+        ix.aggregate({"a": {"terms": {"field": "tag", "size": 3},
+                            "aggs": {"b": {"terms": {"field": "text"}}}}})
+    with pytest.raises(ValueError):  # parent-level metrics beside a child
+        ix.aggregate({"a": {"terms": {"field": "tag"},
+                            "aggs": {"m": {"avg": {"field": "n"}},
+                                     "b": {"terms": {"field": "text"}}}}})
+    with pytest.raises(ValueError):  # range cannot nest
+        ix.aggregate({"a": {"range": {"field": "n", "ranges": [{"to": 1}]},
+                            "aggs": {"b": {"terms": {"field": "tag"}}}}})
+    with pytest.raises(ValueError):  # 3-level nesting
+        ix.aggregate({"a": {"terms": {"field": "tag"}, "aggs": {
+            "b": {"terms": {"field": "text"}, "aggs": {
+                "c": {"terms": {"field": "tag"}}}}}}})
+
+
+def test_plan_is_single_aggregate(ix, spark):
+    """The whole nested request is ONE partial-aggregatable groupBy: the
+    physical plan contains exactly one exchange below the final order and
+    no window/sort-merge per bucket."""
+    df = ix.aggregate(
+        {"tags": {"terms": {"field": "tag"},
+                  "aggs": {"s": {"stats": {"field": "n"}}}}}
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # one hashaggregate pair (partial + final) for the bucket groupBy
+    assert plan.count("HashAggregate") <= 4
