@@ -639,6 +639,69 @@ def q_host_stats(spark, sf_dir):
     return webclean.host_stats(pages)
 
 
+# identical-duplicate text injected for the funnel's exact-dup stage: it
+# must PASS gopher (59 words, 3 stopword kinds, all-alpha) and C4 (three
+# >=5-word terminal-punct sentences) so it genuinely reaches the dedup
+_FUNNEL_DUP_LINES = (
+    "the quick brown fox jumps over one lazy dog while many people watch "
+    "quietly from the old wooden bridge today.",
+    "a gentle river flows beneath carrying small boats that drift slowly "
+    "toward the distant harbor where traders sell fresh fruit.",
+    "children laugh and play near tall green trees as the warm summer "
+    "wind moves softly across open fields everywhere.",
+)
+_FUNNEL_KEEP_LANGS = ("en", "de", "es", "fr")  # drops zh at the lang stage
+
+
+def _funnel_docs(spark, sf_dir):
+    """Funnel input: messy re-crawl URLs + the C4-variant text (sentence
+    boundaries, lorem/brace/javascript injections) + the corpus lang
+    column, with every doc_id % 19 == 3 doc's text replaced by one fixed
+    duplicate passage — so every funnel stage (url dedup, lang, gopher,
+    repetition, c4, exact dedup) genuinely drops documents."""
+    d = F.col("doc_id")
+    dup = "\n".join(_FUNNEL_DUP_LINES)
+    base = (
+        _messy_urls(spark, sf_dir)
+        .join(_c4_docs(spark, sf_dir), "doc_id")
+        .join(_docs(spark, sf_dir).select("doc_id", "lang"), "doc_id")
+    )
+    return base.select(
+        "doc_id", "url",
+        F.when(d % 19 == 3, F.lit(dup)).otherwise(F.col("text")).alias("text"),
+        "lang",
+    )
+
+
+_SQL_FUNNEL_DOCS = f"""
+SELECT m.doc_id, m.url,
+       CASE WHEN m.doc_id % 19 = 3
+            THEN '{_FUNNEL_DUP_LINES[0]}' || chr(10) ||
+                 '{_FUNNEL_DUP_LINES[1]}' || chr(10) ||
+                 '{_FUNNEL_DUP_LINES[2]}'
+            ELSE c.text END AS text,
+       d.lang
+FROM ({_SQL_MESSY_URLS}) m
+JOIN ({_SQL_C4_DOCS}) c ON m.doc_id = c.doc_id
+JOIN documents d ON d.doc_id = m.doc_id
+"""
+
+
+def q_web_funnel(spark, sf_dir):
+    """END-TO-END web-curation funnel (webclean.clean_corpus — the
+    FineWeb/RefinedWeb pipeline composition): URL dedup → language filter
+    → Gopher quality → Gopher repetition → C4 rules → exact text dedup →
+    PII scrub, attributed by FIRST dropping stage. Returns the retention
+    report [stage, n_docs] — the numbers FineWeb publishes per stage.
+    Every per-doc stage is a flag column in ONE shared plan (a single
+    CASE chain decides drop_reason); the corpus-wide stages cost exactly
+    three keyed shuffles; the report is one tiny groupBy."""
+    _, report = webclean.clean_corpus(
+        _funnel_docs(spark, sf_dir), keep_langs=_FUNNEL_KEEP_LANGS
+    )
+    return report
+
+
 def q_decontam(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appendix C style 13-gram overlap,
     pipeline/decontam.py): the benchmark is a deterministic sample of the
@@ -1424,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "domain_block": q_domain_block,
+        "web_funnel": q_web_funnel,
         "unigram_lm": q_unigram_lm,
         "dup_spans": q_dup_spans,
         "doc_chunks": q_doc_chunks,
@@ -1816,6 +1880,10 @@ SELECT doc_id, extracted, (extracted = text) AS byte_identical FROM ext
             f"(SELECT u.url, d.text FROM ({_SQL_MESSY_URLS}) u "
             f"JOIN documents d USING (doc_id))"
         )
+    )
+
+    sqls["web_funnel"] = webclean.clean_corpus_report_sql(
+        table=f"({_SQL_FUNNEL_DOCS})", keep_langs=_FUNNEL_KEEP_LANGS
     )
 
     sqls["url_dedup"] = f"""

@@ -993,3 +993,170 @@ SELECT * EXCLUDE (h), h AS host FROM (
   SELECT *, {host} AS h FROM {table}
 ) WHERE NOT ({conds})
 """
+
+# ---------------------------------------------------------------------------
+# End-to-end cleaning funnel (FineWeb/RefinedWeb-style pipeline composition)
+# ---------------------------------------------------------------------------
+
+# funnel precedence: a doc is attributed to the FIRST stage that drops it
+FUNNEL_STAGES = (
+    "url_dup", "blocked_host", "lang", "gopher", "repetition", "c4",
+    "exact_dup",
+)
+
+
+def clean_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url: str = "url",
+    text: str = "text",
+    lang: str = "lang",
+    blocklist: DataFrame | None = None,
+    keep_langs=None,
+) -> tuple:
+    """The composed web-curation funnel the individual stages exist for
+    (the FineWeb / RefinedWeb / C4 pipeline shape): URL dedup → domain
+    blocklist → language filter → Gopher quality → Gopher repetition →
+    C4 rules → exact text dedup → PII scrub. Returns ``(clean, report)``:
+
+    - ``clean``: the surviving rows (original columns, ``text`` replaced
+      by its PII-scrubbed form);
+    - ``report``: DataFrame[stage, n_docs] — the retention funnel, one
+      row per FUNNEL_STAGES entry that dropped docs plus ``kept`` (the
+      numbers FineWeb publishes per stage).
+
+    Spark-first shape: instead of filter-after-filter (one pass per
+    stage), every per-doc stage becomes a FLAG column computed in one
+    shared plan, and the doc's ``drop_reason`` is a single CASE chain in
+    funnel order — so the funnel costs the flag computations plus exactly
+    THREE keyed shuffles for the corpus-wide stages (canonical-url
+    first-occurrence, repetition's gram aggs, and exact-text
+    first-occurrence among pre-survivors), and the report is ONE tiny
+    groupBy on drop_reason. Dropping a stage's docs at stage k never
+    re-reads the corpus.
+
+    Exact dedup runs AMONG the docs that passed every earlier stage
+    (matching the published pipelines: dedup after filtering) — its
+    first-occurrence groupBy is keyed by md5(text), uniform by
+    construction. All stage internals are the plan-asserted building
+    blocks above (no windows, partial-aggregatable groupBys, one
+    codegen'd Project for gopher/C4/PII).
+    """
+    d = df.withColumn("__curl", canonical_url(url))
+    first_url = d.groupBy("__curl").agg(F.min(id_col).alias("__first_url_id"))
+    d = d.join(first_url, "__curl")
+
+    if blocklist is not None:
+        d = d.withColumn("__host", host_of(url))
+        blocked_hosts = (
+            d.select(F.col("__host").alias("host")).distinct()
+            .select(
+                "host",
+                F.explode(domain_suffixes(F.col("host"))).alias("__sfx"),
+            )
+            .join(
+                blocklist.select(F.col("domain").alias("__sfx")),
+                "__sfx", "leftsemi",
+            )
+            .select(F.col("host").alias("__host"))
+            .distinct()
+            .withColumn("__blocked", F.lit(True))
+        )
+        d = d.join(blocked_hosts, "__host", "left")
+        blocked = F.coalesce(F.col("__blocked"), F.lit(False))
+    else:
+        blocked = F.lit(False)
+
+    lang_bad = (
+        ~F.col(lang).isin(*[str(x) for x in keep_langs])
+        if keep_langs else F.lit(False)
+    )
+
+    d = with_gopher_flags(d, text)
+    d = with_repetition_flags(d, id_col, text)
+    d = with_c4_flags(d, text)
+
+    pre = (
+        F.when(F.col(id_col) != F.col("__first_url_id"), F.lit("url_dup"))
+        .when(blocked, F.lit("blocked_host"))
+        .when(lang_bad, F.lit("lang"))
+        .when(~F.col("gopher_pass"), F.lit("gopher"))
+        .when(~F.col("repetition_pass"), F.lit("repetition"))
+        .when(~F.col("c4_pass"), F.lit("c4"))
+    )
+    d = d.withColumn("__pre", pre)
+    d = d.withColumn("__h", F.md5(F.coalesce(F.col(text), F.lit(""))))
+    first_text = (
+        d.where(F.col("__pre").isNull())
+        .groupBy("__h")
+        .agg(F.min(id_col).alias("__first_text_id"))
+    )
+    d = d.join(first_text, "__h", "left")
+    d = d.withColumn(
+        "drop_reason",
+        F.coalesce(
+            F.col("__pre"),
+            F.when(
+                F.col(id_col) != F.col("__first_text_id"), F.lit("exact_dup")
+            ),
+        ),
+    )
+
+    out_cols = list(df.columns)
+    clean = with_pii_counts(d.where(F.col("drop_reason").isNull()), text)
+    clean = clean.select(
+        *[
+            F.col("scrubbed").alias(text) if c == text else F.col(c)
+            for c in out_cols
+        ]
+    )
+    report = (
+        d.groupBy(
+            F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("stage")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("stage")
+    )
+    return clean, report
+
+
+def clean_corpus_report_sql(
+    table: str = "documents", url: str = "url", text: str = "text",
+    lang: str = "lang", keep_langs=None,
+) -> str:
+    """DuckDB oracle for the :func:`clean_corpus` retention report
+    (blocklist-free form), composed from the per-stage oracles with the
+    same funnel precedence and survivor-scoped exact dedup."""
+    lang_case = (
+        f"WHEN d.{lang} NOT IN ("
+        + ", ".join(f"'{x}'" for x in keep_langs)
+        + ") THEN 'lang' " if keep_langs else ""
+    )
+    return f"""
+WITH g AS (SELECT doc_id, gopher_pass FROM ({gopher_sql(table, text)})),
+rep AS (SELECT doc_id, repetition_pass FROM ({repetition_sql(table, text)})),
+c4f AS (SELECT doc_id, c4_pass FROM ({c4_sql(table, text)})),
+u AS (SELECT doc_id, {canonical_url_sql(url)} AS curl FROM {table}),
+fu AS (SELECT curl, min(doc_id) AS first_id FROM u GROUP BY curl),
+pre AS (
+  SELECT d.doc_id, coalesce(d.{text}, '') AS t,
+    CASE WHEN d.doc_id <> fu.first_id THEN 'url_dup'
+         {lang_case}WHEN NOT g.gopher_pass THEN 'gopher'
+         WHEN NOT rep.repetition_pass THEN 'repetition'
+         WHEN NOT c4f.c4_pass THEN 'c4'
+         ELSE NULL END AS pre
+  FROM {table} d
+  JOIN u USING (doc_id) JOIN fu ON u.curl = fu.curl
+  JOIN g USING (doc_id) JOIN rep USING (doc_id) JOIN c4f USING (doc_id)
+),
+ft AS (SELECT md5(t) AS h, min(doc_id) AS first_t FROM pre
+       WHERE pre IS NULL GROUP BY 1),
+fin AS (
+  SELECT p.doc_id,
+         coalesce(p.pre, CASE WHEN p.doc_id <> ft.first_t
+                              THEN 'exact_dup' END) AS reason
+  FROM pre p LEFT JOIN ft ON md5(p.t) = ft.h
+)
+SELECT coalesce(reason, 'kept') AS stage, count(*)::BIGINT AS n_docs
+FROM fin GROUP BY 1 ORDER BY 1
+"""

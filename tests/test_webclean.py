@@ -516,3 +516,90 @@ def test_filter_blocked_hosts_plan_shape(spark):
     )
     assert plan.count("LeftAnti") == 1
     assert "Window" not in plan and "PythonUDF" not in plan
+
+
+# ---------------------------------------------------------------------------
+# end-to-end cleaning funnel (clean_corpus)
+# ---------------------------------------------------------------------------
+
+_GOOD_LINES = (
+    "the quick brown fox jumps over one lazy dog while many people watch "
+    "quietly from the old wooden bridge today.",
+    "a gentle river flows beneath carrying small boats that drift slowly "
+    "toward the distant harbor where traders sell fresh fruit.",
+    "children laugh and play near tall green trees as the warm summer "
+    "wind moves softly across open fields everywhere.",
+)
+_GOOD = "\n".join(_GOOD_LINES)
+# same sentences reordered: passes every per-doc filter, distinct text
+_GOOD_B = "\n".join(
+    [_GOOD_LINES[2], _GOOD_LINES[0],
+     _GOOD_LINES[1][:-1] + " or email bob@example.com today."]
+)
+
+
+def _funnel_corpus(spark):
+    rows = [
+        (0, "http://a.com/x", _GOOD, "en"),            # kept
+        (1, "HTTP://A.com/x/", _GOOD, "en"),           # url_dup of 0
+        (2, "http://bad.evil.com/p", _GOOD, "en"),     # blocked_host
+        (3, "http://b.com/1", _GOOD, "zh"),            # lang
+        (4, "http://b.com/2", "short text.", "en"),    # gopher (word count)
+        (5, "http://b.com/3",
+         "\n".join([_GOOD_LINES[1]] * 10), "en"),      # repetition (dup lines)
+        (6, "http://b.com/4",
+         " ".join(w for line in _GOOD_LINES
+                  for w in line.replace(".", "").split()),
+         "en"),                                        # c4 (no sentences)
+        (7, "http://b.com/5", _GOOD, "en"),            # exact_dup of 0
+        (8, "http://b.com/6", _GOOD_B, "en"),          # kept, PII-scrubbed
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "url", "text", "lang"])
+
+
+def test_clean_corpus_funnel_attribution(spark):
+    blocklist = spark.createDataFrame([("evil.com",)], ["domain"])
+    clean, report = webclean.clean_corpus(
+        _funnel_corpus(spark), blocklist=blocklist, keep_langs=("en",)
+    )
+    got = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert got == {
+        "url_dup": 1, "blocked_host": 1, "lang": 1, "gopher": 1,
+        "repetition": 1, "c4": 1, "exact_dup": 1, "kept": 2,
+    }
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert set(rows) == {0, 8}
+    assert rows[0] == _GOOD  # no PII -> text unchanged
+    assert "<EMAIL>" in rows[8] and "bob@example.com" not in rows[8]
+    # clean keeps the input columns exactly
+    assert clean.columns == ["doc_id", "url", "text", "lang"]
+
+
+def test_clean_corpus_precedence_first_stage_wins(spark):
+    # doc 1 is BOTH a url-dup and non-kept lang: url_dup (earlier) claims it
+    rows = [
+        (0, "http://a.com/x", _GOOD, "en"),
+        (1, "http://A.com/x", _GOOD, "zh"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text", "lang"])
+    _, report = webclean.clean_corpus(df, keep_langs=("en",))
+    got = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert got == {"url_dup": 1, "kept": 1}
+
+
+def test_clean_corpus_report_sql_parity(spark):
+    df = _funnel_corpus(spark)
+    _, report = webclean.clean_corpus(df, keep_langs=("en",))  # no blocklist
+    got = sorted(
+        (r["stage"], r["n_docs"]) for r in report.collect()
+    )
+    con = duckdb.connect()
+    con.register("docs_in", df.toPandas())
+    want = sorted(
+        tuple(r) for r in con.execute(
+            webclean.clean_corpus_report_sql(
+                table="docs_in", keep_langs=("en",)
+            )
+        ).fetchall()
+    )
+    assert got == want
