@@ -1138,6 +1138,19 @@ def q_engine_wildcard(spark, sf_dir):
     return _engine_topk(ix, ix.wildcard_query("text", "s?a*k"))
 
 
+def q_engine_regex_phrase(spark, sf_dir):
+    """Engine-routed RegexPhraseQuery (tantivy
+    src/query/phrase_query/regex_phrase_query.rs): 'sp.rk' immediately
+    followed by 'm.rge|ha.h' — every position expands through the
+    dictionary (capped fst-seek shape), per-doc position lists union via
+    one flatten agg, adjacency by array intersection. Constant 1.0,
+    engine tie-break."""
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(
+        ix, ix.regex_phrase_query("text", ["sp.rk", "m.rge|ha.h"])
+    )
+
+
 def q_engine_msm(spark, sf_dir):
     """Engine-routed BooleanQuery minimum_should_match (Lucene
     BooleanQuery.Builder.setMinimumNumberShouldMatch): pure-should over
@@ -1171,6 +1184,19 @@ def q_engine_nested_agg(spark, sf_dir):
                   "aggs": {"chars": {"stats": {"field": "n_chars"}},
                            "avg_rating": {"avg": {"field": "rating"}}}}},
         query=ix.term_query("text", "spark"),
+    )
+
+
+def q_engine_ext_stats(spark, sf_dir):
+    """Engine-routed ExtendedStatsAggregation (Tantivy/ES extended_stats:
+    population variance + std deviation) as a terms(lang) sub-agg —
+    moments ride the same single groupBy as the bucket counts; rounded to
+    4 decimals so cross-engine streaming-moment arithmetic stays
+    hash-comparable."""
+    ix = _engine_index(spark, sf_dir)
+    return ix.aggregate(
+        {"lang": {"terms": {"field": "lang"},
+                  "aggs": {"n": {"extended_stats": {"field": "n_chars"}}}}}
     )
 
 
@@ -1457,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_wildcard": q_engine_wildcard,
         "engine_msm": q_engine_msm,
         "engine_nested_agg": q_engine_nested_agg,
+        "engine_ext_stats": q_engine_ext_stats,
+        "engine_regex_phrase": q_engine_regex_phrase,
         "postings_sample": q_postings_sample,
         "dict_topdf": q_dict_topdf,
         "corpus_stats": q_corpus_stats,
@@ -2238,6 +2266,26 @@ SELECT lang, count(*)::BIGINT AS doc_count,
        round(avg(n_chars), 6) AS chars_avg,
        round(avg(rating), 6) AS avg_rating
 FROM m GROUP BY lang ORDER BY lang
+"""
+
+    # regex phrase: adjacency via 0-based gram scan over the token list
+    sqls["engine_regex_phrase"] = _sql_engine_topk("""
+SELECT CAST(doc_id AS VARCHAR) AS id, 1.0::DOUBLE AS score FROM tok
+WHERE len(list_filter(range(len(ts)-1), i ->
+      regexp_matches(ts[i+1], '^(?:sp.rk)$')
+      AND regexp_matches(ts[i+2], '^(?:m.rge|ha.h)$'))) > 0
+""")
+
+    sqls["engine_ext_stats"] = """
+SELECT lang, count(*)::BIGINT AS doc_count,
+       count(n_chars)::BIGINT AS n_count,
+       min(n_chars)::DOUBLE AS n_min,
+       max(n_chars)::DOUBLE AS n_max,
+       sum(n_chars)::DOUBLE AS n_sum,
+       round(avg(n_chars), 6) AS n_avg,
+       round(var_pop(n_chars), 4) AS n_variance,
+       round(stddev_pop(n_chars), 4) AS n_std_deviation
+FROM documents GROUP BY lang ORDER BY lang
 """
 
     # minimum_should_match=2 over three shoulds: each per-term relation

@@ -41,9 +41,10 @@ can re-aggregate, and parent-bucket totals are one trivial groupBy away.
 Scale-honest restrictions (each raises with guidance instead of silently
 planning a window):
 
-- ``size`` (top-N buckets) is only supported on a SINGLE-level terms
-  root — per-parent top-N inside a nested request would need a per-group
-  rank; run a second request for the parents instead;
+- ``size`` / ``order`` (top-N buckets; ES order by ``_count``, ``_key``
+  or a metric's flat output column) are only supported on a SINGLE-level
+  terms root — per-parent top-N inside a nested request would need a
+  per-group rank; run a second request for the parents instead;
 - metrics live at the DEEPEST bucket level; parent-level metrics are a
   second one-line ``aggregate()`` call;
 - ``range`` roots take metrics but not nested buckets (the one-pass
@@ -58,7 +59,8 @@ from tantiny_spark.errors import UnsupportedField
 
 BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range")
 METRIC_KINDS = (
-    "avg", "min", "max", "sum", "value_count", "stats", "cardinality"
+    "avg", "min", "max", "sum", "value_count", "stats", "extended_stats",
+    "cardinality",
 )
 
 
@@ -110,6 +112,19 @@ def _metric_exprs(ix, name: str, kind: str, params: dict) -> list:
             F.sum(col).alias(f"{name}_sum"),
             F.round(F.avg(col), 6).alias(f"{name}_avg"),
         ]
+    if kind == "extended_stats":
+        # ES/Tantivy ExtendedStats: POPULATION variance/std; rounded to 4
+        # decimals (like host_stats' means) so cross-engine streaming-
+        # moment arithmetic stays hash-comparable
+        return [
+            F.count(col).cast("long").alias(f"{name}_count"),
+            F.min(col).alias(f"{name}_min"),
+            F.max(col).alias(f"{name}_max"),
+            F.sum(col).alias(f"{name}_sum"),
+            F.round(F.avg(col), 6).alias(f"{name}_avg"),
+            F.round(F.var_pop(col), 4).alias(f"{name}_variance"),
+            F.round(F.stddev_pop(col), 4).alias(f"{name}_std_deviation"),
+        ]
     raise ValueError(f"unknown metric kind {kind!r}")
 
 
@@ -143,7 +158,10 @@ def _bucket_key(kind: str, params: dict, out_name: str):
     projected straight off the field-pruned postings scan)."""
     field = params["field"]
     if kind == "terms":
-        return F.col(field).alias(out_name)
+        col = F.col(field)
+        if "missing" in params:  # ES: bucket null values under a literal
+            col = F.coalesce(col, F.lit(params["missing"]))
+        return col.alias(out_name)
     if kind == "histogram":
         interval = float(params["interval"])
         if interval <= 0:
@@ -174,6 +192,12 @@ def _range_root_build(ix, name, ranges, metrics, docs, col) -> DataFrame:
     for mname, mkind, mparams in metrics:
         if mkind == "stats":
             mcols += [f"{mname}_{s}" for s in ("count", "min", "max", "sum", "avg")]
+        elif mkind == "extended_stats":
+            mcols += [
+                f"{mname}_{s}" for s in
+                ("count", "min", "max", "sum", "avg", "variance",
+                 "std_deviation")
+            ]
         else:
             mcols.append(mname)
     for i, r in enumerate(ranges):
@@ -205,6 +229,12 @@ def _range_root_build(ix, name, ranges, metrics, docs, col) -> DataFrame:
                 "stats": [
                     F.count(mval).cast("long"), F.min(mval), F.max(mval),
                     F.sum(mval), F.round(F.avg(mval), 6),
+                ],
+                "extended_stats": [
+                    F.count(mval).cast("long"), F.min(mval), F.max(mval),
+                    F.sum(mval), F.round(F.avg(mval), 6),
+                    F.round(F.var_pop(mval), 4),
+                    F.round(F.stddev_pop(mval), 4),
                 ],
             }[mkind]
             for e in exprs:
@@ -285,12 +315,14 @@ def aggregate(ix, request: dict, query=None, **smart_opts) -> DataFrame:
             raise ValueError("bucket nesting is limited to two levels")
         levels.append((n_name, n_kind, n_params))
         metrics = n_metrics
-    if any("size" in params for _, k, params in levels if k == "terms") and (
-        len(levels) > 1
-    ):
+    if any(
+        ("size" in params or "order" in params)
+        for _, k, params in levels if k == "terms"
+    ) and len(levels) > 1:
         raise ValueError(
-            "size (top-N buckets) needs a per-group rank inside a nested "
-            "request — run a single-level terms request for the parents"
+            "size/order (top-N buckets) needs a per-group rank inside a "
+            "nested request — run a single-level terms request for the "
+            "parents"
         )
 
     # ---- build the base relation: doc_id + postings term columns + the
@@ -301,6 +333,12 @@ def aggregate(ix, request: dict, query=None, **smart_opts) -> DataFrame:
     for name, kind, params in levels:
         field, via_postings = _bucket_fields(ix, kind, params)
         if via_postings:
+            if "missing" in params:
+                raise ValueError(
+                    "missing= applies to value-field terms only: indexed "
+                    "text/string buckets come from the postings scan, "
+                    "which has no entry for a docless field"
+                )
             postings_levels.append((name, field))
         else:
             doc_fields.add(field)
@@ -349,13 +387,34 @@ def aggregate(ix, request: dict, query=None, **smart_opts) -> DataFrame:
         agg_exprs += _metric_exprs(ix, mname, mkind, mparams)
     out = base.groupBy(*keys).agg(*agg_exprs)
 
-    root_is_sized_terms = (
-        len(levels) == 1 and levels[0][1] == "terms"
-        and "size" in levels[0][2]
-    )
-    if root_is_sized_terms:
-        size = int(levels[0][2]["size"])
-        return out.orderBy(
-            F.col("doc_count").desc(), F.col(keys[0]).asc()
-        ).limit(size)
+    root_params = levels[0][2]
+    if len(levels) == 1 and levels[0][1] == "terms" and (
+        "size" in root_params or "order" in root_params
+    ):
+        # ES terms ordering: by _count (default), _key, or a metric's flat
+        # output column; ties always break to key asc (deterministic)
+        order = root_params.get("order", {"_count": "desc"})
+        if len(order) != 1:
+            raise ValueError("order takes exactly one {column: direction}")
+        (ocol, dirn), = order.items()
+        if dirn not in ("asc", "desc"):
+            raise ValueError(f"order direction must be asc/desc, got {dirn!r}")
+        if ocol == "_count":
+            col = F.col("doc_count")
+        elif ocol == "_key":
+            col = F.col(keys[0])
+        elif ocol in out.columns:
+            col = F.col(ocol)
+        else:
+            raise ValueError(
+                f"order column {ocol!r} is not _count/_key or a metric "
+                f"output column of {out.columns}"
+            )
+        out = out.orderBy(
+            col.desc() if dirn == "desc" else col.asc(),
+            F.col(keys[0]).asc(),
+        )
+        if "size" in root_params:
+            out = out.limit(int(root_params["size"]))
+        return out
     return out.orderBy(*[F.col(k).asc() for k in keys])

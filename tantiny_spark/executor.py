@@ -194,6 +194,8 @@ def compile_plan(node: P.Query, ctx: SearchContext) -> DataFrame:
         return _phrase(node, ctx)
     if isinstance(node, P.PhrasePrefix):
         return _phrase_prefix(node, ctx)
+    if isinstance(node, P.RegexPhrase):
+        return _regex_phrase(node, ctx)
     if isinstance(node, P.FuzzyTerm):
         return _fuzzy(node, ctx)
     if isinstance(node, P.Regex):
@@ -406,42 +408,9 @@ def _phrase(node: P.Phrase, ctx: SearchContext) -> DataFrame:
     for i in range(1, len(parts)):
         joined = joined.join(parts[i], "doc_id")
     if slop:
-        # ordered-gap slop: a start s in pos_0 is a phrase occurrence when
-        # SOME chain completes — each next term's position falls in the
-        # window (prev, prev + 1 + slop] after ANY reachable previous match.
-        # A greedy-minimal chain is NOT sufficient here: the window is
-        # bounded on both sides, so taking the smallest candidate can strand
-        # a later term ('a b b x c' with slop=1 needs b@2, not b@1). We
-        # therefore track the full reachable-position SET per start:
-        #   reach_1[s] = {x in pos_1 : s < x <= s + 1 + slop}
-        #   reach_i[s] = {x in pos_i : EXISTS p in reach_{i-1}[s]
-        #                              with p < x <= p + 1 + slop}
-        # and a start matches iff reach_{n-1}[s] is non-empty. Each step's
-        # reachable set is the COLLECTION argument of the next transform()
-        # (evaluated once per row, lambdas only reference its elements), so
-        # the DP is polynomial and stays a JVM array expression — no UDF,
-        # no explode.
-        def _window(p):
-            # single-arg lambda (a 2-arg callable would get (element, INDEX))
-            return lambda x: (x > p) & (x <= p + 1 + slop)
-
-        reach = F.transform(
-            F.col("pos_0"), lambda s: F.filter(F.col("pos_1"), _window(s))
-        )
-        for i in range(2, len(terms)):
-            pos_i = F.col(f"pos_{i}")
-            reach = F.transform(
-                reach,
-                lambda prev: F.filter(
-                    pos_i,
-                    lambda x: F.exists(
-                        prev, lambda p: (x > p) & (x <= p + 1 + slop)
-                    ),
-                ),
-            )
         joined = joined.select(
             "doc_id", "norm_id",
-            F.size(F.filter(reach, lambda r: F.size(r) > 0)).alias("phrase_tf"),
+            _slop_phrase_tf(len(terms), slop).alias("phrase_tf"),
         ).where(F.col("phrase_tf") > 0)
     else:
         inter = F.col("pos_0")
@@ -462,6 +431,99 @@ def _phrase(node: P.Phrase, ctx: SearchContext) -> DataFrame:
         "doc_id",
         (F.lit(idf_sum) * (scoring.K1 + 1.0) * tf / (tf + norm)).alias("score"),
     )
+
+
+def _slop_phrase_tf(n_terms: int, slop: int):
+    """Ordered-gap slop over ``pos_0 .. pos_{n-1}`` array columns: a start
+    s in pos_0 is a phrase occurrence when SOME chain completes — each
+    next position falls in the window (prev, prev + 1 + slop] after ANY
+    reachable previous match. A greedy-minimal chain is NOT sufficient:
+    the window is bounded on both sides, so taking the smallest candidate
+    can strand a later term ('a b b x c' with slop=1 needs b@2, not b@1).
+    We therefore track the full reachable-position SET per start:
+      reach_1[s] = {x in pos_1 : s < x <= s + 1 + slop}
+      reach_i[s] = {x in pos_i : EXISTS p in reach_{i-1}[s]
+                                 with p < x <= p + 1 + slop}
+    and a start matches iff reach_{n-1}[s] is non-empty. Each step's
+    reachable set is the COLLECTION argument of the next transform()
+    (evaluated once per row, lambdas only reference its elements), so the
+    DP is polynomial, order-independent over the input arrays, and stays
+    a JVM array expression — no UDF, no explode. Returns the phrase-tf
+    (count of starts with a completed chain)."""
+
+    def _window(p):
+        # single-arg lambda (a 2-arg callable would get (element, INDEX))
+        return lambda x: (x > p) & (x <= p + 1 + slop)
+
+    reach = F.transform(
+        F.col("pos_0"), lambda s: F.filter(F.col("pos_1"), _window(s))
+    )
+    for i in range(2, n_terms):
+        pos_i = F.col(f"pos_{i}")
+        reach = F.transform(
+            reach,
+            lambda prev: F.filter(
+                pos_i,
+                lambda x: F.exists(
+                    prev, lambda p: (x > p) & (x <= p + 1 + slop)
+                ),
+            ),
+        )
+    return F.size(F.filter(reach, lambda r: F.size(r) > 0))
+
+
+def _regex_phrase(node: P.RegexPhrase, ctx: SearchContext) -> DataFrame:
+    """Tantivy RegexPhraseQuery (plan.RegexPhrase docstring): per position,
+    the matching dictionary slice expands (capped, term-ordered — the
+    fst-seek shape _phrase_prefix uses for its one expanding position,
+    generalized to every position), its postings' position lists union per
+    doc via ONE flatten agg, and the standard adjacency intersection /
+    reachable-set slop DP runs over the unioned lists. Constant 1.0."""
+    k = len(node.patterns)
+    if k == 0:
+        return ctx.docs.sparkSession.createDataFrame([], RESULT_SCHEMA)
+    parts = []
+    for i, pat in enumerate(node.patterns):
+        exp = [
+            r["term"]
+            for r in (
+                ctx.dictionary.where(
+                    (F.col("field") == node.field)
+                    & F.col("term").rlike("^(?:" + pat + ")$")
+                )
+                .select("term").distinct()
+                .orderBy("term").limit(node.max_expansions).collect()
+            )
+        ]
+        if not exp:
+            return ctx.docs.sparkSession.createDataFrame([], RESULT_SCHEMA)
+        shift = 0 if node.slop else i
+        parts.append(
+            ctx.postings.where(
+                (F.col("field") == node.field) & F.col("term").isin(exp)
+            )
+            .select(
+                "doc_id",
+                F.transform(
+                    F.col("positions"), lambda x: x - F.lit(shift)
+                ).alias("__pe"),
+            )
+            .groupBy("doc_id")
+            .agg(F.flatten(F.collect_list("__pe")).alias(f"pos_{i}"))
+        )
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined.join(p, "doc_id")
+    if k == 1:
+        cond = F.size("pos_0") > 0
+    elif node.slop:
+        cond = _slop_phrase_tf(k, node.slop) > 0
+    else:
+        inter = F.col("pos_0")
+        for i in range(1, k):
+            inter = F.array_intersect(inter, F.col(f"pos_{i}"))
+        cond = F.size(inter) > 0
+    return joined.where(cond).select("doc_id", F.lit(1.0).alias("score"))
 
 
 def _phrase_prefix(node: P.PhrasePrefix, ctx: SearchContext) -> DataFrame:

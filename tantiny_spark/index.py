@@ -382,6 +382,9 @@ class Index:
     def wildcard_query(self, fields, pattern, **opts):
         return P.wildcard_query(self.schema, fields, pattern, **opts)
 
+    def regex_phrase_query(self, fields, patterns, **opts):
+        return P.regex_phrase_query(self.schema, fields, patterns, **opts)
+
     def range_query(self, fields, rng, **opts):
         return P.range_query(self.schema, fields, rng, **opts)
 
@@ -792,6 +795,9 @@ class Index:
                 out["terms"] = list(getattr(n, "terms", ())) or [n.term]
             elif isinstance(n, (P.Prefix, P.Regex, P.Range, P.Facet, P.Exists)):
                 out["field"] = n.field
+            elif isinstance(n, P.RegexPhrase):
+                out["field"] = n.field
+                out["patterns"] = list(n.patterns)
             elif isinstance(n, P.TermSet):
                 out["field"] = n.field
                 out["terms"] = list(n.terms)

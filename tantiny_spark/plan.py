@@ -143,6 +143,23 @@ class Regex(Query):
 
 
 @dataclass(frozen=True)
+class RegexPhrase(Query):
+    """Tantivy RegexPhraseQuery (src/query/phrase_query/regex_phrase_query
+    .rs): a positional phrase where every position matches a REGEX instead
+    of a fixed term, with optional slop. Each position expands through the
+    dictionary (capped at ``max_expansions`` in term order, the fst-seek
+    shape), its postings' position lists union per doc, and the standard
+    positional intersection / reachable-set slop DP runs over the unioned
+    lists. Constant score 1.0 — the engine's convention for every
+    expansion query (prefix/regex/fuzzy), which Tantivy's scored variant
+    generalizes."""
+    field: str
+    patterns: tuple
+    slop: int = 0
+    max_expansions: int = 1024
+
+
+@dataclass(frozen=True)
 class Prefix(Query):
     field: str
     prefix: str
@@ -453,6 +470,35 @@ def regex_query(schema: IndexSchema, fields, pattern: str, boost: float = DEFAUL
     return _construct(
         schema, _text_and_strings(schema), fields,
         lambda f: Regex(f, pattern), boost,
+    )
+
+
+def regex_phrase_query(
+    schema: IndexSchema, fields, patterns, slop: int = 0,
+    max_expansions: int = 1024, boost: float = DEFAULT_BOOST,
+) -> Query:
+    """Tantivy RegexPhraseQuery constructor: ``patterns`` is one regex per
+    phrase position (Rust dialect, translated like regex_query); a doc
+    matches when some position sequence satisfies every pattern in order
+    (adjacent, or within ``slop`` like phrase_query)."""
+    pats = [str(p) for p in _listify(patterns)]
+    if not pats:
+        return Empty()
+    if int(slop) < 0:
+        raise ValueError("slop must be >= 0")
+    if int(max_expansions) < 1:
+        raise ValueError("max_expansions must be >= 1")
+    checked = []
+    for p in pats:
+        if _JAVA_ONLY_REGEX.search(p):
+            raise UnsupportedRegexSyntax(p)
+        checked.append(translate_rust_regex(p))
+    return _construct(
+        schema, _text_and_strings(schema), fields,
+        lambda f: RegexPhrase(
+            f, tuple(checked), int(slop), int(max_expansions)
+        ),
+        boost,
     )
 
 

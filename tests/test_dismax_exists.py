@@ -159,6 +159,57 @@ def test_search_by_field_validation(ix):
         ix.search_by_field(ix.all_query(), "text")
 
 
+# --- regex phrase -------------------------------------------------------------
+
+def test_regex_phrase_adjacent(ix):
+    # apple(0) banana(1) in doc 0; 'a.*e' also matches nothing else adjacent
+    q = ix.regex_phrase_query("text", ["a.*e", "b.n.na"])
+    assert ix.search(q, limit=10) == ["0"]
+    # a pattern position with no dictionary match -> empty, not an error
+    assert ix.search(
+        ix.regex_phrase_query("text", ["a.*e", "zzz+"]), limit=10
+    ) == []
+
+
+def test_regex_phrase_multi_candidate_position(ix):
+    # second position matches BOTH banana and cherry: docs 0 and 1 qualify
+    q = ix.regex_phrase_query("text", ["apple", "banana|cherry"])
+    assert ix.search(q, limit=10) == ["0", "1"]
+
+
+def test_regex_phrase_slop(ix):
+    # doc 1 'apple apple cherry': apple@0 -> cherry@2 needs slop >= 1
+    q0 = ix.regex_phrase_query("text", ["ap+le", "ch.rry"])
+    q1 = ix.regex_phrase_query("text", ["ap+le", "ch.rry"], slop=1)
+    assert ix.search(q0, limit=10) == ["1"]  # apple@1 -> cherry@2 adjacent
+    assert ix.search(q1, limit=10) == ["1"]
+    # start-anchored: 'banana cherry' (doc 2) only via the banana pattern
+    q2 = ix.regex_phrase_query("text", ["b.*", "cherry"], slop=1)
+    assert ix.search(q2, limit=10) == ["2"]
+
+
+def test_regex_phrase_single_position_and_validation(ix):
+    from tantiny_spark.errors import UnsupportedRegexSyntax
+    assert ix.search(
+        ix.regex_phrase_query("text", ["d.te"]), limit=10
+    ) == ["3", "4"]
+    with pytest.raises(ValueError):
+        ix.regex_phrase_query("text", ["a"], slop=-1)
+    with pytest.raises(ValueError):
+        ix.regex_phrase_query("text", ["a"], max_expansions=0)
+    with pytest.raises(UnsupportedRegexSyntax):
+        ix.regex_phrase_query("text", ["(?=look)ahead"])
+    assert isinstance(ix.regex_phrase_query("text", []), P.Empty)
+
+
+def test_regex_phrase_explain(ix):
+    q = ix.regex_phrase_query("text", ["a.*e", "b.n.na"])
+    tree = ix.explain(q, "0")
+    assert tree["type"] == "RegexPhrase"
+    assert tree["patterns"] == ["a.*e", "b.n.na"]
+    assert tree["matches"] and tree["score"] == 1.0
+
+
 # --- minimum_should_match -----------------------------------------------------
 
 def test_msm_pure_should_gates_and_sums_all_matches(ix):

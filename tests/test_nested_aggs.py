@@ -107,6 +107,44 @@ def test_range_root_with_metrics(ix):
     assert got == {"*-25.0": (2, 20.0, 2), "25.0-*": (2, 40.0, 2)}
 
 
+def test_extended_stats_population_moments(ix):
+    out = ix.aggregate(
+        {"tags": {"terms": {"field": "tag"},
+                  "aggs": {"n": {"extended_stats": {"field": "n"}}}}}
+    ).collect()
+    got = {r["tags"]: r.asDict() for r in out}
+    # tag x: values 10, 20 -> pop variance 25, std 5
+    assert got["x"]["n_variance"] == 25.0
+    assert got["x"]["n_std_deviation"] == 5.0
+    assert got["x"]["n_avg"] == 15.0
+    # single value -> zero variance; all-null -> null moments
+    assert got["z"]["n_variance"] is None
+
+
+def test_terms_order_by_metric(ix):
+    out = ix.aggregate(
+        {"tags": {"terms": {"field": "tag", "size": 2,
+                            "order": {"sum_n": "desc"}},
+                  "aggs": {"sum_n": {"sum": {"field": "n"}}}}}
+    ).collect()
+    # sums: y=70, x=30, z=None -> top-2 by sum desc
+    assert [(r["tags"], r["sum_n"]) for r in out] == [("y", 70.0), ("x", 30.0)]
+    out = ix.aggregate(
+        {"tags": {"terms": {"field": "tag", "order": {"_key": "desc"}}}}
+    ).collect()
+    assert [r["tags"] for r in out] == ["z", "y", "x"]
+
+
+def test_terms_missing_buckets_nulls(ix):
+    out = ix.aggregate(
+        {"ns": {"terms": {"field": "n", "missing": -1}}}
+    ).collect()
+    got = {r["ns"]: r["doc_count"] for r in out}
+    assert got == {-1: 1, 10: 1, 20: 1, 30: 1, 40: 1}
+    with pytest.raises(ValueError):  # postings-routed terms can't see nulls
+        ix.aggregate({"t": {"terms": {"field": "tag", "missing": "none"}}})
+
+
 def test_validation_errors(ix):
     with pytest.raises(ValueError):  # two roots
         ix.aggregate({"a": {"terms": {"field": "tag"}},
