@@ -400,6 +400,16 @@ def q_unigram_lm(spark, sf_dir):
     )
 
 
+def q_ppl_bucket(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): corpus
+    tercile cuts of the unigram-LM bits distribution label every doc
+    head/middle/tail. Thresholds are ONE global percentile agg broadcast
+    into a codegen'd CASE — no corpus sort, no window."""
+    return textstats.with_perplexity_bucket(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "bits_per_token", "ppl_bucket"
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language downsampling (training-mix construction):
     keep-decision is a pure function of (salt, doc_id) with per-stratum
@@ -734,6 +744,20 @@ def q_dedup_keep(spark, sf_dir):
         "doc_id",
     )
     return dedup.select_canonical(scored, "score")
+
+
+def q_fuzzy_dedup(spark, sf_dir):
+    """END-TO-END MinHash-LSH fuzzy dedup (dedup.fuzzy_dedup_corpus — the
+    SlimPajama/FineWeb near-dedup stage): LSH banded candidates → exact
+    Jaccard verify on candidates only → connected components → longest
+    member kept per cluster. Emits the per-doc dup map; the oracle replays
+    the identical md5 minhashes, banding, verification, recursive-CTE CC
+    and window-based canonical pick."""
+    _, dup_map = dedup.fuzzy_dedup_corpus(
+        _docs(spark, sf_dir), num_hashes=4, band_size=2, shingle_n=3,
+        threshold=0.5,
+    )
+    return dup_map
 
 
 def q_hash_split(spark, sf_dir):
@@ -1511,12 +1535,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "decontam": q_decontam,
         "dedup_keep": q_dedup_keep,
+        "fuzzy_dedup": q_fuzzy_dedup,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "domain_block": q_domain_block,
         "web_funnel": q_web_funnel,
         "unigram_lm": q_unigram_lm,
+        "ppl_bucket": q_ppl_bucket,
         "dup_spans": q_dup_spans,
         "doc_chunks": q_doc_chunks,
         "lang_dist": q_lang_dist,
@@ -1694,6 +1720,57 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
     # a partial-aggregatable min-struct groupBy (dedup.select_canonical).
     sqls["dedup_keep"] = f"""
 WITH RECURSIVE pairs AS ({_sql_jaccard(0.5)}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+         length(d.text)::DOUBLE AS score
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+win AS (
+  SELECT cluster, doc_id AS keep_id,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM lab
+)
+SELECT l.doc_id, l.cluster, l.score, (l.doc_id = w.keep_id) AS keep
+FROM lab l JOIN (SELECT cluster, keep_id FROM win WHERE rn = 1) w USING (cluster)
+"""
+
+    # End-to-end MinHash-LSH fuzzy dedup: the SAME md5 minhashes as the
+    # `minhash_signatures` row (4 hashes, 3-shingles), banded 2×2; the
+    # exact-Jaccard verify runs on the CANDIDATE pairs only (the Spark
+    # side's array_intersect/array_union over distinct shingle sets ≡ the
+    # shared-distinct-shingle count here); CC + canonical pick mirror
+    # `dup_clusters`/`dedup_keep`.
+    sqls["fuzzy_dedup"] = f"""
+WITH RECURSIVE tok AS ({_SQL_TOK}),
+sh AS (SELECT doc_id, {shingle3} AS shs FROM tok WHERE len(ts) >= 3),
+ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+sig AS (SELECT doc_id, {mh} FROM ex GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS bucket FROM sig
+),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+inter AS (SELECT c.a, c.b, count(*) AS i
+          FROM cand c
+          JOIN ex ea ON ea.doc_id = c.a
+          JOIN ex eb ON eb.doc_id = c.b AND eb.s = ea.s
+          GROUP BY 1, 2),
+pairs AS (SELECT c.a, c.b
+          FROM inter c JOIN sizes na ON c.a = na.doc_id
+          JOIN sizes nb ON c.b = nb.doc_id
+          WHERE round(c.i::DOUBLE / (na.n + nb.n - c.i), 6) >= 0.5),
 edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
 reach(u, v) AS (
   SELECT u, v FROM edges
@@ -1994,6 +2071,28 @@ SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
        round(sum(tf * -log2(cnt / total)) / sum(tf), 6) AS bits_per_token
 FROM tf JOIN vocab USING (token), tot
 GROUP BY doc_id
+"""
+
+    # Terciles via quantile_cont — the same linear interpolation at
+    # position frac*(n-1) Spark's exact `percentile` uses, computed over
+    # the identical 6dp-rounded bits values, so the thresholds agree and
+    # the CASE labels match bucket-for-bucket.
+    sqls["ppl_bucket"] = f"""
+WITH tok AS (SELECT doc_id, {regex_tok} AS ts FROM documents),
+ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
+tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM ex GROUP BY 1, 2),
+vocab AS (SELECT token, count(*)::DOUBLE AS cnt FROM ex GROUP BY token),
+tot AS (SELECT sum(cnt)::DOUBLE AS total FROM vocab),
+bits AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+                round(sum(tf * -log2(cnt / total)) / sum(tf), 6) AS bits_per_token
+         FROM tf JOIN vocab USING (token), tot
+         GROUP BY doc_id),
+thr AS (SELECT quantile_cont(bits_per_token, [1.0/3.0, 2.0/3.0]) AS t FROM bits)
+SELECT doc_id, n_tokens, bits_per_token,
+       CASE WHEN bits_per_token <= t[1] THEN 'head'
+            WHEN bits_per_token <= t[2] THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM bits, thr
 """
 
     sqls["doc_chunks"] = prep.chunk_documents_sql(max_words=50)

@@ -78,6 +78,12 @@ def lsh_candidate_pairs(
     """Near-dup candidate pairs: docs agreeing on all hashes of any band.
     The self-join happens per band bucket — bounded groups, no n² blowup."""
     sigs = minhash_signatures(df, text, key, num_hashes, shingle_n)
+    # Docs with NO shingles (< shingle_n words) have all-null minhashes and
+    # would otherwise ALL share the concat_ws bucket "" in every band — a
+    # quadratic blowup over the corpus's tiny-doc population pairing docs
+    # with zero shared shingles (true Jaccard 0/0). They can't be fuzzy
+    # candidates, so drop them before banding.
+    sigs = sigs.where(F.col("mh0").isNotNull())
     bands = []
     for b in range(num_hashes // band_size):
         members = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
@@ -358,6 +364,7 @@ def duplicate_clusters(
     df: DataFrame, text: str = "text", key: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.5,
     max_shingle_df: int | None = None, pairs: DataFrame | None = None,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """Document → duplicate-cluster id: near-dup pairs (exact Jaccard over
     an inverted shingle join, or any supplied candidate-pair frame) are
@@ -367,7 +374,7 @@ def duplicate_clusters(
     keep-one-per-cluster filter (``doc_id == cluster``) is reproducible."""
     if pairs is None:
         pairs = jaccard_pairs(df, text, key, shingle_n, threshold, max_shingle_df)
-    comp = connected_components(pairs.select("a", "b"))
+    comp = connected_components(pairs.select("a", "b"), max_iterations=max_iterations)
     return (
         df.select(F.col(key))
         .join(comp, F.col(key) == comp.node, "left")
@@ -376,6 +383,79 @@ def duplicate_clusters(
             F.coalesce("label", F.col(key)).alias("cluster"),
         )
     )
+
+
+def fuzzy_dedup_corpus(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    quality: Column | None = None,
+    max_iterations: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """END-TO-END MinHash-LSH fuzzy dedup — the published SlimPajama /
+    FineWeb near-dedup stage as one composition:
+
+        LSH banded candidates → exact Jaccard verify (candidates ONLY)
+        → connected components → best-quality canonical per cluster
+        → survivors.
+
+    Returns ``(clean, dup_map)``: ``clean`` is the input frame restricted
+    to the kept docs; ``dup_map`` is (doc_id, cluster, score, keep) for
+    every input doc — singletons form their own cluster and are always
+    kept. ``quality`` is the keep-ranking Column (default: text length —
+    keep the longest extraction); ties break to the smallest id so reruns
+    are deterministic.
+
+    Scale shape, stage by stage (none is all-pairs):
+    - candidates: per-band bucket self-join (``lsh_candidate_pairs``),
+      shingle-less docs dropped before banding;
+    - verify: the per-doc DISTINCT shingle arrays join onto the bounded
+      candidate list by doc id (two uniform-key joins) and Jaccard is one
+      JVM ``array_intersect``/``array_union`` per candidate pair — the
+      inverted-index self-join of ``jaccard_pairs`` is never needed
+      because LSH already bounded the pair set;
+    - clustering: min-label propagation, iterations bounded by cluster
+      diameter (near-dup clusters are near-cliques), fails loud past
+      ``max_iterations``;
+    - canonical: ONE partial-aggregatable min-struct groupBy
+      (``select_canonical``) — a Zipfian mega-cluster folds map-side;
+    - survivors: one left-semi join keyed on the uniform doc id.
+    """
+    cand = lsh_candidate_pairs(df, text, key, num_hashes, band_size, shingle_n)
+    sh = df.select(F.col(key), shingles_col(F.col(text), shingle_n).alias("__sh"))
+    verified = (
+        cand.join(sh.select(F.col(key).alias("a"), F.col("__sh").alias("__sha")), "a")
+        .join(sh.select(F.col(key).alias("b"), F.col("__sh").alias("__shb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.size(F.array_intersect("__sha", "__shb"))
+                / F.size(F.array_union("__sha", "__shb")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    clusters = duplicate_clusters(
+        df, text, key, pairs=verified.select("a", "b"),
+        max_iterations=max_iterations,
+    )
+    q = quality if quality is not None else F.length(F.col(text))
+    scored = clusters.join(
+        df.select(F.col(key).alias("doc_id"), q.cast("double").alias("score")),
+        "doc_id",
+    )
+    dup_map = select_canonical(scored, "score").select(
+        "doc_id", "cluster", "score", "keep"
+    )
+    keep_ids = dup_map.where(F.col("keep")).select(F.col("doc_id").alias(key))
+    clean = df.join(keep_ids, key, "left_semi")
+    return clean, dup_map
 
 
 def select_canonical(

@@ -220,3 +220,55 @@ def with_unigram_bits(
             6,
         ).alias("bits_per_token"),
     )
+
+
+def with_perplexity_bucket(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    model: DataFrame | None = None,
+    cuts=(1.0 / 3.0, 2.0 / 3.0),
+    labels=("head", "middle", "tail"),
+    approx: bool = False,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): score
+    every doc with :func:`with_unigram_bits`, cut the corpus-level
+    bits_per_token distribution at ``cuts`` quantiles, and label each doc
+    with its bucket — ``head`` (lowest bits: most stereotypical text),
+    ``middle``, ``tail``. Returns (id_col, n_tokens, bits_per_token,
+    ppl_bucket). Compose with ``prep.stratified_sample`` on ``ppl_bucket``
+    for the published head-heavy sampling mix.
+
+    Scale shape: the bits frame is ONE explode + two groupBys (see
+    with_unigram_bits); the thresholds are a single global percentile agg
+    whose 1-row result broadcasts into a codegen'd CASE — no sort of the
+    corpus, no window. ``approx=True`` swaps the exact percentile for the
+    fixed-memory t-digest sketch, the right call at 100 TB (bucket
+    boundaries tolerate sketch error; the published pipeline's terciles
+    are themselves estimates)."""
+    cuts = [float(c) for c in cuts]
+    if not cuts or any(not 0.0 < c < 1.0 for c in cuts) or (
+        sorted(cuts) != cuts
+    ):
+        raise ValueError("cuts must be ascending quantiles in (0, 1)")
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly len(cuts) + 1 labels")
+    bits = with_unigram_bits(df, text, id_col, model)
+    fracs = ", ".join(repr(c) for c in cuts)
+    fn = "percentile_approx" if approx else "percentile"
+    extra = ", 10000" if approx else ""
+    thr = bits.agg(
+        F.expr(f"{fn}(bits_per_token, array({fracs}){extra})").alias("__thr")
+    )
+    out = bits.crossJoin(F.broadcast(thr))
+    bucket = None
+    for i, lab in enumerate(labels[:-1]):
+        cond = F.col("bits_per_token") <= F.element_at("__thr", i + 1)
+        bucket = (
+            F.when(cond, F.lit(lab)) if bucket is None
+            else bucket.when(cond, F.lit(lab))
+        )
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return out.select(
+        id_col, "n_tokens", "bits_per_token", bucket.alias("ppl_bucket")
+    )

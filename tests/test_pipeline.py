@@ -49,6 +49,41 @@ def test_jaccard_pairs(docs):
     assert (0, 3) not in pairs
 
 
+def test_lsh_shingleless_docs_never_band(spark):
+    """Docs with < shingle_n words have NO shingles; they must not all
+    collide in a shared empty bucket and pair up quadratically."""
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "three four"), (3, "five six")],
+        "doc_id long, text string",
+    )
+    assert dedup.lsh_candidate_pairs(df, num_hashes=4, band_size=2).count() == 0
+
+
+def test_fuzzy_dedup_corpus_end_to_end(docs):
+    """MinHash→LSH→verify→CC→canonical composition: identical docs merge
+    (longest member kept), a 0.4-Jaccard near-dup stays OUT at threshold
+    0.5 (verify gates what LSH admits), singletons and shingle-less docs
+    survive untouched."""
+    clean, dup_map = dedup.fuzzy_dedup_corpus(
+        docs, num_hashes=8, band_size=2, shingle_n=3, threshold=0.5
+    )
+    m = {r["doc_id"]: r for r in dup_map.collect()}
+    assert set(m) == {0, 1, 2, 3, 4, 5}  # every input doc mapped
+    # 0, 1 (byte-identical) and 4 (case/whitespace variant -> identical
+    # lowercased shingle set) form one cluster labeled by the min id
+    assert m[0]["cluster"] == m[1]["cluster"] == m[4]["cluster"] == 0
+    # the LONGEST member is kept (doc 4 has the extra double spaces)
+    assert [d for d in (0, 1, 4) if m[d]["keep"]] == [4]
+    # doc 2 shares 4 of 10 distinct 3-shingles with doc 0 -> 0.4 < 0.5:
+    # verification rejects it even when banding nominates it
+    assert m[2]["keep"] and m[2]["cluster"] == 2
+    # unique and shingle-less docs are singleton keeps
+    assert m[3]["keep"] and m[3]["cluster"] == 3
+    assert m[5]["keep"] and m[5]["cluster"] == 5
+    clean_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert clean_ids == {2, 3, 4, 5}
+
+
 def test_simhash(docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
     assert sh[0] == sh[1]  # identical text → identical fingerprint

@@ -59,6 +59,75 @@ def test_rare_token_soup_scores_higher(spark):
     assert got[99] > got[0]
 
 
+def test_perplexity_bucket_terciles(spark):
+    """Six docs with strictly increasing bits split 2/2/2 across
+    head/middle/tail at the default tercile cuts (Wenzek et al. 2020
+    §3.3 semantics: low bits = head = most stereotypical)."""
+    common = "the the the the the the the the"
+    rows = [
+        (1, common),
+        (2, common + " quick"),
+        (3, common + " quick brown"),
+        (4, common + " quick brown fox"),
+        (5, common + " quick brown fox jumps"),
+        (6, common + " quick brown fox jumps over"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["bits_per_token"], r["ppl_bucket"])
+        for r in textstats.with_perplexity_bucket(df).collect()
+    }
+    assert len(got) == 6
+    # bits strictly increase with doc_id (more rare-token mass per token)
+    bits = [got[i][0] for i in range(1, 7)]
+    assert bits == sorted(bits) and len(set(bits)) == 6
+    assert [got[i][1] for i in range(1, 7)] == [
+        "head", "head", "middle", "middle", "tail", "tail"
+    ]
+
+
+def test_perplexity_bucket_approx_and_custom_cuts(spark):
+    """approx=True (t-digest) lands the same buckets on well-separated
+    data; custom cuts/labels give a head-heavy 75/25 split."""
+    common = "the the the the the the the the"
+    rows = [(i, common + " " + " ".join(f"w{i}x{j}" for j in range(i)))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # approx (t-digest) picks an actual data value as threshold where exact
+    # interpolates, so boundary docs may shift a bucket — but the labeling
+    # must stay monotone in bits (doc_id order here) and use every label
+    approx = [r["ppl_bucket"] for r in textstats.with_perplexity_bucket(
+        df, approx=True).orderBy("bits_per_token").collect()]
+    order = {"head": 0, "middle": 1, "tail": 2}
+    ranks = [order[b] for b in approx]
+    assert ranks == sorted(ranks) and set(approx) == {"head", "middle", "tail"}
+    two = {r["doc_id"]: r["ppl_bucket"]
+           for r in textstats.with_perplexity_bucket(
+               df, cuts=(0.75,), labels=("keep", "drop")).collect()}
+    assert sum(1 for v in two.values() if v == "keep") == 6
+    assert sum(1 for v in two.values() if v == "drop") == 2
+
+
+def test_perplexity_bucket_validates_args(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        textstats.with_perplexity_bucket(df, cuts=())
+    with pytest.raises(ValueError):
+        textstats.with_perplexity_bucket(df, cuts=(0.9, 0.1))
+    with pytest.raises(ValueError):
+        textstats.with_perplexity_bucket(df, cuts=(0.0, 0.5))
+    with pytest.raises(ValueError):
+        textstats.with_perplexity_bucket(df, cuts=(0.5,), labels=("a", "b", "c"))
+
+
+def test_perplexity_bucket_plan_has_no_window(spark):
+    """The bucketing must stay a broadcast-threshold CASE — never a global
+    sort or Window over the corpus."""
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")], ["doc_id", "text"])
+    plan = textstats.with_perplexity_bucket(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
 def test_stratified_sample_deterministic_and_monotone(spark):
     df = spark.createDataFrame(
         [(i, "en" if i % 2 else "de") for i in range(400)], ["doc_id", "lang"]
