@@ -1153,6 +1153,32 @@ def q_engine_order_by(spark, sf_dir):
     ).select("id", F.col("value").cast("long").alias("value"))
 
 
+def q_engine_top_hits(spark, sf_dir):
+    """Engine-routed top_hits aggregation (Tantivy TopHitsAggregation,
+    src/aggregation/metric/top_hits.rs): per lang bucket, the top-2 docs
+    by n_chars desc (ties to id asc). Per-partition per-bucket streaming
+    prune feeds a bucket-keyed window over ≤ partitions·k survivors —
+    whole buckets are never ranked."""
+    ix = _engine_index(spark, sf_dir)
+    return ix.aggregate(
+        {"langs": {"terms": {"field": "lang"},
+                   "aggs": {"best": {"top_hits": {
+                       "size": 2, "sort": [{"n_chars": "desc"}]}}}}}
+    )
+
+
+def q_engine_offset(spark, sf_dir):
+    """Engine-routed pagination (Tantivy TopDocs::with_limit(n)
+    .and_offset(m), src/collector/top_score_collector.rs): page 2 (ranks
+    11-20) of the 'spark' term ranking. The offset folds into the SAME
+    TakeOrderedAndProject as the limit — page 100 still costs a partial
+    top-(offset+limit), never a global sort."""
+    ix = _engine_index(spark, sf_dir)
+    return ix.search_df(
+        ix.term_query("text", "spark"), limit=10, offset=10
+    ).select("id", F.round("score", 4).alias("score"))
+
+
 def q_engine_wildcard(spark, sf_dir):
     """Engine-routed Lucene WildcardQuery: 's?a*k' (? = one char, * = any
     run) — translated to an anchored Regex node at plan-build time, so it
@@ -1505,6 +1531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scripts/check_contract.py
         # ------------------------------------------------------------------
         "engine_wildcard": q_engine_wildcard,
+        "engine_offset": q_engine_offset,
+        "engine_top_hits": q_engine_top_hits,
         "engine_msm": q_engine_msm,
         "engine_nested_agg": q_engine_nested_agg,
         "engine_ext_stats": q_engine_ext_stats,
@@ -2124,6 +2152,31 @@ SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 3
 
     # --- engine-routed oracles (mirror Index.search_df exactly) -------------
     sqls["engine_term_topk"] = _sql_engine_topk(_sql_engine_term("vector"))
+
+    # top_hits: per-lang top-2 by n_chars desc, ties to id-STRING asc (the
+    # engine's pinned tie order; internal doc_ids are a per-segment rank
+    # the oracle can't see, so the contract pins the external id)
+    sqls["engine_top_hits"] = """
+WITH ranked AS (
+  SELECT lang AS langs, CAST(doc_id AS VARCHAR) AS id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC,
+                                     CAST(doc_id AS VARCHAR) ASC) AS rn
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+)
+SELECT langs, rn::BIGINT AS hit_rank, id, n_chars
+FROM ranked WHERE rn <= 2
+ORDER BY langs ASC, hit_rank ASC
+"""
+
+    # pagination: the SAME pinned (score desc, id asc) order with the page
+    # window applied — ranks 11-20 of the 'spark' term ranking
+    sqls["engine_offset"] = f"""{_SQL_ENGINE_PRELUDE},
+q AS ({_sql_engine_term('spark')})
+SELECT id, round(score, 4) AS score
+FROM (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 10 OFFSET 10)
+ORDER BY score DESC, id ASC
+"""
 
     sqls["engine_bool_and"] = _sql_engine_topk(f"""
 SELECT a.id, a.score + b.score AS score

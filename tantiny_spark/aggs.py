@@ -252,6 +252,117 @@ def _range_root_build(ix, name, ranges, metrics, docs, col) -> DataFrame:
     )
 
 
+def _top_hits_build(
+    ix, root_name, root_kind, root_params, hits_params, matched,
+) -> DataFrame:
+    """Per-bucket top documents (Tantivy TopHitsAggregation,
+    src/aggregation/metric/top_hits.rs; ES top_hits): for every bucket of
+    the root aggregation, the top ``size`` docs by a fast-field ``sort``,
+    optionally skipping ``from`` hits and carrying extra
+    ``docvalue_fields``.
+
+    Scale shape — per-bucket top-k WITHOUT ranking whole buckets:
+
+    1. the base relation is (doc_id, bucket key, sort + docvalue columns),
+       column-pruned and semi-joined to the matched set;
+    2. a streaming per-partition prune (mapInPandas, the
+       ``_local_rank_prune`` pattern keyed by bucket) keeps only the
+       ``from+size`` best rows PER BUCKET PER PARTITION under the strict
+       total order (sort value, id asc) — memory O(buckets·k) per task,
+       and exact: a row outside its own partition's per-bucket top-k
+       cannot be in the global per-bucket top-k;
+    3. the final row_number window ranks ≤ partitions·k survivors per
+       bucket — parallel across buckets, never a corpus-wide sort.
+
+    Output: (root_name, hit_rank, id, <sort field>, <docvalue fields...>),
+    ordered by (bucket asc, hit_rank asc); hit_rank is the 1-based rank
+    within the bucket (absolute, so ``from`` pages keep their rank).
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    size = int(hits_params.get("size", 3))
+    from_ = int(hits_params.get("from", 0))
+    if size < 1 or from_ < 0:
+        raise ValueError("top_hits needs size >= 1 and from >= 0")
+    sort = hits_params.get("sort")
+    if not (isinstance(sort, list) and len(sort) == 1
+            and isinstance(sort[0], dict) and len(sort[0]) == 1):
+        raise ValueError(
+            'top_hits sort must be [{field: "asc"|"desc"}] — exactly one '
+            "fast-field sort key (ties always break to doc id asc)"
+        )
+    (sort_field, dirn), = sort[0].items()
+    if dirn not in ("asc", "desc"):
+        raise ValueError(f"sort direction must be asc/desc, got {dirn!r}")
+    _numeric_col(ix, sort_field)  # validates it's a numeric fast field
+    docvalues = list(hits_params.get("docvalue_fields", []))
+    for f in docvalues:
+        if f != sort_field:
+            _numeric_col(ix, f)
+
+    field, via_postings = _bucket_fields(ix, root_kind, root_params)
+    doc_cols = sorted({sort_field, *docvalues})
+    base = ix.ctx.docs.select("doc_id", *doc_cols)
+    if matched is not None:
+        base = base.join(matched, "doc_id", "left_semi")
+    if via_postings:
+        if "missing" in root_params:
+            raise ValueError(
+                "missing= applies to value-field terms only (see aggregate)"
+            )
+        posts = (
+            ix.ctx.postings.where(F.col("field") == field)
+            .select("doc_id", F.col("term").alias(root_name))
+        )
+        base = base.join(posts, "doc_id")
+    else:
+        base = base.withColumn(
+            root_name, _bucket_key(root_kind, root_params, root_name)
+        )
+    # Tantivy fast-field collectors skip docs missing the sort value or
+    # the bucket key (no null bucket)
+    base = base.where(
+        F.col(root_name).isNotNull() & F.col(sort_field).isNotNull()
+    )
+    # ties break on the EXTERNAL id string asc — the engine's pinned tie
+    # order everywhere (search_df/search_by_field), and the one an oracle
+    # can replay (internal doc_ids are a per-segment rank)
+    base = base.join(ix.ctx.id_map, "doc_id").drop("doc_id")
+
+    keep_n = from_ + size
+    ascending = dirn == "asc"
+    cols = base.columns
+    schema = base.schema
+
+    def prune(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat((best, pdf))
+            cur = cur.sort_values(
+                [root_name, sort_field, "id"],
+                ascending=[True, ascending, True],
+                kind="mergesort",
+            )
+            best = cur.groupby(root_name, sort=False).head(keep_n)
+        if best is not None and len(best):
+            yield best[cols]
+
+    pruned = base.mapInPandas(prune, schema)
+    order = (
+        F.col(sort_field).asc() if ascending else F.col(sort_field).desc()
+    )
+    w = Window.partitionBy(root_name).orderBy(order, F.col("id").asc())
+    ranked = pruned.withColumn(
+        "hit_rank", F.row_number().over(w).cast("long")
+    ).where((F.col("hit_rank") > from_) & (F.col("hit_rank") <= keep_n))
+    out_cols = [root_name, "hit_rank", "id", sort_field]
+    out_cols += [f for f in docvalues if f != sort_field]
+    return ranked.select(*out_cols).orderBy(
+        F.col(root_name).asc(), F.col("hit_rank").asc()
+    )
+
+
 def aggregate(ix, request: dict, query=None, **smart_opts) -> DataFrame:
     """Compile one ES/Tantivy-style aggregation request (module docstring)
     against ``ix``'s live snapshot, optionally restricted to the docs
@@ -266,6 +377,37 @@ def aggregate(ix, request: dict, query=None, **smart_opts) -> DataFrame:
         raise ValueError(
             f"root '{root_name}' is a metric; for global metrics use "
             "stats_df/percentiles/cardinality, or wrap in a bucket agg"
+        )
+
+    # top_hits diverts to the per-bucket rank builder — it returns DOC rows
+    # per bucket, which cannot ride the shared groupBy
+    hits = {
+        n: s for n, s in root_sub.items()
+        if isinstance(s, dict) and "top_hits" in s
+    }
+    if hits:
+        if len(root_sub) != 1:
+            raise ValueError(
+                "top_hits must be the only sub-aggregation of its bucket "
+                "level — counts/metrics are one extra aggregate() call"
+            )
+        if root_kind == "range":
+            raise ValueError(
+                "top_hits lives under terms/histogram/date_histogram "
+                "roots (range roots have no grouping key to rank within)"
+            )
+        (_h_name, h_spec), = hits.items()
+        if set(h_spec) - {"top_hits"}:
+            raise ValueError("top_hits cannot carry sub-aggs")
+        if query is not None:
+            plan = ix._as_plan(query, smart_opts)
+            prime_stats(plan, ix.ctx)
+            matched = compile_plan(plan, ix.ctx).select("doc_id")
+        else:
+            matched = None
+        return _top_hits_build(
+            ix, root_name, root_kind, root_params, h_spec["top_hits"],
+            matched,
         )
 
     # split sub-aggs into metrics and (at most one) nested bucket

@@ -747,16 +747,21 @@ def try_wand_topk(
     )
 
 
-def top_k(result: DataFrame, ctx: SearchContext, limit: int = 10) -> DataFrame:
+def top_k(
+    result: DataFrame, ctx: SearchContext, limit: int = 10, offset: int = 0
+) -> DataFrame:
     """Deterministic top-k: score desc, then id asc (the reference's heap tie
     order is incidental; ours is pinned). Compiles to TakeOrderedAndProject —
-    per-partition partial top-k, no global sort."""
-    return (
-        result.join(ctx.id_map, "doc_id")
-        .orderBy(F.col("score").desc(), F.col("id").asc())
-        .limit(limit)
-        .select("id", "score")
+    per-partition partial top-k, no global sort. A non-zero ``offset``
+    (pagination) stays inside the same operator: Spark's ordered
+    offset+limit folds into TakeOrderedAndProject(offset=...), so page 100
+    costs a partial top-(offset+limit), never a corpus sort."""
+    out = result.join(ctx.id_map, "doc_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
     )
+    if offset:
+        out = out.offset(offset)
+    return out.limit(limit).select("id", "score")
 
 
 BATCH_SCHEMA = T.StructType(

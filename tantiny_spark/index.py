@@ -462,30 +462,43 @@ class Index:
         return P.disjunction(*selected).boost(boost)
 
     # --- search (index.rb:87-94, src/index.rs:244-274) ----------------------
-    def search(self, query, limit: int = DEFAULT_LIMIT, **smart_opts) -> list:
+    def search(
+        self, query, limit: int = DEFAULT_LIMIT, offset: int = 0, **smart_opts
+    ) -> list:
         """Returns ids of the top ``limit`` docs (scores discarded, like the
-        reference). String input becomes a smart query over all text fields."""
-        rows = self.search_df(query, limit, **smart_opts).collect()
+        reference). String input becomes a smart query over all text fields.
+        ``offset`` skips the first N ranked hits — Tantivy's pagination
+        (``TopDocs::with_limit(n).and_offset(m)``, public collector API)."""
+        rows = self.search_df(query, limit, offset, **smart_opts).collect()
         return [r["id"] for r in rows]
 
-    def search_with_scores(self, query, limit: int = DEFAULT_LIMIT, **smart_opts) -> list:
-        rows = self.search_df(query, limit, **smart_opts).collect()
+    def search_with_scores(
+        self, query, limit: int = DEFAULT_LIMIT, offset: int = 0, **smart_opts
+    ) -> list:
+        rows = self.search_df(query, limit, offset, **smart_opts).collect()
         return [(r["id"], r["score"]) for r in rows]
 
-    def search_df(self, query, limit: int = DEFAULT_LIMIT, **smart_opts) -> DataFrame:
+    def search_df(
+        self, query, limit: int = DEFAULT_LIMIT, offset: int = 0, **smart_opts
+    ) -> DataFrame:
+        if offset < 0:
+            raise ValueError("offset must be >= 0")
         plan = self._as_plan(query, smart_opts)
         # resolve every global stat the plan needs in two batched lookups
         prime_stats(plan, self.ctx)
         # block-max WAND fast path for pure term disjunctions; doc_id order is
-        # id order by construction, so tie-breaks agree with the naive path
-        fast = try_wand_topk(plan, self.ctx, limit)
+        # id order by construction, so tie-breaks agree with the naive path.
+        # Pagination rides the SAME top-k machinery at k = offset+limit (the
+        # candidate set any rank-m..m+n page needs), then the final ordered
+        # limit skips the first offset rows — never a global sort.
+        fast = try_wand_topk(plan, self.ctx, limit + offset)
         if fast is not None:
-            return top_k(fast, self.ctx, limit)
-        return top_k(compile_plan(plan, self.ctx), self.ctx, limit)
+            return top_k(fast, self.ctx, limit, offset)
+        return top_k(compile_plan(plan, self.ctx), self.ctx, limit, offset)
 
     def search_by_field(
         self, query, field: str, limit: int = DEFAULT_LIMIT,
-        ascending: bool = False, **smart_opts,
+        ascending: bool = False, offset: int = 0, **smart_opts,
     ) -> DataFrame:
         """Top ``limit`` matching docs ordered by a stored VALUE field
         instead of relevance — Tantivy's ``TopDocs::order_by_u64_field``
@@ -510,14 +523,17 @@ class Index:
         vals = self.ctx.docs.where(F.col(field).isNotNull()).select(
             "doc_id", F.col(field).alias("value")
         )
+        if offset < 0:
+            raise ValueError("offset must be >= 0")
         order = F.col("value").asc() if ascending else F.col("value").desc()
-        return (
+        out = (
             matched.join(vals, "doc_id")
             .join(self.ctx.id_map, "doc_id")
             .orderBy(order, F.col("id").asc())
-            .limit(limit)
-            .select("id", "value")
         )
+        if offset:
+            out = out.offset(offset)
+        return out.limit(limit).select("id", "value")
 
     def count(self, query=None, **smart_opts) -> int:
         """Number of documents matching ``query`` (all docs when None) —

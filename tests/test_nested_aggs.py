@@ -181,3 +181,56 @@ def test_plan_is_single_aggregate(ix, spark):
     assert "Window" not in plan
     # one hashaggregate pair (partial + final) for the bucket groupBy
     assert plan.count("HashAggregate") <= 4
+
+
+def test_top_hits_per_bucket(ix):
+    """Tantivy TopHitsAggregation: per tag, the single highest-n doc.
+    z's only doc has a null sort value and is skipped (fast-field
+    collector semantics), so z emits no bucket."""
+    out = ix.aggregate(
+        {"tags": {"terms": {"field": "tag"},
+                  "aggs": {"best": {"top_hits": {
+                      "size": 1, "sort": [{"n": "desc"}]}}}}}
+    ).collect()
+    assert [(r["tags"], r["hit_rank"], r["id"], r["n"]) for r in out] == [
+        ("x", 1, "1", 20), ("y", 1, "3", 40),
+    ]
+
+
+def test_top_hits_paging_and_query_scope(ix):
+    out = ix.aggregate(
+        {"tags": {"terms": {"field": "tag"},
+                  "aggs": {"h": {"top_hits": {
+                      "size": 2, "sort": [{"n": "asc"}]}}}}},
+        query=ix.term_query("text", "spark"),
+    ).collect()
+    assert [(r["tags"], r["hit_rank"], r["id"]) for r in out] == [
+        ("x", 1, "0"), ("x", 2, "1"), ("y", 1, "2"),
+    ]
+    # from= skips hits but keeps the ABSOLUTE in-bucket rank
+    page = ix.aggregate(
+        {"tags": {"terms": {"field": "tag"},
+                  "aggs": {"h": {"top_hits": {
+                      "size": 1, "from": 1, "sort": [{"n": "asc"}]}}}}},
+        query=ix.term_query("text", "spark"),
+    ).collect()
+    assert [(r["tags"], r["hit_rank"], r["id"]) for r in page] == [
+        ("x", 2, "1")
+    ]
+
+
+def test_top_hits_validation(ix):
+    base = {"terms": {"field": "tag"}}
+    with pytest.raises(ValueError):  # sort is mandatory and single-key
+        ix.aggregate({"t": {**base, "aggs": {"h": {"top_hits": {"size": 1}}}}})
+    with pytest.raises(ValueError):  # no sibling metrics beside top_hits
+        ix.aggregate({"t": {**base, "aggs": {
+            "h": {"top_hits": {"size": 1, "sort": [{"n": "desc"}]}},
+            "m": {"avg": {"field": "n"}}}}})
+    with pytest.raises(UnsupportedField):  # sort needs a numeric fast field
+        ix.aggregate({"t": {**base, "aggs": {"h": {"top_hits": {
+            "size": 1, "sort": [{"text": "desc"}]}}}}})
+    with pytest.raises(ValueError):  # range roots have no key to rank within
+        ix.aggregate({"t": {"range": {"field": "n", "ranges": [{"to": 5}]},
+                            "aggs": {"h": {"top_hits": {
+                                "size": 1, "sort": [{"n": "desc"}]}}}}})

@@ -420,3 +420,32 @@ def test_phrase_prefix(spark, tmp_path):
     assert ids(idx, qcap) == ["1"]
     with pytest.raises(UnsupportedField):
         idx.phrase_prefix_query("string", "big dat")
+
+
+def test_search_offset_pagination(spark, tmp_path):
+    """Tantivy pagination (TopDocs::with_limit(n).and_offset(m)): every
+    page is exactly the corresponding slice of the full ranking, on both
+    the WAND fast path (pure term query) and the naive path (boolean),
+    and past-the-end pages are empty."""
+    docs = [
+        {"id": i, "text": "common " + "pad " * (i % 5), "integer": i * 3}
+        for i in range(1, 21)
+    ]
+    idx = build(spark, tmp_path, docs)
+    q = idx.term_query("text", "common")  # WAND-eligible
+    full = idx.search_with_scores(q, limit=20)
+    assert len(full) == 20
+    for off, lim in ((0, 5), (5, 5), (18, 5), (25, 5)):
+        assert idx.search_with_scores(q, limit=lim, offset=off) == \
+            full[off:off + lim]
+    # naive path (conjunction disables WAND) pages identically
+    qb = idx.term_query("text", "common") & idx.term_query("text", "pad")
+    fullb = idx.search_with_scores(qb, limit=20)
+    assert idx.search_with_scores(qb, limit=4, offset=3) == fullb[3:7]
+    # order-by-field pagination
+    byf = idx.search_by_field(q, "integer", limit=20).collect()
+    assert len(byf) == 20
+    page = idx.search_by_field(q, "integer", limit=3, offset=2).collect()
+    assert page == byf[2:5]
+    with pytest.raises(ValueError):
+        idx.search_df(q, limit=5, offset=-1)
