@@ -939,6 +939,18 @@ def q_engine_fuzzy(spark, sf_dir):
     return _engine_topk(ix, ix.fuzzy_term_query("text", "spork", 1))
 
 
+def q_engine_fuzzy_prefix(spark, sf_dir):
+    """Engine-routed fuzzy PREFIX query (Tantivy
+    FuzzyTermQuery::new_prefix, src/query/fuzzy_query.rs): a dictionary
+    term matches when ANY of its prefixes is within distance 1 of
+    'strem' — typo-tolerant search-as-you-type. Same dictionary-expansion
+    scan as fuzzy/prefix/regex; constant score 1.0."""
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(
+        ix, ix.fuzzy_term_query("text", "strem", 1, prefix=True)
+    )
+
+
 def q_engine_string_term(spark, sf_dir):
     ix = _engine_index(spark, sf_dir)
     return _engine_topk(ix, ix.term_query("lang", "en"))
@@ -1533,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_wildcard": q_engine_wildcard,
         "engine_offset": q_engine_offset,
         "engine_top_hits": q_engine_top_hits,
+        "engine_fuzzy_prefix": q_engine_fuzzy_prefix,
         "engine_msm": q_engine_msm,
         "engine_nested_agg": q_engine_nested_agg,
         "engine_ext_stats": q_engine_ext_stats,
@@ -2329,6 +2342,16 @@ JOIN (SELECT CAST(doc_id AS VARCHAR) AS id FROM tok
 SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id, 1.0::DOUBLE AS score
 FROM (SELECT doc_id, unnest(ts) AS term FROM tok) e
 WHERE damerau_levenshtein(term, 'spork') <= 1
+""")
+
+    # fuzzy PREFIX: min over the term's prefixes of the edit distance to
+    # 'strem' (damerau_levenshtein ≡ the engine's OSA at threshold 1 — a
+    # single edit is the same under both)
+    sqls["engine_fuzzy_prefix"] = _sql_engine_topk("""
+SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id, 1.0::DOUBLE AS score
+FROM (SELECT doc_id, unnest(ts) AS term FROM tok) e
+WHERE list_min(list_transform(range(0, len(term) + 1),
+                              j -> damerau_levenshtein('strem', term[1:j]))) <= 1
 """)
 
     sqls["engine_prefix"] = _sql_engine_topk("""

@@ -632,17 +632,26 @@ def _fuzzy(node: P.FuzzyTerm, ctx: SearchContext) -> DataFrame:
     FuzzyTermQuery::new(term, distance, true) (src/query.rs:58-77). Spark's
     builtin levenshtein() lacks transpositions, so candidates are length-band
     pruned JVM-side and the OSA distance runs as a vectorized pandas UDF over
-    the (small) surviving dictionary slice."""
+    the (small) surviving dictionary slice.
+
+    ``node.prefix`` is Tantivy's FuzzyTermQuery::new_prefix: a dictionary
+    term matches when ANY of its prefixes is within ``distance`` of the
+    query (typo-tolerant search-as-you-type). The same DP computes it —
+    row i of the OSA table is OSA(query, term[:i]), so min over the final
+    column is the best prefix distance; the length band keeps only the
+    lower bound (a long term can still carry a close short prefix)."""
     query = node.term
     dist = node.distance
-    osa = _osa_udf(query)
-    band = (F.length(F.col("term")) >= F.lit(len(query) - dist)) & (
-        F.length(F.col("term")) <= F.lit(len(query) + dist)
-    )
+    osa = _osa_udf(query, node.prefix)
+    band = F.length(F.col("term")) >= F.lit(len(query) - dist)
+    if not node.prefix:
+        band = band & (F.length(F.col("term")) <= F.lit(len(query) + dist))
     return _dict_expansion(ctx, node.field, band & (osa(F.col("term")) <= F.lit(dist)))
 
 
-def _osa_udf(query: str):
+def _osa_udf(query: str, prefix: bool = False):
+    fn = _osa_prefix if prefix else _osa
+
     def _osa_batch(series: pd.Series) -> pd.Series:
         cache: dict = {}
 
@@ -650,7 +659,7 @@ def _osa_udf(query: str):
             hit = cache.get(t)
             if hit is not None:
                 return hit
-            d = _osa(query, t)
+            d = fn(query, t)
             cache[t] = d
             return d
 
@@ -683,6 +692,34 @@ def _osa(a: str, b: str) -> int:
                 cur[j] = min(cur[j], prev2[j - 2] + 1)
         prev2, prev = prev, cur
     return prev[lb]
+
+
+def _osa_prefix(a: str, b: str) -> int:
+    """min over prefixes p of ``b`` of OSA(a, p): after the standard DP,
+    row la holds OSA(a, b[:j]) at column j, so the minimum of the final
+    row is the best prefix distance (the Levenshtein-automaton prefix
+    acceptance FuzzyTermQuery::new_prefix compiles to)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return 0  # the empty prefix matches an empty query
+    if lb == 0:
+        return la
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return min(prev)
 
 
 def _facet(node: P.Facet, ctx: SearchContext) -> DataFrame:

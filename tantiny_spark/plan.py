@@ -76,6 +76,10 @@ class FuzzyTerm(Query):
     field: str
     term: str
     distance: int = DEFAULT_FUZZY_DISTANCE
+    #: Tantivy FuzzyTermQuery::new_prefix — match dictionary terms with
+    #: ANY prefix within ``distance`` of ``term`` (search-as-you-type with
+    #: typo tolerance), instead of the whole term.
+    prefix: bool = False
 
 
 @dataclass(frozen=True)
@@ -289,10 +293,11 @@ def term_query(schema: IndexSchema, fields, term, boost: float = DEFAULT_BOOST) 
 def fuzzy_term_query(
     schema: IndexSchema, fields, term,
     distance: int = DEFAULT_FUZZY_DISTANCE, boost: float = DEFAULT_BOOST,
+    prefix: bool = False,
 ) -> Query:
     return _construct(
         schema, _text_and_strings(schema), fields,
-        lambda f: FuzzyTerm(f, str(term), int(distance)), boost,
+        lambda f: FuzzyTerm(f, str(term), int(distance), bool(prefix)), boost,
     )
 
 

@@ -449,3 +449,29 @@ def test_search_offset_pagination(spark, tmp_path):
     assert page == byf[2:5]
     with pytest.raises(ValueError):
         idx.search_df(q, limit=5, offset=-1)
+
+
+def test_fuzzy_prefix(spark, tmp_path):
+    """Tantivy FuzzyTermQuery::new_prefix: a dictionary term matches when
+    ANY of its prefixes is within distance of the query (typo-tolerant
+    search-as-you-type); the whole-term variant stays unchanged."""
+    idx = build(
+        spark, tmp_path,
+        [
+            {"id": 1, "text": "streaming data"},
+            {"id": 2, "text": "stream processing"},
+            {"id": 3, "text": "strut pattern"},
+            {"id": 4, "text": "other stuff"},
+        ],
+    )
+    # whole-term: 'strem'~1 reaches 'stream' (1 insert) but not
+    # 'streaming' (distance 4)
+    assert ids(idx, idx.fuzzy_term_query("text", "strem", 1)) == ["2"]
+    # prefix: 'streaming' carries prefix 'strea' at distance 1; 'strut'
+    # never gets closer than 2 ('stru' = sub + delete)
+    qp = idx.fuzzy_term_query("text", "strem", 1, prefix=True)
+    assert ids(idx, qp) == ["1", "2"]
+    assert all(s == 1.0 for _, s in idx.search_with_scores(qp))
+    # distance 0 prefix degenerates to a plain prefix query
+    q0 = idx.fuzzy_term_query("text", "stre", 0, prefix=True)
+    assert ids(idx, q0) == ["1", "2"]
