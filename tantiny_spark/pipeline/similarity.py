@@ -7,6 +7,11 @@
   neighboring probes), the 100 TB scale path.
 - IVF-style variant: coarse centroids from a deterministic k-means init
   (k-means++ seeding only — good enough for bucketing), Pandas-UDF assignment.
+- product quantization (pq_train/pq_encode/pq_topk): per-subspace codebooks
+  compress each vector to m codes; queries score by asymmetric distance
+  against a literal lookup table — a pure JVM scan over (key, pq_code) that
+  never reads the vectors. Compose with ivf_assign for the standard IVF-PQ
+  100 TB layout (partition pruning × compressed scan).
 """
 
 from __future__ import annotations
@@ -214,6 +219,121 @@ def kmeans_fit(
                 new[r["ivf_cell"]] = mean / norm
         cents = new
     return cents
+
+
+def pq_train(
+    df: DataFrame, m: int = 4, k: int = 16, n_iter: int = 10,
+    vec: str = "embedding", key: str = "vec_id", sample: int = 1024,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    (row-normalized) vector into ``m`` subspaces and run an independent
+    L2 k-means with ``k`` centroids in each. Returns (m, k, dim/m).
+
+    Training runs driver-side numpy over a DETERMINISTIC bounded sample
+    (first ``sample`` rows by key) — the standard PQ practice (FAISS
+    trains codebooks on a sample): codebook quality needs a representative
+    sample, not the corpus, so training cost is O(sample·m·k·iters)
+    regardless of corpus size. Encoding and querying are the distributed
+    parts (``pq_encode`` / ``pq_topk``). Vectors are normalized first so
+    ADC's L2 ranking matches the module's cosine ranking."""
+    if m < 1 or k < 1:
+        raise ValueError("m and k must be >= 1")
+    rows = df.orderBy(key).limit(sample).select(vec).collect()
+    if not rows:
+        raise ValueError("pq_train needs a non-empty vector table")
+    pts = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = pts.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} is not divisible by m={m} subspaces")
+    d = dim // m
+    pts = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
+    books = np.zeros((m, k, d), dtype=np.float64)
+    for s in range(m):
+        sub = pts[:, s * d:(s + 1) * d]
+        rng = np.random.default_rng(seed + s)
+        # k-means++ seeding over the sample; duplicate-heavy subspaces pad
+        # with the first centroid (argmin ties resolve to the lowest code,
+        # so padding never changes an assignment)
+        cents = [sub[0]]
+        for _ in range(1, k):
+            dist = np.min(
+                [np.sum((sub - c) ** 2, axis=1) for c in cents], axis=0
+            )
+            tot = float(dist.sum())
+            if tot <= 1e-24:
+                break
+            cents.append(sub[rng.choice(len(sub), p=dist / tot)])
+        cb = np.vstack(cents + [cents[0]] * (k - len(cents)))
+        for _ in range(max(0, n_iter)):
+            codes = np.argmin(
+                ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+            for c in range(k):
+                mask = codes == c
+                if mask.any():
+                    cb[c] = sub[mask].mean(axis=0)
+        books[s] = cb
+    return books
+
+
+def pq_encode(
+    df: DataFrame, codebooks: np.ndarray,
+    vec: str = "embedding", key: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as ``m`` one-byte-ish codes (nearest centroid
+    per subspace, after row normalization) — the compressed representation
+    a 100 TB ANN index actually stores: m·log2(k) bits per vector instead
+    of dim·32. Arrow-vectorized numpy, one (batch × k) distance matrix per
+    subspace per batch; adds a ``pq_code`` array<int> column."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, d = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            sub = mat[:, s * d:(s + 1) * d]
+            # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² is rank-constant
+            dist = -2.0 * (sub @ books[s].T) + (books[s] ** 2).sum(axis=1)
+            codes[:, s] = np.argmin(dist, axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn("pq_code", _enc(F.col(vec)))
+
+
+def pq_topk(
+    df: DataFrame, codebooks: np.ndarray, query: list, k: int = 10,
+    vec: str = "embedding", key: str = "vec_id",
+) -> DataFrame:
+    """PQ top-k by ASYMMETRIC distance (ADC): the driver computes the tiny
+    (m × K) lookup table of squared L2 distances from each normalized
+    query sub-vector to every centroid, and the scan scores each code
+    array with a pure JVM sum of ``element_at`` lookups against the
+    literal table — ZERO Python in the hot path, per-partition partial
+    top-k (TakeOrderedAndProject), and the scan reads only (key, pq_code):
+    the full vectors never leave storage. Combine with ``ivf_assign``
+    cells for the classic IVF-PQ layout (partition pruning × compressed
+    scan). Ranking matches cosine because train/encode/query all
+    normalize. Returns (key, pq_dist) ascending."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, K, d = books.shape
+    q = np.asarray(query, dtype=np.float64)
+    if q.shape[0] != m * d:
+        raise ValueError(f"query dim {q.shape[0]} != m*d = {m * d}")
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    lut = np.stack([
+        ((books[s] - q[s * d:(s + 1) * d]) ** 2).sum(axis=1) for s in range(m)
+    ])  # (m, K)
+    encoded = df if "pq_code" in df.columns else pq_encode(df, books, vec, key)
+    dist = F.lit(0.0)
+    for s in range(m):
+        table = F.array(*[F.lit(round(float(x), 12)) for x in lut[s]])
+        dist = dist + F.element_at(table, F.element_at("pq_code", s + 1) + F.lit(1))
+    scored = encoded.select(F.col(key), F.round(dist, 6).alias("pq_dist"))
+    return scored.orderBy(F.col("pq_dist").asc(), F.col(key).asc()).limit(k)
 
 
 def quantization_error(

@@ -510,3 +510,61 @@ def test_multimodal_null_payloads_yield_null_rows(spark):
         for r in multimodal.extract_audio_features(adf).collect()
     }
     assert rows[0]["n_samples"] == 100 and rows[1]["n_samples"] is None
+
+
+def test_pq_lossless_on_small_vocab(spark):
+    """With k >= distinct sub-vectors the codebooks quantize losslessly,
+    so ADC ranking == exact cosine ranking (normalized L2 is monotone in
+    cosine) including the key tie-break."""
+    rng = np.random.default_rng(11)
+    pts = rng.standard_normal((8, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    books = similarity.pq_train(df, m=2, k=16, n_iter=5)
+    assert books.shape == (2, 16, 4)
+    # deterministic re-train
+    assert np.allclose(books, similarity.pq_train(df, m=2, k=16, n_iter=5))
+    query = [float(x) for x in pts[3]]
+    got = [r["vec_id"] for r in similarity.pq_topk(df, books, query, k=8).collect()]
+    want = [r["vec_id"] for r in
+            similarity.brute_force_topk(df, query, k=8).collect()]
+    assert got == want and got[0] == 3
+
+
+def test_pq_recall_on_clustered_vectors(vectors):
+    """Real compression (m=4 -> 4 bytes per 16-dim vector): the tight
+    near-dup cluster around vector 0 must stay in the ADC top-5."""
+    books = similarity.pq_train(vectors, m=4, k=16, n_iter=5)
+    query_row = vectors.where(F.col("vec_id") == 0).collect()[0]
+    query = [float(x) for x in query_row["embedding"]]
+    got = {r["vec_id"] for r in
+           similarity.pq_topk(vectors, books, query, k=5).collect()}
+    exact = {r["vec_id"] for r in
+             similarity.brute_force_topk(vectors, query, k=5).collect()}
+    assert len(got & exact) >= 4  # recall@5 >= 0.8 on the clustered set
+
+
+def test_pq_plan_is_jvm_side(vectors, tmp_path):
+    """The ADC scan over STORED codes must be pure JVM: literal lookup
+    tables + element_at sums -> no Python evaluation anywhere in the
+    query plan (encoding ran once at write time, like a real deployment)."""
+    books = similarity.pq_train(vectors, m=4, k=16, n_iter=2)
+    path = str(tmp_path / "pq_codes")
+    similarity.pq_encode(vectors, books).select("vec_id", "pq_code") \
+        .write.parquet(path)
+    stored = vectors.sparkSession.read.parquet(path)
+    q = similarity.pq_topk(stored, books, [0.1] * 16, k=3)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert len(q.collect()) == 3
+
+
+def test_pq_validation(vectors):
+    with pytest.raises(ValueError):
+        similarity.pq_train(vectors, m=5)  # 16 % 5 != 0
+    books = similarity.pq_train(vectors, m=4, k=8, n_iter=1)
+    with pytest.raises(ValueError):
+        similarity.pq_topk(vectors, books, [0.1] * 12)  # wrong query dim

@@ -207,3 +207,38 @@ def test_search_by_field_take_ordered(spark, tmp_path_factory):
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
     assert "Python" not in plan
+
+
+def test_offset_folds_into_take_ordered(plan_index):
+    """Pagination must stay inside TakeOrderedAndProject (offset=...) —
+    deep pages never trigger a global Sort or an extra exchange."""
+    plan = _physical(
+        plan_index.search_df(plan_index.term_query("t", "w3"), limit=5, offset=10)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "offset=10" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_top_hits_prune_precedes_window(spark, tmp_path_factory):
+    """top_hits ranks buckets only AFTER the per-partition streaming prune:
+    the physical plan must show the mapInPandas prune feeding the Window
+    (never a Window straight over the corpus scan)."""
+    s = IndexSchema()
+    s.string("tag")
+    s.integer("n")
+    ix = Index(spark, str(tmp_path_factory.mktemp("tophits") / "idx"), s)
+    ix.add_dataframe(spark.createDataFrame(
+        [(str(i), f"t{i % 3}", i * 7) for i in range(30)],
+        "id string, tag string, n long",
+    ))
+    ix = ix.reload()
+    plan = _physical(ix.aggregate(
+        {"tags": {"terms": {"field": "tag"},
+                  "aggs": {"h": {"top_hits": {
+                      "size": 2, "sort": [{"n": "desc"}]}}}}}
+    ))
+    assert "Window" in plan
+    # the Arrow-batched prune sits below the window in the plan tree
+    # (executedPlan prints children after parents)
+    assert plan.index("Window") < plan.index("MapInPandas")
