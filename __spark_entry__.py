@@ -746,6 +746,16 @@ def q_dedup_keep(spark, sf_dir):
     return dedup.select_canonical(scored, "score")
 
 
+def q_lsh_candidates(spark, sf_dir):
+    """The LSH banding layer in isolation (dedup.lsh_candidate_pairs):
+    near-dup candidate pairs = docs agreeing on every minhash of some
+    band. Self-joins only within (band, bucket) groups; shingle-less docs
+    are dropped before banding."""
+    return dedup.lsh_candidate_pairs(
+        _docs(spark, sf_dir), num_hashes=4, band_size=2, shingle_n=3
+    )
+
+
 def q_fuzzy_dedup(spark, sf_dir):
     """END-TO-END MinHash-LSH fuzzy dedup (dedup.fuzzy_dedup_corpus — the
     SlimPajama/FineWeb near-dedup stage): LSH banded candidates → exact
@@ -1577,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "dedup_keep": q_dedup_keep,
         "fuzzy_dedup": q_fuzzy_dedup,
+        "lsh_candidates": q_lsh_candidates,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -1781,6 +1792,23 @@ win AS (
 )
 SELECT l.doc_id, l.cluster, l.score, (l.doc_id = w.keep_id) AS keep
 FROM lab l JOIN (SELECT cluster, keep_id FROM win WHERE rn = 1) w USING (cluster)
+"""
+
+    # the LSH banding layer alone: same md5 minhash + 2×2 banding CTEs as
+    # fuzzy_dedup below, emitting the distinct candidate pairs
+    sqls["lsh_candidates"] = f"""
+WITH tok AS ({_SQL_TOK}),
+sh AS (SELECT doc_id, {shingle3} AS shs FROM tok WHERE len(ts) >= 3),
+ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+sig AS (SELECT doc_id, {mh} FROM ex GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS bucket FROM sig
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
 """
 
     # End-to-end MinHash-LSH fuzzy dedup: the SAME md5 minhashes as the

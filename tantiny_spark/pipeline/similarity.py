@@ -336,6 +336,36 @@ def pq_topk(
     return scored.orderBy(F.col("pq_dist").asc(), F.col(key).asc()).limit(k)
 
 
+def ivfpq_topk(
+    df: DataFrame, centroids: np.ndarray, codebooks: np.ndarray,
+    query: list, k: int = 10, n_probe: int = 2,
+    vec: str = "embedding", key: str = "vec_id",
+) -> DataFrame:
+    """The full IVF-PQ read path (FAISS's default 100 TB layout): rank the
+    coarse centroids driver-side, scan ONLY the ``n_probe`` nearest cells
+    (partition pruning when the table is written partitioned by
+    ``ivf_cell``), and rank the survivors by PQ asymmetric distance — so
+    the probe reads just (key, ivf_cell, pq_code), never the vectors.
+    Pre-assign and pre-encode at write time (``ivf_assign`` +
+    ``pq_encode``); both are recomputed here only as a small-data
+    convenience. Returns (key, pq_dist) ascending."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    order = np.argsort(-(cn @ qn), kind="stable")
+    probe = [int(c) for c in order[: max(n_probe, 1)]]
+    assigned = df if "ivf_cell" in df.columns else ivf_assign(df, cents, vec, key)
+    encoded = (
+        assigned if "pq_code" in assigned.columns
+        else pq_encode(assigned, codebooks, vec, key)
+    )
+    return pq_topk(
+        encoded.where(F.col("ivf_cell").isin(probe)), codebooks, query, k,
+        vec, key,
+    )
+
+
 def quantization_error(
     df: DataFrame, centroids: np.ndarray, vec: str = "embedding",
     key: str = "vec_id",

@@ -568,3 +568,24 @@ def test_pq_validation(vectors):
     books = similarity.pq_train(vectors, m=4, k=8, n_iter=1)
     with pytest.raises(ValueError):
         similarity.pq_topk(vectors, books, [0.1] * 12)  # wrong query dim
+
+
+def test_ivfpq_topk_full_probe_matches_pq(vectors):
+    """IVF-PQ with every cell probed must equal plain PQ top-k (the IVF
+    layer only prunes cells); a 1-cell probe still finds the tight
+    cluster around the query."""
+    cents = similarity.deterministic_centroids(vectors, k=4)
+    books = similarity.pq_train(vectors, m=4, k=16, n_iter=3)
+    query_row = vectors.where(F.col("vec_id") == 0).collect()[0]
+    query = [float(x) for x in query_row["embedding"]]
+    full = similarity.ivfpq_topk(
+        vectors, cents, books, query, k=5, n_probe=4
+    ).collect()
+    plain = similarity.pq_topk(vectors, books, query, k=5).collect()
+    assert [(r["vec_id"], r["pq_dist"]) for r in full] == [
+        (r["vec_id"], r["pq_dist"]) for r in plain
+    ]
+    one = similarity.ivfpq_topk(
+        vectors, cents, books, query, k=5, n_probe=1
+    ).collect()
+    assert one and one[0]["vec_id"] in {0, 1, 2, 3, 4}
