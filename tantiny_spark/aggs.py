@@ -303,6 +303,14 @@ def _top_hits_build(
 
     field, via_postings = _bucket_fields(ix, root_kind, root_params)
     doc_cols = sorted({sort_field, *docvalues})
+    # the root agg name becomes the bucket-key OUTPUT column: reject names
+    # that would shadow a needed column (silently ranking by the bucket
+    # key, or colliding with the id join / rank column)
+    if root_name in {"id", "hit_rank", "doc_id", *doc_cols}:
+        raise ValueError(
+            f"top_hits root aggregation name {root_name!r} collides with "
+            f"an output/sort column — rename the aggregation"
+        )
     base = ix.ctx.docs.select("doc_id", *doc_cols)
     if matched is not None:
         base = base.join(matched, "doc_id", "left_semi")
@@ -399,6 +407,13 @@ def aggregate(ix, request: dict, query=None, **smart_opts) -> DataFrame:
         (_h_name, h_spec), = hits.items()
         if set(h_spec) - {"top_hits"}:
             raise ValueError("top_hits cannot carry sub-aggs")
+        if "size" in root_params or "order" in root_params:
+            raise ValueError(
+                "size/order (top-N buckets) under a top_hits request needs "
+                "per-bucket counts beside the per-bucket rank — run a "
+                "single-level terms request for the bucket top-N first, "
+                "then top_hits filtered to those buckets"
+            )
         if query is not None:
             plan = ix._as_plan(query, smart_opts)
             prime_stats(plan, ix.ctx)

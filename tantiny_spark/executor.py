@@ -668,14 +668,11 @@ def _osa_udf(query: str, prefix: bool = False):
     return F.pandas_udf(_osa_batch, T.IntegerType())
 
 
-def _osa(a: str, b: str) -> int:
-    """Optimal string alignment distance (restricted Damerau-Levenshtein:
-    substitution/insert/delete cost 1, adjacent transposition cost 1)."""
+def _osa_final_row(a: str, b: str) -> list:
+    """Final row of the OSA DP table (restricted Damerau-Levenshtein:
+    substitution/insert/delete cost 1, adjacent transposition cost 1):
+    entry j is OSA(a, b[:j])."""
     la, lb = len(a), len(b)
-    if la == 0:
-        return lb
-    if lb == 0:
-        return la
     prev2 = None
     prev = list(range(lb + 1))
     for i in range(1, la + 1):
@@ -691,35 +688,19 @@ def _osa(a: str, b: str) -> int:
             ):
                 cur[j] = min(cur[j], prev2[j - 2] + 1)
         prev2, prev = prev, cur
-    return prev[lb]
+    return prev
+
+
+def _osa(a: str, b: str) -> int:
+    """Optimal string alignment distance between the full strings."""
+    return _osa_final_row(a, b)[len(b)]
 
 
 def _osa_prefix(a: str, b: str) -> int:
-    """min over prefixes p of ``b`` of OSA(a, p): after the standard DP,
-    row la holds OSA(a, b[:j]) at column j, so the minimum of the final
-    row is the best prefix distance (the Levenshtein-automaton prefix
-    acceptance FuzzyTermQuery::new_prefix compiles to)."""
-    la, lb = len(a), len(b)
-    if la == 0:
-        return 0  # the empty prefix matches an empty query
-    if lb == 0:
-        return la
-    prev2 = None
-    prev = list(range(lb + 1))
-    for i in range(1, la + 1):
-        cur = [i] + [0] * lb
-        for j in range(1, lb + 1):
-            cost = 0 if a[i - 1] == b[j - 1] else 1
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
-            if (
-                i > 1
-                and j > 1
-                and a[i - 1] == b[j - 2]
-                and a[i - 2] == b[j - 1]
-            ):
-                cur[j] = min(cur[j], prev2[j - 2] + 1)
-        prev2, prev = prev, cur
-    return min(prev)
+    """min over prefixes p of ``b`` of OSA(a, p) — the final DP row holds
+    OSA(a, b[:j]) at column j (the Levenshtein-automaton prefix acceptance
+    FuzzyTermQuery::new_prefix compiles to)."""
+    return min(_osa_final_row(a, b))
 
 
 def _facet(node: P.Facet, ctx: SearchContext) -> DataFrame:

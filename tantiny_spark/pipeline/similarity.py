@@ -134,6 +134,18 @@ def ivf_assign(
     return df.withColumn("ivf_cell", _assign(F.col(vec)))
 
 
+def _probe_cells(centroids: np.ndarray, query, n_probe: int) -> list:
+    """The ``n_probe`` nearest coarse cells to the query by cosine —
+    driver-side numpy over the tiny centroid matrix (shared by the IVF
+    and IVF-PQ read paths; stable argsort pins tie order)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    order = np.argsort(-(cn @ qn), kind="stable")
+    return [int(c) for c in order[: max(n_probe, 1)]]
+
+
 def ivf_topk(
     df: DataFrame, centroids: np.ndarray, query: list, k: int = 10,
     n_probe: int = 2, vec: str = "embedding", key: str = "vec_id",
@@ -145,12 +157,7 @@ def ivf_topk(
     ``ivf_cell``, so the cell filter is partition pruning: a 100 TB ANN
     query touches n_probe/n_cells of the data. ``n_probe = len(centroids)``
     degrades to exact brute force (useful as a recall oracle in tests)."""
-    cents = centroids.astype(np.float64)
-    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    q = np.asarray(query, dtype=np.float64)
-    qn = q / max(float(np.linalg.norm(q)), 1e-12)
-    order = np.argsort(-(cn @ qn), kind="stable")
-    probe = [int(c) for c in order[: max(n_probe, 1)]]
+    probe = _probe_cells(centroids, query, n_probe)
     assigned = df if "ivf_cell" in df.columns else ivf_assign(df, centroids, vec, key)
     return brute_force_topk(
         assigned.where(F.col("ivf_cell").isin(probe)), query, k, vec, key
@@ -292,6 +299,12 @@ def pq_encode(
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _enc(vecs: pd.Series) -> pd.Series:
         mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        if mat.shape[1] != m * d:
+            raise ValueError(
+                f"pq_encode: vector dim {mat.shape[1]} != codebooks' "
+                f"m*d = {m * d} — codes would silently drop/misscale "
+                "dimensions"
+            )
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         codes = np.empty((len(mat), m), dtype=np.int32)
         for s in range(m):
@@ -349,13 +362,10 @@ def ivfpq_topk(
     Pre-assign and pre-encode at write time (``ivf_assign`` +
     ``pq_encode``); both are recomputed here only as a small-data
     convenience. Returns (key, pq_dist) ascending."""
-    cents = np.asarray(centroids, dtype=np.float64)
-    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    q = np.asarray(query, dtype=np.float64)
-    qn = q / max(float(np.linalg.norm(q)), 1e-12)
-    order = np.argsort(-(cn @ qn), kind="stable")
-    probe = [int(c) for c in order[: max(n_probe, 1)]]
-    assigned = df if "ivf_cell" in df.columns else ivf_assign(df, cents, vec, key)
+    probe = _probe_cells(centroids, query, n_probe)
+    assigned = (
+        df if "ivf_cell" in df.columns else ivf_assign(df, centroids, vec, key)
+    )
     encoded = (
         assigned if "pq_code" in assigned.columns
         else pq_encode(assigned, codebooks, vec, key)

@@ -234,3 +234,14 @@ def test_top_hits_validation(ix):
         ix.aggregate({"t": {"range": {"field": "n", "ranges": [{"to": 5}]},
                             "aggs": {"h": {"top_hits": {
                                 "size": 1, "sort": [{"n": "desc"}]}}}}})
+
+
+def test_top_hits_rejects_sized_root_and_name_collisions(ix):
+    th = {"top_hits": {"size": 1, "sort": [{"n": "desc"}]}}
+    with pytest.raises(ValueError):  # size/order need the counts groupBy
+        ix.aggregate({"t": {"terms": {"field": "tag", "size": 2},
+                            "aggs": {"h": th}}})
+    with pytest.raises(ValueError):  # root name shadows the sort column
+        ix.aggregate({"n": {"terms": {"field": "tag"}, "aggs": {"h": th}}})
+    with pytest.raises(ValueError):  # root name collides with the id join
+        ix.aggregate({"id": {"terms": {"field": "tag"}, "aggs": {"h": th}}})

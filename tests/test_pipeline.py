@@ -589,3 +589,14 @@ def test_ivfpq_topk_full_probe_matches_pq(vectors):
         vectors, cents, books, query, k=5, n_probe=1
     ).collect()
     assert one and one[0]["vec_id"] in {0, 1, 2, 3, 4}
+
+
+def test_pq_encode_rejects_dim_mismatch(spark, vectors):
+    """Codes from a wrong-width embedding column must fail loud, not
+    silently truncate/misscale dimensions."""
+    books = similarity.pq_train(vectors, m=4, k=4, n_iter=1)  # m*d = 16
+    bad = spark.createDataFrame(
+        [(1, [0.1] * 32)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="m\\*d"):
+        similarity.pq_encode(bad, books).collect()
