@@ -1229,6 +1229,20 @@ def q_engine_offset(spark, sf_dir):
     ).select("id", F.round("score", 4).alias("score"))
 
 
+def q_engine_search_after(spark, sf_dir):
+    """ES-style cursor pagination (search_after): page 2 of the 'spark'
+    ranking fetched via the LAST (score, id) of page 1 — must equal the
+    offset-10 page (the oracle IS the engine_offset SQL). Unlike offset,
+    the cursor is a plain filter ahead of the same partial top-k, so page
+    depth costs nothing at web scale."""
+    ix = _engine_index(spark, sf_dir)
+    q = ix.term_query("text", "spark")
+    page1 = ix.search_with_scores(q, limit=10)
+    return ix.search_df(q, limit=10, search_after=page1[-1]).select(
+        "id", F.round("score", 4).alias("score")
+    )
+
+
 def q_engine_wildcard(spark, sf_dir):
     """Engine-routed Lucene WildcardQuery: 's?a*k' (? = one char, * = any
     run) — translated to an anchored Regex node at plan-build time, so it
@@ -1588,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_offset": q_engine_offset,
         "engine_top_hits": q_engine_top_hits,
         "engine_fuzzy_prefix": q_engine_fuzzy_prefix,
+        "engine_search_after": q_engine_search_after,
         "engine_msm": q_engine_msm,
         "engine_nested_agg": q_engine_nested_agg,
         "engine_ext_stats": q_engine_ext_stats,
@@ -2295,6 +2310,11 @@ SELECT id, round(score, 4) AS score
 FROM (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 10 OFFSET 10)
 ORDER BY score DESC, id ASC
 """
+
+    # cursor pagination must land on the SAME page-2 rows as offset=10
+    # (the order is total, so "strictly after page 1's last (score, id)"
+    # and "skip 10" coincide) — reuse the offset oracle verbatim
+    sqls["engine_search_after"] = sqls["engine_offset"]
 
     sqls["engine_bool_and"] = _sql_engine_topk(f"""
 SELECT a.id, a.score + b.score AS score

@@ -463,29 +463,72 @@ class Index:
 
     # --- search (index.rb:87-94, src/index.rs:244-274) ----------------------
     def search(
-        self, query, limit: int = DEFAULT_LIMIT, offset: int = 0, **smart_opts
+        self, query, limit: int = DEFAULT_LIMIT, offset: int = 0,
+        search_after: tuple | None = None, **smart_opts,
     ) -> list:
         """Returns ids of the top ``limit`` docs (scores discarded, like the
         reference). String input becomes a smart query over all text fields.
         ``offset`` skips the first N ranked hits — Tantivy's pagination
-        (``TopDocs::with_limit(n).and_offset(m)``, public collector API)."""
-        rows = self.search_df(query, limit, offset, **smart_opts).collect()
+        (``TopDocs::with_limit(n).and_offset(m)``, public collector API).
+        ``search_after`` is ES-style cursor pagination: pass the previous
+        page's last hit (id, score) — exactly as search_with_scores
+        returns it — and page depth costs nothing extra."""
+        rows = self.search_df(
+            query, limit, offset, search_after, **smart_opts
+        ).collect()
         return [r["id"] for r in rows]
 
     def search_with_scores(
-        self, query, limit: int = DEFAULT_LIMIT, offset: int = 0, **smart_opts
+        self, query, limit: int = DEFAULT_LIMIT, offset: int = 0,
+        search_after: tuple | None = None, **smart_opts,
     ) -> list:
-        rows = self.search_df(query, limit, offset, **smart_opts).collect()
+        rows = self.search_df(
+            query, limit, offset, search_after, **smart_opts
+        ).collect()
         return [(r["id"], r["score"]) for r in rows]
 
     def search_df(
-        self, query, limit: int = DEFAULT_LIMIT, offset: int = 0, **smart_opts
+        self, query, limit: int = DEFAULT_LIMIT, offset: int = 0,
+        search_after: tuple | None = None, **smart_opts,
     ) -> DataFrame:
         if offset < 0:
             raise ValueError("offset must be >= 0")
         plan = self._as_plan(query, smart_opts)
         # resolve every global stat the plan needs in two batched lookups
         prime_stats(plan, self.ctx)
+        if search_after is not None:
+            # ES-style cursor pagination: strictly after the (score, id)
+            # cursor in the pinned (score desc, id asc) order. Unlike
+            # offset=N, page depth costs NOTHING extra — the cursor is a
+            # plain filter ahead of the same top-k, so page 10^6 of a
+            # web-scale result set scans and ranks exactly like page 1.
+            if offset:
+                raise ValueError("search_after and offset are exclusive")
+            try:
+                # the cursor is a previous-page hit EXACTLY as
+                # search_with_scores returns it: (id, score)
+                after_id, after_score = search_after
+                after_score = float(after_score)
+                after_id = str(after_id)
+            except (TypeError, ValueError) as e:
+                raise ValueError(
+                    "search_after must be an (id, score) cursor — the last "
+                    "hit of the previous page as search_with_scores "
+                    "returns it"
+                ) from e
+            ranked = compile_plan(plan, self.ctx).join(
+                self.ctx.id_map, "doc_id"
+            )
+            cursor = (F.col("score") < F.lit(after_score)) | (
+                (F.col("score") == F.lit(after_score))
+                & (F.col("id") > F.lit(after_id))
+            )
+            return (
+                ranked.where(cursor)
+                .orderBy(F.col("score").desc(), F.col("id").asc())
+                .limit(limit)
+                .select("id", "score")
+            )
         # block-max WAND fast path for pure term disjunctions; doc_id order is
         # id order by construction, so tie-breaks agree with the naive path.
         # Pagination rides the SAME top-k machinery at k = offset+limit (the

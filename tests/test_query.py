@@ -475,3 +475,27 @@ def test_fuzzy_prefix(spark, tmp_path):
     # distance 0 prefix degenerates to a plain prefix query
     q0 = idx.fuzzy_term_query("text", "stre", 0, prefix=True)
     assert ids(idx, q0) == ["1", "2"]
+
+
+def test_search_after_cursor_pagination(spark, tmp_path):
+    """ES-style search_after: walking the ranking page by page via the
+    previous page's last (score, id) cursor reproduces the full ranking
+    exactly; the cursor path costs no offset-deep work."""
+    docs = [
+        {"id": i, "text": "common " + "pad " * (i % 5)} for i in range(1, 21)
+    ]
+    idx = build(spark, tmp_path, docs)
+    q = idx.term_query("text", "common")
+    full = idx.search_with_scores(q, limit=20)
+    got, cursor = [], None
+    while True:
+        page = idx.search_with_scores(q, limit=6, search_after=cursor)
+        if not page:
+            break
+        got.extend(page)
+        cursor = page[-1]
+    assert got == full
+    with pytest.raises(ValueError):  # cursor and offset are exclusive
+        idx.search_df(q, limit=5, offset=3, search_after=(1.0, "5"))
+    with pytest.raises(ValueError):  # malformed cursor
+        idx.search_df(q, search_after="bogus")
