@@ -84,48 +84,67 @@ def _numeric_col(ix, field: str):
     return F.col(field).cast("double")
 
 
-def _metric_exprs(ix, name: str, kind: str, params: dict) -> list:
-    """Agg expressions for one metric sub-aggregation (column-naming
-    contract in the module docstring)."""
+#: output-column suffixes for the multi-column metric kinds
+_METRIC_SUFFIXES = {
+    "stats": ("count", "min", "max", "sum", "avg"),
+    "extended_stats": (
+        "count", "min", "max", "sum", "avg", "variance", "std_deviation"
+    ),
+}
+
+
+def _metric_raw(ix, kind: str, params: dict, cond=None) -> list:
+    """UNALIASED agg expressions for one metric kind — the single source
+    both the groupBy path (:func:`_metric_exprs`) and the range root's
+    one-pass conditional form use; ``cond`` restricts the metric's input
+    to rows inside one range bucket."""
     col = _numeric_col(ix, params["field"])
+    if cond is not None:
+        col = F.when(cond, col)
     if kind == "avg":
-        return [F.round(F.avg(col), 6).alias(name)]
+        return [F.round(F.avg(col), 6)]
     if kind == "min":
-        return [F.min(col).alias(name)]
+        return [F.min(col)]
     if kind == "max":
-        return [F.max(col).alias(name)]
+        return [F.max(col)]
     if kind == "sum":
-        return [F.sum(col).alias(name)]
+        return [F.sum(col)]
     if kind == "value_count":
-        return [F.count(col).cast("long").alias(name)]
+        return [F.count(col).cast("long")]
     if kind == "cardinality":
         agg = (
             F.approx_count_distinct(col, params.get("rsd", 0.05))
             if params.get("approx") else F.count_distinct(col)
         )
-        return [agg.cast("long").alias(name)]
+        return [agg.cast("long")]
     if kind == "stats":
         return [
-            F.count(col).cast("long").alias(f"{name}_count"),
-            F.min(col).alias(f"{name}_min"),
-            F.max(col).alias(f"{name}_max"),
-            F.sum(col).alias(f"{name}_sum"),
-            F.round(F.avg(col), 6).alias(f"{name}_avg"),
+            F.count(col).cast("long"), F.min(col), F.max(col), F.sum(col),
+            F.round(F.avg(col), 6),
         ]
     if kind == "extended_stats":
         # ES/Tantivy ExtendedStats: POPULATION variance/std; rounded to 4
         # decimals (like host_stats' means) so cross-engine streaming-
         # moment arithmetic stays hash-comparable
         return [
-            F.count(col).cast("long").alias(f"{name}_count"),
-            F.min(col).alias(f"{name}_min"),
-            F.max(col).alias(f"{name}_max"),
-            F.sum(col).alias(f"{name}_sum"),
-            F.round(F.avg(col), 6).alias(f"{name}_avg"),
-            F.round(F.var_pop(col), 4).alias(f"{name}_variance"),
-            F.round(F.stddev_pop(col), 4).alias(f"{name}_std_deviation"),
+            F.count(col).cast("long"), F.min(col), F.max(col), F.sum(col),
+            F.round(F.avg(col), 6),
+            F.round(F.var_pop(col), 4),
+            F.round(F.stddev_pop(col), 4),
         ]
     raise ValueError(f"unknown metric kind {kind!r}")
+
+
+def _metric_exprs(ix, name: str, kind: str, params: dict) -> list:
+    """Aliased agg expressions for one metric sub-aggregation (column-
+    naming contract in the module docstring)."""
+    exprs = _metric_raw(ix, kind, params)
+    if kind in _METRIC_SUFFIXES:
+        return [
+            e.alias(f"{name}_{s}")
+            for e, s in zip(exprs, _METRIC_SUFFIXES[kind])
+        ]
+    return [exprs[0].alias(name)]
 
 
 def _bucket_fields(ix, kind: str, params: dict) -> tuple:
@@ -190,14 +209,8 @@ def _range_root_build(ix, name, ranges, metrics, docs, col) -> DataFrame:
     # metric output column names (shared across ranges)
     mcols = []
     for mname, mkind, mparams in metrics:
-        if mkind == "stats":
-            mcols += [f"{mname}_{s}" for s in ("count", "min", "max", "sum", "avg")]
-        elif mkind == "extended_stats":
-            mcols += [
-                f"{mname}_{s}" for s in
-                ("count", "min", "max", "sum", "avg", "variance",
-                 "std_deviation")
-            ]
+        if mkind in _METRIC_SUFFIXES:
+            mcols += [f"{mname}_{s}" for s in _METRIC_SUFFIXES[mkind]]
         else:
             mcols.append(mname)
     for i, r in enumerate(ranges):
@@ -214,29 +227,7 @@ def _range_root_build(ix, name, ranges, metrics, docs, col) -> DataFrame:
         cells = [f"__c{i}"]
         j = 0
         for mname, mkind, mparams in metrics:
-            mval = F.when(cond, _numeric_col(ix, mparams["field"]))
-            exprs = {
-                "avg": [F.round(F.avg(mval), 6)],
-                "min": [F.min(mval)],
-                "max": [F.max(mval)],
-                "sum": [F.sum(mval)],
-                "value_count": [F.count(mval).cast("long")],
-                "cardinality": [
-                    (F.approx_count_distinct(mval, mparams.get("rsd", 0.05))
-                     if mparams.get("approx") else F.count_distinct(mval)
-                     ).cast("long")
-                ],
-                "stats": [
-                    F.count(mval).cast("long"), F.min(mval), F.max(mval),
-                    F.sum(mval), F.round(F.avg(mval), 6),
-                ],
-                "extended_stats": [
-                    F.count(mval).cast("long"), F.min(mval), F.max(mval),
-                    F.sum(mval), F.round(F.avg(mval), 6),
-                    F.round(F.var_pop(mval), 4),
-                    F.round(F.stddev_pop(mval), 4),
-                ],
-            }[mkind]
+            exprs = _metric_raw(ix, mkind, mparams, cond=cond)
             for e in exprs:
                 alias = f"__m{i}_{j}"
                 aggs.append(e.alias(alias))
@@ -480,6 +471,15 @@ def aggregate(ix, request: dict, query=None, **smart_opts) -> DataFrame:
             "size/order (top-N buckets) needs a per-group rank inside a "
             "nested request — run a single-level terms request for the "
             "parents"
+        )
+    if any(
+        ("size" in params or "order" in params)
+        for _, k, params in levels if k != "terms"
+    ):
+        raise ValueError(
+            "size/order (top-N buckets) is supported on terms roots only "
+            "— histogram/date_histogram buckets are key-ordered; slice "
+            "the result instead of passing size"
         )
 
     # ---- build the base relation: doc_id + postings term columns + the

@@ -940,13 +940,20 @@ def domain_suffixes(host: Column) -> Column:
     ``a.b.example.com`` → ``[a.b.example.com, b.example.com, example.com]``.
     Bare TLD suffixes (single label) are excluded — no real blocklist
     blocks ``com``, and keeping them would make one bad list entry
-    catastrophic. Pure codegen'd array expression, no Python."""
+    catastrophic. Single-label and empty hosts (``localhost``, a
+    scheme-less or unparseable URL) therefore yield NO suffixes — without
+    the guard, ``sequence(0, n-2)`` runs DESCENDING to [0, -1] at n=1 and
+    ``slice(..., 0, ...)`` kills the whole job. Pure codegen'd array
+    expression, no Python."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    return F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
-    )
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def filter_blocked_hosts(
@@ -964,7 +971,15 @@ def filter_blocked_hosts(
     per-page suffix explosion, no window, no driver materialization."""
     pages = df.withColumn("host", host_of(url))
     hosts = pages.select("host").distinct()
-    blocked_hosts = (
+    return pages.join(_blocked_host_set(hosts, blocked), "host", "left_anti")
+
+
+def _blocked_host_set(hosts: DataFrame, blocked: DataFrame) -> DataFrame:
+    """Distinct hosts (one ``host`` column in, same out) whose host or any
+    parent-domain suffix appears in ``blocked.domain`` — the single
+    derivation both :func:`filter_blocked_hosts` and ``clean_corpus``'s
+    blocked_host stage share, so their semantics cannot drift."""
+    return (
         hosts.select(
             "host", F.explode(domain_suffixes(F.col("host"))).alias("__sfx")
         )
@@ -972,7 +987,6 @@ def filter_blocked_hosts(
         .select("host")
         .distinct()
     )
-    return pages.join(blocked_hosts, "host", "left_anti")
 
 
 def filter_blocked_hosts_sql(
@@ -1042,24 +1056,26 @@ def clean_corpus(
     blocks above (no windows, partial-aggregatable groupBys, one
     codegen'd Project for gopher/C4/PII).
     """
-    d = df.withColumn("__curl", canonical_url(url))
+    # a NULL url must not silently vanish in the equi-join below (NULL
+    # never equals NULL): each null-URL doc gets a doc-unique sentinel
+    # key, so it is never a url-dup and always flows through the funnel
+    d = df.withColumn(
+        "__curl",
+        F.coalesce(
+            canonical_url(url),
+            F.concat(F.lit("\x00nourl:"), F.col(id_col).cast("string")),
+        ),
+    )
     first_url = d.groupBy("__curl").agg(F.min(id_col).alias("__first_url_id"))
     d = d.join(first_url, "__curl")
 
     if blocklist is not None:
         d = d.withColumn("__host", host_of(url))
         blocked_hosts = (
-            d.select(F.col("__host").alias("host")).distinct()
-            .select(
-                "host",
-                F.explode(domain_suffixes(F.col("host"))).alias("__sfx"),
-            )
-            .join(
-                blocklist.select(F.col("domain").alias("__sfx")),
-                "__sfx", "leftsemi",
+            _blocked_host_set(
+                d.select(F.col("__host").alias("host")).distinct(), blocklist
             )
             .select(F.col("host").alias("__host"))
-            .distinct()
             .withColumn("__blocked", F.lit(True))
         )
         d = d.join(blocked_hosts, "__host", "left")

@@ -146,6 +146,11 @@ class _Parser:
                     parsed = self._parse_clause()
                     if parsed is not None:
                         clauses.append(["must_not", parsed.query])
+                    # the NOT clause CONSUMES a pending AND-promotion (it
+                    # is already prohibited); without this, 'a AND NOT b c'
+                    # leaks the promotion onto the unrelated clause c,
+                    # wrongly making it a MUST (Lucene keeps c optional)
+                    promote_next = False
                 # OR: the default occur already is should
                 continue
             parsed = self._parse_clause()
@@ -279,8 +284,17 @@ class _Parser:
             terms = self.schema.tokenizer_for(f).terms(word)
             if not terms:
                 continue
-            if prefix:
-                per_field.append(P.Prefix(f, terms[-1]))
+            if prefix and len(terms) == 1:
+                per_field.append(P.Prefix(f, terms[0]))
+            elif prefix:
+                # a prefix atom the analyzer splits ('data-base*') is a
+                # search-as-you-type phrase: fixed leading terms adjacent,
+                # last token expanded as a prefix — NOT a bare prefix on
+                # the last token, which would match docs containing none
+                # of the leading words
+                per_field.append(
+                    P.PhrasePrefix(f, tuple(terms[:-1]), terms[-1])
+                )
             elif distance is not None:
                 per_field.append(P.FuzzyTerm(f, terms[0], distance))
             elif len(terms) == 1:

@@ -42,9 +42,11 @@ def query_terms(node: P.Query, field: str) -> list:
             out.update(n.terms)
         elif isinstance(n, P.Boost):
             walk(n.child)
-        elif isinstance(n, (P.Conjunction, P.Disjunction)):
+        elif isinstance(n, (P.Conjunction, P.Disjunction, P.DisjunctionMax)):
             for c in n.children:
                 walk(c)
+        elif isinstance(n, P.ConstScore):
+            walk(n.child)
         elif isinstance(n, P.BooleanOccur):
             # must_not terms never appear in the doc — don't highlight them
             for c in (*n.must, *n.should):

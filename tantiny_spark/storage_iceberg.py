@@ -133,10 +133,17 @@ class IcebergIndexStorage:
 
     def commit(self, manifest: dict) -> int:
         """Publish the next version: ONE append to the manifests table —
-        Iceberg's snapshot commit makes the version visible atomically.
-        Concurrent committers are serialized by Iceberg's optimistic
-        metadata-swap (retry on CommitFailedException is the caller's
-        writer-lock analog)."""
+        Iceberg's snapshot commit makes the version visible atomically
+        (readers see the row or not, never a torn manifest).
+
+        NOT self-serializing: appends never conflict in Iceberg, so two
+        concurrent committers can both read current_version()=N and both
+        publish version N+1 — read_manifest would then see duplicate
+        rows. The engine's writer LOCKFILE (Index._acquire_lock) is what
+        prevents concurrent committers, exactly as it does for the
+        filesystem layer; a lock-free deployment would need to swap this
+        append for an Iceberg REPLACE/merge-on-read conditional commit
+        (retry on CommitFailedException) keyed on the version column."""
         version = self.current_version() + 1
         manifest = dict(manifest, version=version)
         self.spark.createDataFrame(

@@ -128,3 +128,21 @@ def test_parse_query_end_to_end(spark, tmp_path):
     # optional-scoring: merge lifts doc 1 above doc 2
     hits = ix.search(ix.parse_query("+spark merge"), limit=2)
     assert hits[0] == "1"
+
+
+def test_not_consumes_and_promotion():
+    """'a AND NOT b c': the AND-promotion is consumed by the (already
+    prohibited) NOT clause — c stays an optional SHOULD, like Lucene."""
+    q = parse_query(_schema(), "spark AND NOT batch merge", ["text"])
+    assert isinstance(q, P.BooleanOccur)
+    assert q.must == (P.Term("text", "spark"),)
+    assert q.must_not == (P.Term("text", "batch"),)
+    assert q.should == (P.Term("text", "merge"),)
+
+
+def test_multi_token_prefix_atom_is_phrase_prefix():
+    """A prefix atom the analyzer splits ('data-base*') compiles to a
+    PhrasePrefix (leading terms adjacent + trailing prefix), never a bare
+    prefix on the last token alone."""
+    q = parse_query(_schema(), "data-base*", ["text"])
+    assert q == P.PhrasePrefix("text", ("data",), "base")

@@ -94,3 +94,18 @@ def test_query_terms_collects_phrase_and_bool(idx_and_src):
     q = (ix.phrase_query("text", "one two") & ix.term_query("text", "ten")
          ) | ~ix.term_query("text", "zero").boost(2.0)
     assert query_terms(ix._as_plan(q, {}), "text") == ["one", "ten", "two", "zero"]
+
+
+def test_query_terms_walks_dismax_and_const_score(idx_and_src):
+    """DisjunctionMax and ConstScore compositions must surface their
+    children's terms — otherwise every snippet blanks under the
+    n_hits==0 rule despite real hits."""
+    ix, src = idx_and_src
+    q = ix.dis_max_query(
+        [ix.term_query("text", "spark"),
+         ix.const_score_query(ix.term_query("text", "ten"), 0.5)],
+        tie_breaker=0.1,
+    )
+    assert query_terms(ix._as_plan(q, {}), "text") == ["spark", "ten"]
+    out = {r["id"]: r for r in snippets(ix, q, src).collect()}
+    assert out["2"]["n_hits"] >= 1 and "spark" in out["2"]["snippet"]

@@ -603,3 +603,45 @@ def test_clean_corpus_report_sql_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_domain_suffixes_single_label_and_empty_host(spark):
+    """Single-label hosts (localhost) and empty hosts (scheme-less URL)
+    must yield NO suffixes — not a descending-sequence slice crash."""
+    df = spark.createDataFrame(
+        [("localhost",), ("",), ("example.com",)], ["h"]
+    )
+    rows = {r["h"]: r["s"] for r in df.select(
+        "h", webclean.domain_suffixes(F.col("h")).alias("s")
+    ).collect()}
+    assert rows["localhost"] == []
+    assert rows[""] == []
+    assert rows["example.com"] == ["example.com"]
+
+
+def test_filter_blocked_hosts_survives_unparseable_urls(spark):
+    df = spark.createDataFrame(
+        [(1, "http://x.bad.example/a"), (2, "example.com/no-scheme"),
+         (3, "http://localhost/x")],
+        ["doc_id", "url"],
+    )
+    blocked = spark.createDataFrame([("bad.example",)], ["domain"])
+    out = sorted(r["doc_id"] for r in
+                 webclean.filter_blocked_hosts(df, blocked).collect())
+    assert out == [2, 3]  # unblockable hosts simply survive
+
+
+def test_clean_corpus_accounts_null_url_rows(spark):
+    """A NULL url must not VANISH from the funnel (the url-dup equi-join
+    never matches NULL keys): it flows through under a doc-unique
+    sentinel — accounted in the report, never counted as a url_dup."""
+    text = "some words here. more words there."
+    df = spark.createDataFrame(
+        [(1, "http://a.example/x", text, "en"),
+         (2, None, text + " different tail.", "en")],
+        ["doc_id", "url", "text", "lang"],
+    )
+    _, report = webclean.clean_corpus(df)
+    rows = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert sum(rows.values()) == 2  # both docs accounted, none vanished
+    assert rows.get("url_dup", 0) == 0  # the sentinel key is unique
