@@ -920,6 +920,7 @@ def _engine_index(spark, sf_dir):
         schema.integer("rating")
         schema.facet("src")
         schema.date("warc_ts")
+        schema.json("attrs")
         path = os.path.join(tempfile.mkdtemp(prefix="tantiny_contract_"), "idx")
         ix = Index(spark, path, schema)
         ix.add_dataframe(
@@ -937,6 +938,18 @@ def _engine_index(spark, sf_dir):
                     F.lit("2026-01-01 00:00:00").cast("timestamp")
                     + F.make_interval(secs=F.col("doc_id"))
                 ).alias("warc_ts"),
+                # deterministic JSON-object field: nested {lang, title}
+                # where title is the doc's first 5 words — exercises path
+                # expansion, the per-(doc,field) json fieldnorm (dl = 1 +
+                # |title tokens|) and typed-term coexistence
+                F.to_json(
+                    F.struct(
+                        F.col("lang").alias("lang"),
+                        F.array_join(
+                            F.slice(F.split(F.col("text"), " "), 1, 5), " "
+                        ).alias("title"),
+                    )
+                ).alias("attrs"),
             )
         )
         ix.reload()
@@ -992,6 +1005,16 @@ def q_engine_fuzzy_prefix(spark, sf_dir):
 def q_engine_string_term(spark, sf_dir):
     ix = _engine_index(spark, sf_dir)
     return _engine_topk(ix, ix.term_query("lang", "en"))
+
+
+def q_engine_json(spark, sf_dir):
+    """Engine-routed JSON-object field query (Tantivy json field family,
+    src/schema/json_object_options.rs): ``attrs.title:spark`` over the
+    nested {lang, title} json column. The oracle replays the json
+    fieldnorm model — dl = |tokens(lang)| + |tokens(title)| = 1 + first-5
+    word count — through the same quantized-BM25 SQL as every text row."""
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.json_term_query("attrs", "title", "spark"))
 
 
 def q_engine_prefix(spark, sf_dir):
@@ -1599,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine_wildcard..engine_regex_phrase) have replica-harness
         # verdicts only until the next driver run scores them
         # ------------------------------------------------------------------
+        "engine_json": q_engine_json,
         "engine_wildcard": q_engine_wildcard,
         "engine_offset": q_engine_offset,
         "engine_top_hits": q_engine_top_hits,
@@ -2742,6 +2766,26 @@ SELECT '/en/' || source AS path, count(*)::BIGINT AS cnt
 FROM documents JOIN m USING (doc_id)
 WHERE lang = 'en'
 GROUP BY 1 ORDER BY cnt DESC, path ASC
+"""
+
+    # json field: terms are path-encoded under the one 'attrs' field; the
+    # fieldnorm is per (doc, field) covering EVERY text leaf, so dl =
+    # |tokens(lang)| + |tokens(title)| = 1 + len(first-5 words), quantized
+    # through the same SmallFloat table; a title term query is tf=1 BM25
+    # over that dl (match = 'spark' among the first 5 words)
+    sqls["engine_json"] = f"""
+WITH tok AS (SELECT doc_id, list_slice(string_split(text, ' '), 1, 5) AS t5
+             FROM documents),
+tbl AS (SELECT {_SQL_NORMTBL} AS t),
+s AS (SELECT sum(1 + len(t5))::DOUBLE AS tot, count(*)::DOUBLE AS n FROM tok),
+m AS (SELECT doc_id, (1 + len(t5))::DOUBLE AS dl FROM tok
+      WHERE list_contains(t5, 'spark')),
+d AS (SELECT count(*)::DOUBLE AS df FROM m),
+q AS (SELECT CAST(m.doc_id AS VARCHAR) AS id, {_sql_bm25(dl=_SQL_DLQ)} AS score
+      FROM m, d, s, tbl)
+SELECT id, round(score, 4) AS score
+FROM (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 10)
+ORDER BY score DESC, id ASC
 """
 
     # string-field term: tf=1, dl=avgdl=1 by construction (the engine stores

@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from tantiny_spark.analysis.jsonpath import json_postings
 from tantiny_spark.schema import IndexSchema
 
 POSTINGS_SCHEMA = T.StructType(
@@ -151,6 +152,9 @@ def _flat_stream_schema(schema: IndexSchema) -> T.StructType:
         fields.append(T.StructField(f, T.TimestampType(), True))
     for f in schema.facet_fields:
         fields.append(T.StructField(f, T.StringType(), True))
+    for f in schema.json_fields:
+        fields.append(T.StructField(f, T.StringType(), True))
+        fields.append(T.StructField(f"{f}__len", T.IntegerType(), True))
     for f in schema.text_fields:
         fields.append(T.StructField(f"{f}__len", T.IntegerType(), True))
         fields.append(T.StructField(f"{f}__norm", T.IntegerType(), True))
@@ -167,7 +171,10 @@ def _flat_analyzer(schema: IndexSchema):
     from tantiny_spark import scoring
 
     text_fields = list(schema.text_fields)
-    tokenizers = {f: schema.tokenizer_for(f) for f in text_fields}
+    json_fields = list(schema.json_fields)
+    tokenizers = {
+        f: schema.tokenizer_for(f) for f in text_fields + json_fields
+    }
     fast_cols = (
         list(schema.string_fields) + list(schema.integer_fields)
         + list(schema.double_fields) + list(schema.date_fields)
@@ -195,6 +202,57 @@ def _flat_analyzer(schema: IndexSchema):
             for c in fast_cols:
                 doc_out[c] = pdf[c]
             post_frames = []
+            # json fields: path-expand every leaf into typed terms under the
+            # field name (analysis/jsonpath.py); ONE fieldnorm per (doc,
+            # field) — the quantized total text-token count — stamped on all
+            # of the doc's posting rows, exactly like Tantivy's json
+            # fieldnorm model
+            for f in json_fields:
+                p_doc, p_term, p_tf, p_pos, p_norm = [], [], [], [], []
+                lens = np.zeros(n, dtype=np.int64)
+                tokenizer = tokenizers[f]
+                for row_i, raw in enumerate(pdf[f]):
+                    if not isinstance(raw, str) or not raw:
+                        continue
+                    try:
+                        acc, n_tok = json_postings(raw, tokenizer)
+                    except (ValueError, TypeError) as e:
+                        raise ValueError(
+                            f"json field {f!r}, doc id "
+                            f"{pdf['id'].iloc[row_i]!r}: {e}"
+                        ) from e
+                    lens[row_i] = n_tok
+                    norm = int(
+                        min(max(np.searchsorted(norm_table, n_tok, side="right") - 1, 0), 255)
+                    )
+                    did = doc_ids[row_i]
+                    for t, ps in acc.items():
+                        p_doc.append(did)
+                        p_term.append(t)
+                        p_tf.append(len(ps))
+                        p_pos.append(ps)
+                        p_norm.append(norm)
+                doc_out[f] = pdf[f]
+                doc_out[f"{f}__len"] = lens.astype("int32")
+                if p_doc:
+                    post = {
+                        "doc_id": np.asarray(p_doc, dtype=np.int64),
+                        "field": f,
+                        "term": p_term,
+                        "tf": np.asarray(p_tf, dtype=np.int32),
+                        "positions": p_pos,
+                        "norm_id": np.asarray(p_norm, dtype="int32"),
+                        "id": None,
+                    }
+                    for c in fast_cols:
+                        post[c] = None
+                    for g in json_fields:
+                        post[g] = None
+                        post[f"{g}__len"] = None
+                    for g in text_fields:
+                        post[f"{g}__len"] = None
+                        post[f"{g}__norm"] = None
+                    post_frames.append(pd.DataFrame(post))
             for f in text_fields:
                 terms_fn = tokenizers[f].terms
                 p_doc, p_term, p_tf, p_pos = [], [], [], []
@@ -236,6 +294,9 @@ def _flat_analyzer(schema: IndexSchema):
                     }
                     for c in fast_cols:
                         post[c] = None
+                    for g in json_fields:
+                        post[g] = None
+                        post[f"{g}__len"] = None
                     for g in text_fields:
                         post[f"{g}__len"] = None
                         post[f"{g}__norm"] = None
@@ -286,6 +347,14 @@ def build_segment(
         cols.append(F.col(f).cast("timestamp").alias(f))
     for f in schema.facet_fields:
         cols.append(F.col(f).cast("string").alias(f))
+    for f in schema.json_fields:
+        # complex Spark types (struct/map/array) serialize via to_json so
+        # callers can pass structured columns directly; strings pass through
+        dtype = dict(source.dtypes).get(f, "string")
+        if dtype.startswith(("struct", "map", "array")):
+            cols.append(F.to_json(F.col(f)).alias(f))
+        else:
+            cols.append(F.col(f).cast("string").alias(f))
     for f in schema.text_fields:
         cols.append(F.col(f).cast("string").alias(f))
 
@@ -357,6 +426,9 @@ def build_segment(
         doc_cols.append(
             F.expr(_ANCESTORS_EXPR.format(col=f)).alias(f"{f}__ancestors")
         )
+    for f in schema.json_fields:
+        doc_cols.append(F.col(f))
+        doc_cols.append(F.col(f"{f}__len"))
     for f in schema.text_fields:
         doc_cols.append(F.col(f"{f}__norm"))
         doc_cols.append(F.col(f"{f}__len"))
@@ -446,12 +518,12 @@ def build_segment(
 
     # one aggregation job for every field's token totals + the doc count
     agg_cols = [F.count("*").alias("__n")]
-    for f in schema.text_fields:
+    for f in schema.text_fields + schema.json_fields:
         agg_cols.append(F.sum(F.col(f"{f}__len")).alias(f"__tot_{f}"))
     agg_row = doc_rows.agg(*agg_cols).collect()[0]
     n_docs = int(agg_row["__n"])
     stats_rows = []
-    for f in schema.text_fields:
+    for f in schema.text_fields + schema.json_fields:
         total = int(agg_row[f"__tot_{f}"] or 0)
         stats_rows.append(
             (f, n_docs, total, (total / n_docs) if n_docs else 0.0)

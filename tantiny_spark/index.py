@@ -242,6 +242,7 @@ class Index:
             "id": T.StringType(), "text": T.StringType(), "string": T.StringType(),
             "integer": T.LongType(), "double": T.DoubleType(),
             "date": T.TimestampType(), "facet": T.StringType(),
+            "json": T.StringType(),
         }
         for name, kind in sch.fields.items():
             fields.append(T.StructField(name, spark_types[kind], True))
@@ -323,7 +324,7 @@ class Index:
 
         n_docs = docs.count()
         stats_rows = []
-        for f in self.schema.text_fields:
+        for f in self.schema.text_fields + self.schema.json_fields:
             tot_row = docs.agg(F.sum(F.col(f"{f}__len")).alias("t")).collect()[0]
             total = int(tot_row["t"] or 0)
             stats_rows.append((f, n_docs, total, (total / n_docs) if n_docs else 0.0))
@@ -405,6 +406,18 @@ class Index:
 
     def exists_query(self, field, **opts):
         return P.exists_query(self.schema, field, **opts)
+
+    def json_term_query(self, field, path, value, **opts):
+        return P.json_term_query(self.schema, field, path, value, **opts)
+
+    def json_phrase_query(self, field, path, phrase, slop: int = 0, **opts):
+        return P.json_phrase_query(self.schema, field, path, phrase, slop, **opts)
+
+    def json_prefix_query(self, field, path, prefix, **opts):
+        return P.json_prefix_query(self.schema, field, path, prefix, **opts)
+
+    def json_exists_query(self, field, path, **opts):
+        return P.json_exists_query(self.schema, field, path, **opts)
 
     def parse_query(self, query_string: str, default_fields=None, **opts):
         """Parse a Lucene/Tantivy-style query string (quotes, +must,

@@ -673,7 +673,7 @@ def exists_query(schema: IndexSchema, field, boost: float = DEFAULT_BOOST) -> Qu
     resolved here from the schema so the executor stays schema-free."""
     indexed = set(schema.text_fields) | set(schema.string_fields) | set(
         schema.facet_fields
-    )
+    ) | set(schema.json_fields)
     allowed = list(indexed) + list(schema.integer_fields) + list(
         schema.double_fields
     ) + list(schema.date_fields)
@@ -681,6 +681,92 @@ def exists_query(schema: IndexSchema, field, boost: float = DEFAULT_BOOST) -> Qu
         schema, allowed, field,
         lambda f: Exists(f, via_postings=f in indexed), boost,
     )
+
+
+def _require_json(schema: IndexSchema, field: str) -> None:
+    if schema.kind_of(field) != "json":
+        raise UnsupportedField(
+            f"field {field!r} is not a json field (json_* queries require "
+            "a schema.json(...) field)"
+        )
+
+
+def json_term_query(
+    schema: IndexSchema, field: str, path: str, value,
+    boost: float = DEFAULT_BOOST,
+) -> Query:
+    """Query one path of a json field (Tantivy json-field term queries —
+    the parser's ``attrs.color:red`` form). Compiles onto the EXISTING plan
+    algebra via the encoded-term scheme (analysis/jsonpath.py):
+
+    - a str value tokenizes with the field's tokenizer — one token becomes
+      a plain :class:`Term`, several become an exact :class:`Phrase` (the
+      Tantivy query-parser behavior for json text), zero become Empty;
+    - int / float / bool values become single typed terms.
+
+    Scoring is therefore the engine's own BM25 for text leaves (tf over the
+    leaf, per-(doc,field) json fieldnorm) and tf=1 BM25 for typed terms —
+    no new executor machinery."""
+    from tantiny_spark.analysis.jsonpath import (
+        MARK_STR, encode_json_term, encode_typed,
+    )
+
+    _require_json(schema, field)
+    if isinstance(value, str):
+        tokens = schema.tokenizer_for(field).terms(value)
+        if not tokens:
+            return Empty()
+        encoded = [encode_json_term(path, MARK_STR, t) for t in tokens]
+        if len(encoded) == 1:
+            return Term(field, encoded[0]).boost(boost)
+        return Phrase(field, tuple(encoded), slop=0).boost(boost)
+    marker, text = encode_typed(value)
+    return Term(field, encode_json_term(path, marker, text)).boost(boost)
+
+
+def json_phrase_query(
+    schema: IndexSchema, field: str, path: str, phrase: str, slop: int = 0,
+    boost: float = DEFAULT_BOOST,
+) -> Query:
+    """Positional phrase within ONE json path's token stream (positions are
+    recorded per path at build time, continuing across repeated values of
+    a multi-valued path with a 1-gap so phrases cannot straddle values)."""
+    from tantiny_spark.analysis.jsonpath import MARK_STR, encode_json_term
+
+    _require_json(schema, field)
+    tokens = schema.tokenizer_for(field).terms(phrase)
+    if not tokens:
+        return Empty()
+    encoded = tuple(encode_json_term(path, MARK_STR, t) for t in tokens)
+    if len(encoded) == 1:
+        return Term(field, encoded[0]).boost(boost)
+    return Phrase(field, encoded, slop=int(slop)).boost(boost)
+
+
+def json_prefix_query(
+    schema: IndexSchema, field: str, path: str, prefix: str,
+    boost: float = DEFAULT_BOOST,
+) -> Query:
+    """Prefix match on the text tokens of one json path — rides the same
+    dictionary range scan as a text-field Prefix because the encoded terms
+    of a path are contiguous in the sorted (field, term) dictionary."""
+    from tantiny_spark.analysis.jsonpath import MARK_STR, encode_json_term
+
+    _require_json(schema, field)
+    return Prefix(field, encode_json_term(path, MARK_STR, str(prefix))).boost(boost)
+
+
+def json_exists_query(
+    schema: IndexSchema, field: str, path: str, boost: float = DEFAULT_BOOST,
+) -> Query:
+    """Docs with ANY value at ``path`` (Tantivy ExistsQuery on a json
+    path): a dictionary-prefix scan on ``path + SEP`` — every typed term of
+    the path shares that prefix, nothing else can (keys cannot contain the
+    separator)."""
+    from tantiny_spark.analysis.jsonpath import JSON_SEP
+
+    _require_json(schema, field)
+    return Prefix(field, f"{path}{JSON_SEP}").boost(boost)
 
 
 def smart_query(  # noqa: C901

@@ -57,7 +57,7 @@ _TOKEN_RE = re.compile(
     | (?P<plus>\+)
     | (?P<minus>-)
     | (?P<boost>\^(?P<bval>\d+(?:\.\d+)?))
-    | (?P<field>[A-Za-z_][A-Za-z0-9_]*):
+    | (?P<field>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)*):
     | (?P<phrase>"(?P<ptext>[^"]*)"(?:~(?P<pslop>\d+))?)
     | (?P<range>\[(?P<rlo>[^\s\]]+)\s+TO\s+(?P<rhi>[^\s\]]+)\])
     | (?P<word>[^\s()^:"\[\]~]+)(?:~(?P<fuzzy>\d*))?
@@ -195,19 +195,40 @@ class _Parser:
     def _parse_atom(self):
         kind, m = self._next()
         field = None
+        json_target = None  # (json field, dotted path) for attrs.color:red
         if kind == "field":
             field = m.group("field")
-            if field not in self.schema.fields:
+            if "." in field:
+                # dotted syntax addresses a PATH inside a json field — the
+                # Tantivy query-parser form (attrs.color:red)
+                head, jpath = field.split(".", 1)
+                if self.schema.fields.get(head) != "json":
+                    raise QueryParseError(
+                        f"unknown field {field!r} (dotted field syntax "
+                        f"targets json fields; {head!r} is not one)"
+                    )
+                json_target, field = (head, jpath), None
+            elif field not in self.schema.fields:
                 raise QueryParseError(f"unknown field {field!r}")
             kind, m = self._next()
         if kind == "lparen":
-            if field is not None:
+            if field is not None or json_target is not None:
                 raise QueryParseError("field: cannot prefix a group")
             return self.parse_group(top=False)
         if kind == "phrase":
             slop = int(m.group("pslop") or 0)
+            if json_target is not None:
+                q = P.json_phrase_query(
+                    self.schema, json_target[0], json_target[1],
+                    m.group("ptext"), slop,
+                )
+                return None if isinstance(q, P.Empty) else q
             return self._phrase_atom(field, m.group("ptext"), slop)
         if kind == "range":
+            if json_target is not None:
+                raise QueryParseError(
+                    "range queries on json paths are not supported"
+                )
             if field is None:
                 raise QueryParseError("a range needs an explicit field: "
                                       "prefix")
@@ -218,10 +239,49 @@ class _Parser:
             except UnsupportedField as e:
                 raise QueryParseError(str(e)) from e
         if kind == "word":
+            if json_target is not None:
+                return self._json_word_atom(
+                    json_target[0], json_target[1],
+                    m.group("word"), m.group("fuzzy"),
+                )
             return self._word_atom(field, m.group("word"), m.group("fuzzy"))
         raise QueryParseError(
             f"unexpected token {m.group(0) if m else '<end>'!r}"
         )
+
+    def _json_word_atom(self, head, jpath, word: str, fuzzy):
+        """Atom addressed at a json PATH. Like the Tantivy parser, a word
+        that also reads as a number/bool matches BOTH the text and the
+        typed term (OR of interpretations)."""
+        if fuzzy is not None:
+            raise QueryParseError("fuzzy~ is not supported on json paths")
+        if word == "*":
+            return P.json_exists_query(self.schema, head, jpath)
+        if word.endswith("*") and "*" not in word[:-1] and "?" not in word \
+                and len(word) > 1:
+            toks = self.schema.tokenizer_for(head).terms(word[:-1])
+            if len(toks) != 1:
+                raise QueryParseError(
+                    f"json prefix atom {word!r} must analyze to one token"
+                )
+            return P.json_prefix_query(self.schema, head, jpath, toks[0])
+        if "*" in word or "?" in word:
+            raise QueryParseError(
+                "wildcards inside json path atoms are not supported"
+            )
+        parts = [P.json_term_query(self.schema, head, jpath, word)]
+        if re.fullmatch(r"-?\d+", word):
+            parts.append(P.json_term_query(self.schema, head, jpath, int(word)))
+        elif re.fullmatch(r"-?\d+\.\d*", word):
+            parts.append(P.json_term_query(self.schema, head, jpath, float(word)))
+        elif word in ("true", "false"):
+            parts.append(
+                P.json_term_query(self.schema, head, jpath, word == "true")
+            )
+        parts = [p for p in parts if not isinstance(p, P.Empty)]
+        if not parts:
+            return None
+        return P.disjunction(*parts)
 
     # --- leaf constructors -------------------------------------------------
     def _fields_for(self, field):

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 from tantiny_spark.analysis.tokenizers import Tokenizer
 from tantiny_spark.errors import UnknownField
 
-FIELD_KINDS = ("id", "text", "string", "integer", "double", "date", "facet")
+FIELD_KINDS = ("id", "text", "string", "integer", "double", "date", "facet", "json")
 
 _SPARK_TYPES = {
     "id": T.StringType(),
@@ -34,6 +34,7 @@ _SPARK_TYPES = {
     "double": T.DoubleType(),
     "date": T.TimestampType(),
     "facet": T.StringType(),
+    "json": T.StringType(),
 }
 
 
@@ -56,6 +57,7 @@ class IndexSchema:
     double_fields: list = dc_field(default_factory=list)
     date_fields: list = dc_field(default_factory=list)
     facet_fields: list = dc_field(default_factory=list)
+    json_fields: list = dc_field(default_factory=list)
     field_tokenizers: dict = dc_field(default_factory=dict)
 
     # --- DSL verbs -------------------------------------------------------
@@ -97,11 +99,28 @@ class IndexSchema:
         self.facet_fields.append(name)
         return self
 
+    def json(self, name: str, tokenizer: Tokenizer | None = None) -> "IndexSchema":
+        """JSON-object field (the Tantivy ``add_json_field`` family): the
+        column holds a JSON object (as a JSON string, or any Spark complex
+        type — ``to_json`` is applied at ingest); every non-null leaf is
+        path-expanded into typed terms under this one field name (see
+        :mod:`tantiny_spark.analysis.jsonpath`). Text leaves tokenize with
+        ``tokenizer`` (default: the index default)."""
+        self.json_fields.append(name)
+        if tokenizer is not None:
+            if not isinstance(tokenizer, Tokenizer):
+                raise TypeError(
+                    f"json field '{name}': tokenizer must be a Tokenizer, "
+                    f"got {type(tokenizer).__name__}"
+                )
+            self.field_tokenizers[name] = tokenizer
+        return self
+
     # --- introspection ---------------------------------------------------
     @property
     def fields(self) -> dict:
         out = {self.id_field: "id"}
-        for kind in ("text", "string", "integer", "double", "date", "facet"):
+        for kind in ("text", "string", "integer", "double", "date", "facet", "json"):
             for name in getattr(self, f"{kind}_fields"):
                 out[name] = kind
         return out
@@ -124,6 +143,12 @@ class IndexSchema:
         if value is None:
             return None
         kind = self.kind_of(field)
+        if kind == "json":
+            # dict → canonical JSON string; strings pass through and are
+            # validated (fail loud) inside the analyzer at build time
+            if isinstance(value, dict):
+                return json.dumps(value, ensure_ascii=False)
+            return str(value)
         if kind in ("id", "text", "string", "facet"):
             return str(value)
         if kind == "integer":
@@ -160,6 +185,8 @@ class IndexSchema:
             cols.append(
                 T.StructField(f"{name}__ancestors", T.ArrayType(T.StringType()), True)
             )
+        for name in self.json_fields:
+            cols.append(T.StructField(name, T.StringType(), True))
         for name in self.text_fields:
             cols.append(T.StructField(f"{name}__norm", T.IntegerType(), True))
         return T.StructType(cols)
@@ -184,6 +211,7 @@ class IndexSchema:
                 "double_fields": self.double_fields,
                 "date_fields": self.date_fields,
                 "facet_fields": self.facet_fields,
+                "json_fields": self.json_fields,
                 "default_tokenizer": tok(self.default_tokenizer),
                 "field_tokenizers": {
                     k: tok(v) for k, v in self.field_tokenizers.items()
@@ -213,6 +241,8 @@ class IndexSchema:
             double_fields=list(d["double_fields"]),
             date_fields=list(d["date_fields"]),
             facet_fields=list(d["facet_fields"]),
+            # .get: schemas persisted before json fields existed stay loadable
+            json_fields=list(d.get("json_fields", [])),
             field_tokenizers={k: tok(v) for k, v in d["field_tokenizers"].items()},
         )
 
