@@ -26,7 +26,9 @@ from tantiny_spark import scoring
 from tantiny_spark.pipeline import (
     decontam,
     dedup,
+    dsir,
     prep,
+    semdedup,
     similarity,
     textstats,
     webclean,
@@ -861,6 +863,40 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: assign each
+    vector to the nearest of 4 FIXED centroids (the first 4 vectors — fully
+    deterministic and oracle-readable from the same parquet), pair
+    within-cluster cosine >= 0.4, connected-components the pair graph, keep
+    the lowest-centroid-cosine member per group. The oracle replays
+    assignment (rank over the 4 centroid cosines), the within-cell pair
+    join, a recursive-CTE CC, and the keep argmin."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cents = np.array(
+        [r[0] for r in e.where(F.col("vec_id") < 4).orderBy("vec_id")
+         .select("embedding").collect()],
+        dtype=np.float64,
+    )
+    _, dup_map = semdedup.semdedup(e, cents, threshold=0.4)
+    return dup_map.select(
+        "vec_id", "cluster", "cent_cos", F.col("keep").cast("int").alias("keep")
+    ).orderBy("vec_id")
+
+
+def q_dsir(spark, sf_dir):
+    """DSIR (Xie et al. 2023): hashed unigram+bigram importance weights of
+    every document toward a deterministic target slice (doc_id % 17 == 0),
+    then Gumbel-top-20 resampling with md5-derived noise. The oracle
+    replays the md5 bucket arithmetic, both smoothed bucket models, the
+    per-doc log-ratio sum and the Gumbel scores bit-for-bit."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    target = d.where(F.col("doc_id") % 17 == 0)
+    w = dsir.dsir_log_weights(d, target, n_buckets=1024)
+    return dsir.dsir_sample(w, 20).select(
+        "doc_id", "n_grams", "log_weight", "gumbel_score"
+    )
+
+
 def q_knn_join(spark, sf_dir):
     """k-NN join: top-3 cosine neighbors for each of the first 20 vectors —
     brute-force pairwise scoring + per-query window rank (the exact-verify
@@ -1661,6 +1697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup": q_fuzzy_dedup,
         "lsh_candidates": q_lsh_candidates,
         "pq_adc": q_pq_adc,
+        "semdedup": q_semdedup,
+        "dsir": q_dsir,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2067,6 +2105,119 @@ WITH n AS (
 SELECT vec_id, round({pq_adc_expr}, 6) AS pq_dist
 FROM n
 ORDER BY pq_dist ASC, vec_id ASC LIMIT 10
+"""
+
+    # SemDeDup: 4 fixed centroids (the first 4 vectors), rank-1 cosine
+    # assignment, within-cell pairs >= 0.4, recursive-CTE connected
+    # components, keep = per-group argmin of (cent_cos, vec_id)
+    _COS = (
+        "list_dot_product({l}::DOUBLE[], {r}::DOUBLE[])"
+        " / (sqrt(list_dot_product({l}::DOUBLE[], {l}::DOUBLE[]))"
+        " * sqrt(list_dot_product({r}::DOUBLE[], {r}::DOUBLE[])))"
+    )
+    sqls["semdedup"] = f"""
+WITH RECURSIVE cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 4
+),
+assigned AS (
+  SELECT vec_id, embedding, cell, cent_cos FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+           round({_COS.format(l='e.embedding', r='c.ce')}, 6) AS cent_cos,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS.format(l='e.embedding', r='c.ce')} DESC, c.cid ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM assigned l JOIN assigned r
+    ON l.cell = r.cell AND l.vec_id < r.vec_id
+  WHERE round({_COS.format(l='l.embedding', r='r.embedding')}, 6) >= 0.4
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS vec_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+dm AS (
+  SELECT c.vec_id, c.cluster, a.cent_cos
+  FROM comp c JOIN assigned a USING (vec_id)
+),
+keepers AS (
+  SELECT cluster, min(cent_cos) AS mc FROM dm GROUP BY cluster
+),
+keep_k AS (
+  SELECT d.cluster, min(d.vec_id) AS kk
+  FROM dm d JOIN keepers k ON d.cluster = k.cluster AND d.cent_cos = k.mc
+  GROUP BY d.cluster
+)
+SELECT d.vec_id, d.cluster, d.cent_cos,
+       (d.vec_id = k.kk)::INT AS keep
+FROM dm d JOIN keep_k k USING (cluster)
+ORDER BY d.vec_id
+"""
+
+    # DSIR: md5 hashed unigram+bigram buckets (1024), add-one-smoothed
+    # target (doc_id % 17 = 0) vs raw models, per-doc log-ratio sums,
+    # deterministic Gumbel-top-20
+    sqls["dsir"] = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                     t -> t != '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_concat(ws,
+           CASE WHEN len(ws) >= 2
+                THEN list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i+1])
+                ELSE [] END) AS gs
+  FROM words
+),
+bk AS (
+  SELECT doc_id,
+         list_transform(gs,
+           g -> (('0x' || substr(md5('dsir:' || g), 1, 8))::BIGINT % 1024)::INT
+         ) AS bs
+  FROM grams
+),
+ex AS (SELECT doc_id, unnest(bs) AS bucket FROM bk),
+rc AS (SELECT bucket, count(*)::BIGINT AS ct FROM ex GROUP BY bucket),
+tc AS (SELECT bucket, count(*)::BIGINT AS ct FROM ex
+       WHERE doc_id % 17 = 0 GROUP BY bucket),
+tot AS (SELECT (SELECT sum(ct) FROM rc) AS rt,
+               (SELECT coalesce(sum(ct), 0) FROM tc) AS tt),
+w AS (
+  SELECT rc.bucket,
+         ln((coalesce(tc.ct, 0) + 1.0) / (tot.tt + 1024))
+         - ln((rc.ct + 1.0) / (tot.rt + 1024)) AS lw
+  FROM rc LEFT JOIN tc USING (bucket), tot
+),
+perdoc AS (
+  SELECT b.doc_id, len(b.bs)::BIGINT AS n_grams,
+         round(coalesce((SELECT sum(w.lw) FROM ex e JOIN w USING (bucket)
+                         WHERE e.doc_id = b.doc_id), 0.0), 6) AS log_weight
+  FROM bk b
+),
+scored AS (
+  SELECT doc_id, n_grams, log_weight,
+         round(log_weight
+               - ln(-ln(greatest(
+                   ('0x' || substr(md5('dsir-sample:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                     / 4294967296.0,
+                   1.0 / 4294967296.0))), 6) AS gumbel_score
+  FROM perdoc
+)
+SELECT doc_id, n_grams, log_weight, gumbel_score
+FROM (SELECT * FROM scored
+      ORDER BY gumbel_score DESC, doc_id ASC LIMIT 20)
+ORDER BY gumbel_score DESC, doc_id ASC
 """
 
     sqls["cosine_dedup"] = f"""
