@@ -1058,6 +1058,26 @@ def q_engine_prefix(spark, sf_dir):
     return _engine_topk(ix, ix.prefix_query("text", "sp"))
 
 
+def q_engine_suggest(spark, sf_dir):
+    """Did-you-mean suggestions (Lucene DirectSpellChecker family): the
+    dictionary terms within OSA distance 1 of the typo 'spak', ranked
+    (distance asc, df desc, term asc). distance=1 keeps the oracle's
+    damerau_levenshtein ≡ the engine's OSA (they only diverge at d >= 2,
+    pytest covers d=2 against a pure-Python OSA)."""
+    ix = _engine_index(spark, sf_dir)
+    return ix.suggest("text", "sow", distance=1, limit=5)
+
+
+def q_engine_sig_terms(spark, sf_dir):
+    """Significant-terms aggregation (ES JLH): terms over-represented in
+    the 'spark' result set vs the corpus — the oracle replays fg/bg doc
+    frequencies and the JLH lift from the same token streams."""
+    ix = _engine_index(spark, sf_dir)
+    return ix.significant_terms(
+        "text", ix.term_query("text", "spark"), size=10, min_doc_count=2
+    )
+
+
 def q_engine_regex(spark, sf_dir):
     ix = _engine_index(spark, sf_dir)
     return _engine_topk(ix, ix.regex_query("text", "s[a-z]*k"))
@@ -1659,6 +1679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verdicts only until the next driver run scores them
         # ------------------------------------------------------------------
         "engine_json": q_engine_json,
+        "engine_suggest": q_engine_suggest,
+        "engine_sig_terms": q_engine_sig_terms,
         "engine_wildcard": q_engine_wildcard,
         "engine_offset": q_engine_offset,
         "engine_top_hits": q_engine_top_hits,
@@ -2937,6 +2959,41 @@ q AS (SELECT CAST(m.doc_id AS VARCHAR) AS id, {_sql_bm25(dl=_SQL_DLQ)} AS score
 SELECT id, round(score, 4) AS score
 FROM (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 10)
 ORDER BY score DESC, id ASC
+"""
+
+    # suggest: dictionary terms within edit distance 1 of 'sow' ranked
+    # (distance asc, df desc, term asc); df = docs containing the term
+    sqls["engine_suggest"] = f"""
+WITH tok AS ({_SQL_TOK}),
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+      FROM (SELECT doc_id, unnest(ts) AS term FROM tok) GROUP BY term)
+SELECT term, damerau_levenshtein(term, 'sow')::INT AS distance, df
+FROM d
+WHERE length(term) BETWEEN 2 AND 4 AND term != 'sow'
+  AND damerau_levenshtein(term, 'sow') <= 1
+ORDER BY distance ASC, df DESC, term ASC LIMIT 5
+"""
+
+    # significant terms: JLH lift of per-term doc frequency inside the
+    # 'spark' matched set vs the whole corpus; fg_df >= 2, positive lift
+    sqls["engine_sig_terms"] = f"""
+WITH tok AS ({_SQL_TOK}),
+e AS (SELECT DISTINCT doc_id, unnest(ts) AS term FROM tok),
+m AS (SELECT doc_id FROM tok WHERE list_contains(ts, 'spark')),
+fgn AS (SELECT count(*)::DOUBLE AS n FROM m),
+bgn AS (SELECT count(*)::DOUBLE AS n FROM tok),
+fg AS (SELECT term, count(*)::BIGINT AS fg_df
+       FROM e JOIN m USING (doc_id) GROUP BY term HAVING count(*) >= 2),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM e GROUP BY term),
+s AS (
+  SELECT fg.term, fg.fg_df, bg.bg_df,
+         round(((fg.fg_df / fgn.n) - (bg.bg_df / bgn.n))
+               * ((fg.fg_df / fgn.n) / (bg.bg_df / bgn.n)), 6) AS score
+  FROM fg JOIN bg USING (term), fgn, bgn
+)
+SELECT term, fg_df, bg_df, score FROM s
+WHERE score > 0
+ORDER BY score DESC, term ASC LIMIT 10
 """
 
     # string-field term: tf=1, dl=avgdl=1 by construction (the engine stores

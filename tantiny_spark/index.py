@@ -659,6 +659,115 @@ class Index:
             .limit(limit)
         )
 
+    def significant_terms(
+        self, field: str, query, size: int = 10, min_doc_count: int = 3,
+        **smart_opts,
+    ) -> DataFrame:
+        """Significant-terms aggregation (the Elasticsearch
+        SignificantTermsAggregation, JLH heuristic): terms OVER-represented
+        in the docs matching ``query`` relative to the whole corpus —
+        "what is this result set about" rather than top_terms' "what is
+        frequent". Returns DataFrame[term, fg_df, bg_df, score] ordered
+        (score desc, term asc), ``size`` rows; only terms with positive
+        lift and foreground df >= ``min_doc_count`` qualify.
+
+        JLH score = (fgPct − bgPct) · (fgPct / bgPct) with
+        fgPct = fg_df / |matched| and bgPct = bg_df / |corpus| (rounded to
+        6 dp — the display/ranking precision).
+
+        Plan shape: ONE corpus-scale pass — the field-pruned postings scan
+        semi-joined against the matched set and partially aggregated per
+        term; the background df comes from the (tiny, pre-aggregated)
+        dictionary, joined per term broadcast-eligibly; the two scalar
+        totals are the memoized Weight-phase stats. Like BM25 between
+        merges, background counts include tombstoned docs until
+        merge_segments physically drops them."""
+        if field not in (
+            list(self.schema.text_fields) + list(self.schema.string_fields)
+        ):
+            raise UnsupportedField(field)
+        if query is None:
+            raise ValueError(
+                "significant_terms needs a query: against the whole corpus "
+                "every term's foreground equals its background (zero lift)"
+            )
+        if min_doc_count < 1:
+            raise ValueError("min_doc_count must be >= 1")
+        plan = self._as_plan(query, smart_opts)
+        prime_stats(plan, self.ctx)
+        matched = compile_plan(plan, self.ctx).select("doc_id")
+        fg_n = matched.count()
+        if fg_n == 0:
+            return self.spark.createDataFrame(
+                [], "term string, fg_df long, bg_df long, score double"
+            )
+        bg_n, _ = self.ctx.field_stats(field)
+        fg = (
+            self.ctx.postings.where(F.col("field") == field)
+            .join(matched, "doc_id", "left_semi")
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("fg_df"))
+            .where(F.col("fg_df") >= min_doc_count)
+        )
+        bg = (
+            self.ctx.dictionary.where(F.col("field") == field)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("bg_df"))
+        )
+        fg_pct = F.col("fg_df") / F.lit(float(fg_n))
+        bg_pct = F.col("bg_df") / F.lit(float(max(bg_n, 1)))
+        return (
+            fg.join(bg, "term")
+            .select(
+                "term", "fg_df", "bg_df",
+                F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("score"),
+            )
+            .where(F.col("score") > 0)
+            .orderBy(F.col("score").desc(), F.col("term").asc())
+            .limit(size)
+        )
+
+    def suggest(
+        self, field: str, term: str, distance: int = 2, limit: int = 5,
+    ) -> DataFrame:
+        """Did-you-mean spelling suggestions (the Lucene DirectSpellChecker
+        family): dictionary terms of ``field`` within OSA edit distance
+        ``distance`` of ``term``, ranked (distance asc, df desc, term asc)
+        — the closest, most attested corrections first. The input term
+        itself is excluded. Returns DataFrame[term, distance, df],
+        ``limit`` rows.
+
+        Plan shape: the candidate set is the (vocabulary-sized, corpus-
+        independent) dictionary slice for the field, length-band pruned
+        JVM-side before the vectorized OSA pandas UDF — the same automaton
+        surrogate the fuzzy query uses — then ONE TakeOrdered. No postings
+        scan at all: suggestions are a dictionary-only read."""
+        from tantiny_spark.executor import _osa_udf
+
+        if field not in (
+            list(self.schema.text_fields) + list(self.schema.string_fields)
+        ):
+            raise UnsupportedField(field)
+        if distance < 1:
+            raise ValueError("distance must be >= 1")
+        osa = _osa_udf(term)
+        band = (
+            F.length(F.col("term")) >= len(term) - distance
+        ) & (F.length(F.col("term")) <= len(term) + distance)
+        return (
+            self.ctx.dictionary.where(F.col("field") == field)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .where(band & (F.col("term") != term))
+            .withColumn("distance", osa(F.col("term")).cast("int"))
+            .where(F.col("distance") <= distance)
+            .orderBy(
+                F.col("distance").asc(), F.col("df").desc(), F.col("term").asc()
+            )
+            .limit(limit)
+            .select("term", "distance", "df")
+        )
+
     def histogram(
         self, field: str, interval: float, query=None, **smart_opts
     ) -> DataFrame:
