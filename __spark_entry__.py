@@ -948,9 +948,17 @@ def _engine_index(spark, sf_dir):
         from tantiny_spark.index import Index
         from tantiny_spark.schema import IndexSchema
 
+        from tantiny_spark.analysis.tokenizers import Tokenizer
+
         schema = IndexSchema()
         schema.id("doc_id")
         schema.text("text")
+        # accent-mangled mirror of text under AsciiFoldingFilter: folding
+        # restores the original tokens, so its BM25 must EQUAL text's
+        schema.text("text_acc", tokenizer=Tokenizer.new("simple", ascii_folding=True))
+        # text under StopWordFilter('the'): dl shrinks by the stopword
+        # count, positions compact — exercises filters through fieldnorms
+        schema.text("text_stop", tokenizer=Tokenizer.new("simple", stop_words=["the"]))
         schema.string("lang")
         schema.integer("n_chars")
         schema.integer("rating")
@@ -961,7 +969,10 @@ def _engine_index(spark, sf_dir):
         ix = Index(spark, path, schema)
         ix.add_dataframe(
             _docs(spark, sf_dir).select(
-                "doc_id", "text", "lang", "n_chars",
+                "doc_id", "text",
+                F.translate(F.col("text"), "ae", "áé").alias("text_acc"),
+                F.col("text").alias("text_stop"),
+                "lang", "n_chars",
                 # deterministic OPTIONAL field: every doc_id % 3 == 0 doc
                 # has no rating — the ExistsQuery contract row's subject
                 F.when(F.col("doc_id") % 3 == 0, F.lit(None))
@@ -1056,6 +1067,22 @@ def q_engine_json(spark, sf_dir):
 def q_engine_prefix(spark, sf_dir):
     ix = _engine_index(spark, sf_dir)
     return _engine_topk(ix, ix.prefix_query("text", "sp"))
+
+
+def q_engine_folded(spark, sf_dir):
+    """AsciiFoldingFilter through the whole build+query path: text_acc is
+    text with a→á/e→é mangling indexed under folding, so its tokens —
+    and therefore its BM25 top-10 for 'spark' — must equal the plain text
+    field's (the oracle IS the engine_term oracle)."""
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.term_query("text_acc", "spark"))
+
+
+def q_engine_stopped(spark, sf_dir):
+    """StopWordFilter('the') through the whole path: the oracle recomputes
+    dl / avgdl / norms over the stop-filtered token stream."""
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.term_query("text_stop", "spark"))
 
 
 def q_engine_suggest(spark, sf_dir):
@@ -1679,6 +1706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verdicts only until the next driver run scores them
         # ------------------------------------------------------------------
         "engine_json": q_engine_json,
+        "engine_folded": q_engine_folded,
+        "engine_stopped": q_engine_stopped,
         "engine_suggest": q_engine_suggest,
         "engine_sig_terms": q_engine_sig_terms,
         "engine_wildcard": q_engine_wildcard,
@@ -2956,6 +2985,26 @@ m AS (SELECT doc_id, (1 + len(t5))::DOUBLE AS dl FROM tok
 d AS (SELECT count(*)::DOUBLE AS df FROM m),
 q AS (SELECT CAST(m.doc_id AS VARCHAR) AS id, {_sql_bm25(dl=_SQL_DLQ)} AS score
       FROM m, d, s, tbl)
+SELECT id, round(score, 4) AS score
+FROM (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 10)
+ORDER BY score DESC, id ASC
+"""
+
+    # ascii folding: folding(translate(text, a→á/e→é)) ≡ text tokens, so
+    # the folded field's BM25 is the plain engine term oracle verbatim
+    sqls["engine_folded"] = _sql_engine_topk(_sql_engine_term("spark"))
+
+    # stop words: dl / avgdl / norms recomputed over the 'the'-filtered
+    # token stream (the engine_stemmed_de custom-tok pattern)
+    tok_stop = (
+        "SELECT doc_id, list_filter(string_split(text, ' '), t -> t != 'the')"
+        " AS ts FROM documents"
+    )
+    sqls["engine_stopped"] = f"""
+WITH tok AS ({tok_stop}),
+tbl AS (SELECT {_SQL_NORMTBL} AS t),
+s AS ({_SQL_STATS}),
+q AS ({_sql_engine_term('spark')})
 SELECT id, round(score, 4) AS score
 FROM (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 10)
 ORDER BY score DESC, id ASC

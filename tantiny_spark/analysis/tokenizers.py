@@ -162,6 +162,36 @@ def _simple_terms(text: str) -> list[str]:
     ]
 
 
+# --- optional token filters (the Tantivy TokenFilter family) ---------------
+
+#: non-decomposable Latin letters NFKD cannot fold (the classic supplement
+#: every accent folder carries — Lucene ASCIIFoldingFilter rows)
+_FOLD_SUPPLEMENT = {
+    "ß": "ss", "æ": "ae", "œ": "oe", "ø": "o", "đ": "d", "ð": "d",
+    "þ": "th", "ł": "l", "ħ": "h", "ŋ": "n", "ı": "i", "ĸ": "k",
+}
+
+
+@lru_cache(maxsize=65536)
+def _fold_token(t: str) -> str:
+    """Accent folding (Tantivy AsciiFoldingFilter, src/tokenizer/
+    ascii_folding_filter.rs): NFKD-decompose, drop combining marks, map the
+    non-decomposable supplements — 'café' → 'cafe', 'straße' → 'strasse'.
+    Non-Latin scripts (CJK, Cyrillic, ...) pass through unchanged. NFKD
+    also folds compatibility forms (ligatures, fullwidth) the Lucene table
+    folds one-by-one."""
+    if t.isascii():
+        return t
+    import unicodedata
+
+    out = []
+    for ch in unicodedata.normalize("NFKD", t):
+        if unicodedata.combining(ch):
+            continue
+        out.append(_FOLD_SUPPLEMENT.get(ch, ch))
+    return "".join(out) or t
+
+
 @dataclass(frozen=True)
 class Tokenizer:
     """A serializable tokenizer spec; ``terms(text)`` runs the analyzer.
@@ -175,18 +205,43 @@ class Tokenizer:
     min_gram: int = 2
     max_gram: int = 10
     prefix_only: bool = False
+    #: StopWordFilter (tantivy src/tokenizer/stop_word_filter.rs): tokens
+    #: dropped after lowercasing, BEFORE stemming. NOTE positions compact —
+    #: a phrase matches across removed stopwords ("quick fox" matches
+    #: "quick the fox"), the classic stopped-phrase behavior.
+    stop_words: tuple = ()
+    #: AsciiFoldingFilter: accent-fold the FINAL tokens (after stemming,
+    #: the cross-language-safe order) — 'café' and 'cafe' unify.
+    ascii_folding: bool = False
 
     def terms(self, text: str) -> list[str]:
         if text is None:
             return []
         if self.kind == "simple":
-            return _simple_terms(text)
+            out = _simple_terms(text)
+        elif self.kind == "stemmer":
+            out = _simple_terms(text)
+        elif self.kind == "ngram":
+            if self.stop_words or self.ascii_folding:
+                raise UnknownTokenizer(
+                    "ngram tokenizer does not take stop_words/ascii_folding "
+                    "(it has no word stream to filter)"
+                )
+            return _ngrams(text, self.min_gram, self.max_gram, self.prefix_only)
+        else:
+            raise UnknownTokenizer(self.kind)
+        if self.stop_words:
+            sw = self._stop_set()
+            out = [t for t in out if t not in sw]
         if self.kind == "stemmer":
             stem = _stem_fn(self.language)
-            return [stem(t) for t in _simple_terms(text)]
-        if self.kind == "ngram":
-            return _ngrams(text, self.min_gram, self.max_gram, self.prefix_only)
-        raise UnknownTokenizer(self.kind)
+            out = [stem(t) for t in out]
+        if self.ascii_folding:
+            out = [_fold_token(t) for t in out]
+        return out
+
+    def _stop_set(self) -> frozenset:
+        return _stop_frozen(self.stop_words)
 
     # --- constructors mirroring Tokenizer.new(kind, **opts) (tokenizer.rb:9-22)
     @staticmethod
@@ -195,14 +250,22 @@ class Tokenizer:
 
     @staticmethod
     def new(kind: str, **opts) -> "Tokenizer":
+        filters = {
+            "stop_words": tuple(opts.get("stop_words", ()) or ()),
+            "ascii_folding": bool(opts.get("ascii_folding", False)),
+        }
         if kind == "simple":
-            return Tokenizer("simple")
+            return Tokenizer("simple", **filters)
         if kind == "stemmer":
             language = str(opts.get("language", "en"))
             if language not in SUPPORTED_LANGUAGES:
                 raise UnknownTokenizer(f"stemmer language '{language}'")
-            return Tokenizer("stemmer", language=language)
+            return Tokenizer("stemmer", language=language, **filters)
         if kind == "ngram":
+            if filters["stop_words"] or filters["ascii_folding"]:
+                raise UnknownTokenizer(
+                    "ngram tokenizer does not take stop_words/ascii_folding"
+                )
             return Tokenizer(
                 "ngram",
                 min_gram=int(opts["min"]),
@@ -210,6 +273,11 @@ class Tokenizer:
                 prefix_only=bool(opts.get("prefix_only", False)),
             )
         raise UnknownTokenizer(kind)
+
+
+@lru_cache(maxsize=None)
+def _stop_frozen(words: tuple) -> frozenset:
+    return frozenset(words)
 
 
 def _stem_fn(language: str):

@@ -200,6 +200,8 @@ class IndexSchema:
                 "min_gram": t.min_gram,
                 "max_gram": t.max_gram,
                 "prefix_only": t.prefix_only,
+                "stop_words": list(t.stop_words),
+                "ascii_folding": t.ascii_folding,
             }
 
         return json.dumps(
@@ -230,6 +232,9 @@ class IndexSchema:
                 min_gram=td["min_gram"],
                 max_gram=td["max_gram"],
                 prefix_only=td["prefix_only"],
+                # .get: schemas persisted before token filters existed
+                stop_words=tuple(td.get("stop_words", ())),
+                ascii_folding=bool(td.get("ascii_folding", False)),
             )
 
         return IndexSchema(
