@@ -989,12 +989,15 @@ def _engine_index(spark, sf_dir):
                 # where title is the doc's first 5 words — exercises path
                 # expansion, the per-(doc,field) json fieldnorm (dl = 1 +
                 # |title tokens|) and typed-term coexistence
+                # the int leaf (typed term — does NOT count toward the
+                # json fieldnorm) feeds the engine_json_range row
                 F.to_json(
                     F.struct(
                         F.col("lang").alias("lang"),
                         F.array_join(
                             F.slice(F.split(F.col("text"), " "), 1, 5), " "
                         ).alias("title"),
+                        (F.col("doc_id") % 100).cast("long").alias("stars"),
                     )
                 ).alias("attrs"),
             )
@@ -1067,6 +1070,15 @@ def q_engine_json(spark, sf_dir):
 def q_engine_prefix(spark, sf_dir):
     ix = _engine_index(spark, sf_dir)
     return _engine_topk(ix, ix.prefix_query("text", "sp"))
+
+
+def q_engine_json_range(spark, sf_dir):
+    """Numeric range over a json path (Tantivy json range support):
+    attrs.stars in [10, 19] — a dictionary-expansion predicate over the
+    path's contiguous typed-term slice, constant 1.0, engine-pinned
+    (score desc, id-string asc) top-10."""
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.json_range_query("attrs", "stars", (10, 19)))
 
 
 def q_engine_folded(spark, sf_dir):
@@ -1706,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verdicts only until the next driver run scores them
         # ------------------------------------------------------------------
         "engine_json": q_engine_json,
+        "engine_json_range": q_engine_json_range,
         "engine_folded": q_engine_folded,
         "engine_stopped": q_engine_stopped,
         "engine_suggest": q_engine_suggest,
@@ -2989,6 +3002,14 @@ SELECT id, round(score, 4) AS score
 FROM (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 10)
 ORDER BY score DESC, id ASC
 """
+
+    # json numeric range: constant 1.0 over docs whose stars leaf
+    # (doc_id % 100) falls in [10, 19]; the engine's pinned id-string tie
+    # order decides the top-10
+    sqls["engine_json_range"] = _sql_engine_topk("""
+SELECT CAST(doc_id AS VARCHAR) AS id, 1.0::DOUBLE AS score
+FROM documents WHERE doc_id % 100 BETWEEN 10 AND 19
+""")
 
     # ascii folding: folding(translate(text, a→á/e→é)) ≡ text tokens, so
     # the folded field's BM25 is the plain engine term oracle verbatim

@@ -207,6 +207,23 @@ def compile_plan(node: P.Query, ctx: SearchContext) -> DataFrame:
         return _dict_expansion(
             ctx, node.field, F.col("term").startswith(node.prefix)
         )
+    if isinstance(node, P.JsonRange):
+        from tantiny_spark.analysis.jsonpath import (
+            JSON_SEP, MARK_FLOAT, MARK_INT,
+        )
+
+        # the path's typed number terms are contiguous dictionary slices
+        # (path SEP marker value); parse the value suffix and range-test it.
+        # startswith gates the substr/cast, so foreign terms never parse.
+        p_i = f"{node.path}{JSON_SEP}{MARK_INT}"
+        p_f = f"{node.path}{JSON_SEP}{MARK_FLOAT}"
+        num = F.col("term").substr(F.lit(len(p_i) + 1), F.lit(64)).cast("double")
+        pred = (
+            (F.col("term").startswith(p_i) | F.col("term").startswith(p_f))
+            & num.isNotNull()
+            & (num >= F.lit(node.low)) & (num <= F.lit(node.high))
+        )
+        return _dict_expansion(ctx, node.field, pred)
     if isinstance(node, P.Range):
         col = F.col(node.field)
         return ctx.docs.where(col.isNotNull() & col.between(F.lit(node.low), F.lit(node.high))).select(

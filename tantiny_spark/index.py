@@ -419,6 +419,9 @@ class Index:
     def json_exists_query(self, field, path, **opts):
         return P.json_exists_query(self.schema, field, path, **opts)
 
+    def json_range_query(self, field, path, rng, **opts):
+        return P.json_range_query(self.schema, field, path, rng, **opts)
+
     def parse_query(self, query_string: str, default_fields=None, **opts):
         """Parse a Lucene/Tantivy-style query string (quotes, +must,
         -must_not, AND/OR/NOT, field:, ranges, prefix*, fuzzy~) into a

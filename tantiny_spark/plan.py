@@ -184,6 +184,19 @@ class Facet(Query):
 
 
 @dataclass(frozen=True)
+class JsonRange(Query):
+    """Inclusive numeric range over ONE json path's typed number terms
+    (Tantivy's json-field range support): matches both integer ('i') and
+    float ('f') encoded terms whose numeric value falls in [low, high].
+    Executes as a dictionary-expansion predicate on the path's contiguous
+    term slice — the Prefix machinery with a numeric parse, constant 1.0."""
+    field: str
+    path: str
+    low: float
+    high: float
+
+
+@dataclass(frozen=True)
 class Conjunction(Query):
     children: tuple
 
@@ -754,6 +767,24 @@ def json_prefix_query(
 
     _require_json(schema, field)
     return Prefix(field, encode_json_term(path, MARK_STR, str(prefix))).boost(boost)
+
+
+def json_range_query(
+    schema: IndexSchema, field: str, path: str, rng,
+    boost: float = DEFAULT_BOOST,
+) -> Query:
+    """Inclusive numeric range on a json path — ``(low, high)`` tuple or a
+    2-list, both ends inclusive like the engine's Range (src/query.rs:
+    139-163). Matches integer AND float leaves (one numeric domain, the
+    way JSON numbers behave)."""
+    _require_json(schema, field)
+    low, high = rng
+    if not isinstance(low, (int, float)) or isinstance(low, bool) or \
+            not isinstance(high, (int, float)) or isinstance(high, bool):
+        raise UnsupportedRange(
+            f"json range bounds must be numbers, got ({low!r}, {high!r})"
+        )
+    return JsonRange(field, path, float(low), float(high)).boost(boost)
 
 
 def json_exists_query(

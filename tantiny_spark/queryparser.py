@@ -46,7 +46,11 @@ import re
 from datetime import datetime
 
 from tantiny_spark import plan as P
-from tantiny_spark.errors import QueryParseError, UnsupportedField
+from tantiny_spark.errors import (
+    QueryParseError,
+    UnsupportedField,
+    UnsupportedRange,
+)
 from tantiny_spark.schema import IndexSchema
 
 _TOKEN_RE = re.compile(
@@ -226,9 +230,18 @@ class _Parser:
             return self._phrase_atom(field, m.group("ptext"), slop)
         if kind == "range":
             if json_target is not None:
-                raise QueryParseError(
-                    "range queries on json paths are not supported"
-                )
+                lo = _parse_literal(m.group("rlo"))
+                hi = _parse_literal(m.group("rhi"))
+                if not all(isinstance(x, (int, float)) for x in (lo, hi)):
+                    raise QueryParseError(
+                        "json path ranges must be numeric"
+                    )
+                try:
+                    return P.json_range_query(
+                        self.schema, json_target[0], json_target[1], (lo, hi)
+                    )
+                except (UnsupportedField, UnsupportedRange) as e:
+                    raise QueryParseError(str(e)) from e
             if field is None:
                 raise QueryParseError("a range needs an explicit field: "
                                       "prefix")

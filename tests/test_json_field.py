@@ -190,8 +190,6 @@ def test_json_parser_dotted_syntax(jix):
                         ["body"]), limit=10) == []
     with pytest.raises(QueryParseError, match="not one"):
         jix.parse_query("body.x:y", ["body"])
-    with pytest.raises(QueryParseError, match="range"):
-        jix.parse_query("attrs.meta.stars:[1 TO 9]", ["body"])
 
 
 def test_json_query_requires_json_field(jix):
@@ -226,6 +224,48 @@ def test_json_malformed_value_fails_loud(spark, tmp_path):
     with pytest.raises(Exception, match="malformed"):
         with ix.transaction():
             ix.add({"id": "x", "attrs": "{broken"})
+
+
+def test_json_range_query(jix):
+    # stars: d1=7(int), d2=3(int), d3=7.0 (canonicalizes to the int term)
+    assert sorted(jix.search(jix.json_range_query("attrs", "meta.stars", (5, 9)),
+                             limit=10)) == ["d1", "d3"]
+    assert jix.search(jix.json_range_query("attrs", "meta.stars", (1, 3)),
+                      limit=10) == ["d2"]
+    # inclusive both ends
+    assert sorted(jix.search(jix.json_range_query("attrs", "meta.stars", (3, 7)),
+                             limit=10)) == ["d1", "d2", "d3"]
+    assert jix.search(jix.json_range_query("attrs", "meta.stars", (8, 99)),
+                      limit=10) == []
+    # text leaves never match a numeric range
+    assert jix.search(jix.json_range_query("attrs", "title", (0, 1e9)),
+                      limit=10) == []
+    from tantiny_spark.errors import UnsupportedRange
+    with pytest.raises(UnsupportedRange):
+        jix.json_range_query("attrs", "meta.stars", ("a", "b"))
+
+
+def test_json_range_with_float_terms(spark, tmp_path):
+    s = IndexSchema()
+    s.json("j")
+    ix = Index(spark, str(tmp_path / "jr"), s)
+    with ix.transaction():
+        ix.add({"id": "a", "j": {"x": 1.5}})
+        ix.add({"id": "b", "j": {"x": 2}})
+        ix.add({"id": "c", "j": {"x": 2.75}})
+    ix.reload()
+    # mixed int/float terms are one numeric domain
+    assert sorted(ix.search(ix.json_range_query("j", "x", (1.5, 2.5)),
+                            limit=10)) == ["a", "b"]
+    assert ix.search(ix.json_range_query("j", "x", (2.1, 3)),
+                     limit=10) == ["c"]
+
+
+def test_json_parser_range(jix):
+    assert sorted(jix.search(jix.parse_query("attrs.meta.stars:[5 TO 9]",
+                                             ["body"]), limit=10)) == ["d1", "d3"]
+    with pytest.raises(QueryParseError, match="numeric"):
+        jix.parse_query("attrs.meta.stars:[2020-01-01 TO 2021-01-01]", ["body"])
 
 
 def test_json_survives_merge(jix):
