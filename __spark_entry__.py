@@ -1239,7 +1239,7 @@ def q_engine_qparser(spark, sf_dir):
     MUST_NOT. The oracle replays the BM25 sum with a LEFT JOIN for the
     optional clause."""
     ix = _engine_index(spark, sf_dir)
-    return _engine_topk(ix, ix.parse_query("+spark merge -batch"))
+    return _engine_topk(ix, ix.parse_query("+spark merge -batch", ["text"]))
 
 
 def q_engine_range_agg(spark, sf_dir):

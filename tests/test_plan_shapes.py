@@ -220,6 +220,48 @@ def test_offset_folds_into_take_ordered(plan_index):
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
 
 
+def test_json_term_plan_shape(spark, tmp_path_factory):
+    """A json path term query is a plain Term on the encoded term: the
+    (field, encoded-term) filter reaches the Parquet reader exactly like a
+    text term, positions stay unread, no shuffle exchange."""
+    s = IndexSchema()
+    s.json("attrs")
+    ix = Index(spark, str(tmp_path_factory.mktemp("jsonplan") / "idx"), s)
+    ix.add_dataframe(spark.createDataFrame(
+        [(str(i), f'{{"k": "v{i % 4}", "n": {i}}}') for i in range(40)],
+        "id string, attrs string",
+    ))
+    ix = ix.reload()
+    scored = compile_plan(ix.json_term_query("attrs", "k", "v1"), ix.ctx)
+    plan = _physical(top_k(scored, ix.ctx, 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan and "EqualTo(term,k\x01sv1)" in plan
+    assert "positions" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_suggest_is_dictionary_only(plan_index):
+    """suggest never touches the postings or docs tables — the plan reads
+    the (tiny) dictionary relation only and ends in a TakeOrdered."""
+    plan = _physical(plan_index.suggest("t", "w00", distance=1))
+    assert "TakeOrderedAndProject" in plan
+    for table in ("postings", "docs"):
+        assert f"/{table}" not in plan, f"suggest scanned {table}"
+
+
+def test_significant_terms_single_corpus_pass(plan_index):
+    """significant_terms makes ONE corpus-scale aggregation: exactly one
+    hash exchange keyed on term over the postings side (the dictionary
+    background join is broadcast/small)."""
+    plan = _physical(plan_index.significant_terms(
+        "t", plan_index.term_query("t", "w0"), min_doc_count=1))
+    # one partial-aggregatable fg groupBy → one term-keyed exchange from
+    # the postings scan; the bg dictionary agg is over the tiny cached
+    # dictionary, never the corpus
+    assert plan.count("Exchange hashpartitioning(term") <= 2
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_top_hits_prune_precedes_window(spark, tmp_path_factory):
     """top_hits ranks buckets only AFTER the per-partition streaming prune:
     the physical plan must show the mapInPandas prune feeding the Window
