@@ -979,6 +979,9 @@ class Index:
                 out["terms"] = list(getattr(n, "terms", ())) or [n.term]
             elif isinstance(n, (P.Prefix, P.Regex, P.Range, P.Facet, P.Exists)):
                 out["field"] = n.field
+            elif isinstance(n, P.JsonRange):
+                out["field"] = n.field
+                out["path"] = n.path
             elif isinstance(n, P.RegexPhrase):
                 out["field"] = n.field
                 out["patterns"] = list(n.patterns)

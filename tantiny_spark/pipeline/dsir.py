@@ -62,6 +62,16 @@ def hashed_gram_buckets(
     )
 
 
+def raw_bucket_counts(
+    df: DataFrame, text: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS, salt: str = "dsir",
+) -> DataFrame:
+    """Fit the raw hashed-n-gram model once — (bucket, ct) over the whole
+    corpus. Persist/write this and feed it to ``dsir_log_weights`` via
+    ``raw_counts`` so repeated selections don't re-tokenize 100 TB."""
+    return _bucket_counts(df, text, n_buckets, salt)
+
+
 def _bucket_counts(df: DataFrame, text: str, n_buckets: int, salt: str) -> DataFrame:
     return (
         df.select(
@@ -79,6 +89,7 @@ def dsir_log_weights(
     key: str = "doc_id",
     n_buckets: int = DEFAULT_BUCKETS,
     salt: str = "dsir",
+    raw_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document log importance weight of ``df`` rows toward the
     ``target`` distribution. Returns (key, n_grams, log_weight) — docs
@@ -88,8 +99,12 @@ def dsir_log_weights(
     ``p̂(b) = (count(b) + 1) / (total + n_buckets)``, so empty buckets
     stay finite and the weight of an unseen gram is a constant prior
     ratio. The raw model is fit on ``df`` itself, matching the paper
-    (raw = the corpus being selected from)."""
-    raw_counts = _bucket_counts(df, text, n_buckets, salt)
+    (raw = the corpus being selected from) — at 100 TB that means two
+    tokenization passes over the corpus, so pass ``raw_counts`` (a
+    (bucket, ct) frame from :func:`raw_bucket_counts`, fit ONCE and
+    persisted/written) to reuse the model across selection runs."""
+    if raw_counts is None:
+        raw_counts = _bucket_counts(df, text, n_buckets, salt)
     tgt_counts = _bucket_counts(target, text, n_buckets, salt)
     # two scalar totals (the Weight-phase pattern: tiny collects, then
     # literals in the scoring expression)

@@ -37,7 +37,15 @@ from tantiny_spark.pipeline.similarity import _dot, _norm, ivf_assign
 def _centroid_cosine(vec_col, centroids: np.ndarray, cell_col) -> "F.Column":
     """cosine(vec, centroids[cell]) with the centroid matrix as a 2-D
     literal — element_at by cell id, then the same JVM dot/norm expressions
-    as every other cosine in the pipeline (no Python in the plan)."""
+    as every other cosine in the pipeline (no Python in the plan). Bounded:
+    k·dim literals are fine for a coarse quantizer (the IVF/PQ convention);
+    a huge codebook would bloat the plan, so fail loud instead."""
+    if np.asarray(centroids).size > 65536:
+        raise ValueError(
+            f"centroid matrix has {np.asarray(centroids).size} elements — "
+            "too large to inline as plan literals; reduce k or join a "
+            "centroid table instead"
+        )
     cents = F.array(
         *[
             F.array(*[F.lit(float(x)) for x in row])

@@ -128,6 +128,22 @@ def test_dsir_weight_math_matches_hand_computation(spark):
     assert abs(w[2] - round(expect_beta, 6)) < 1e-9
 
 
+def test_dsir_precomputed_raw_counts_identical(spark):
+    """Feeding a pre-fit raw model (the fit-once 100 TB path) must produce
+    the exact same weights as the inline fit."""
+    from tantiny_spark.pipeline.dsir import raw_bucket_counts
+
+    raw = _docs(spark, [(1, "alpha beta"), (2, "beta gamma"), (3, "alpha")])
+    target = _docs(spark, [(9, "alpha")])
+    inline = {r["doc_id"]: r["log_weight"]
+              for r in dsir_log_weights(raw, target, n_buckets=64).collect()}
+    rc = raw_bucket_counts(raw, n_buckets=64)
+    reused = {r["doc_id"]: r["log_weight"]
+              for r in dsir_log_weights(raw, target, n_buckets=64,
+                                        raw_counts=rc).collect()}
+    assert inline == reused
+
+
 def test_dsir_sample_is_deterministic_topk(spark):
     raw = _docs(spark, [(i, f"w{i} common text") for i in range(20)])
     target = _docs(spark, [(99, "common text")])
