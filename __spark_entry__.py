@@ -959,6 +959,13 @@ def _engine_index(spark, sf_dir):
         # text under StopWordFilter('the'): dl shrinks by the stopword
         # count, positions compact — exercises filters through fieldnorms
         schema.text("text_stop", tokenizer=Tokenizer.new("simple", stop_words=["the"]))
+        # text under SynonymFilter merge→join: index- and query-time streams
+        # both normalize, so either surface form matches the union; dl is
+        # unchanged (token→token mapping is 1:1)
+        schema.text(
+            "text_syn",
+            tokenizer=Tokenizer.new("simple", synonyms={"merge": "join"}),
+        )
         schema.string("lang")
         schema.integer("n_chars")
         schema.integer("rating")
@@ -972,6 +979,7 @@ def _engine_index(spark, sf_dir):
                 "doc_id", "text",
                 F.translate(F.col("text"), "ae", "áé").alias("text_acc"),
                 F.col("text").alias("text_stop"),
+                F.col("text").alias("text_syn"),
                 "lang", "n_chars",
                 # deterministic OPTIONAL field: every doc_id % 3 == 0 doc
                 # has no rating — the ExistsQuery contract row's subject
@@ -1095,6 +1103,56 @@ def q_engine_stopped(spark, sf_dir):
     dl / avgdl / norms over the stop-filtered token stream."""
     ix = _engine_index(spark, sf_dir)
     return _engine_topk(ix, ix.term_query("text_stop", "spark"))
+
+
+def q_engine_synonym(spark, sf_dir):
+    """SynonymFilter (Lucene SynonymFilter, token→token normalization)
+    through the whole build+query path: text_syn indexes merge→join, and
+    smart_query('merge') analyzes through the SAME map, compiling to
+    Prefix('join') | Term('join') over the normalized dictionary — the
+    union of docs containing either surface form. The oracle replays the
+    mapped token stream (list_transform CASE) and the disjunction's
+    summed prefix-const + BM25 scoring."""
+    ix = _engine_index(spark, sf_dir)
+    return _engine_topk(ix, ix.smart_query(["text_syn"], "merge"))
+
+
+def q_engine_collapse(spark, sf_dir):
+    """Field collapsing (ES collapse): best 'spark' hit per lang with the
+    group's absorbed match count, ranked by the representative's
+    (score desc, id asc). One partial-aggregatable min-struct groupBy +
+    TakeOrdered over group reps — plan-asserted Window-free in pytest."""
+    ix = _engine_index(spark, sf_dir)
+    return ix.search_collapse(
+        ix.term_query("text", "spark"), "lang", limit=10
+    ).select(
+        "id", F.round("score", 4).alias("score"), "lang", "group_count"
+    )
+
+
+def q_engine_composite(spark, sf_dir):
+    """Composite aggregation (ES composite — cursor-paginated multi-source
+    buckets): (lang terms × rating histogram) buckets strictly after the
+    (de, 2.0) cursor, page size 8, with an avg metric riding the same
+    groupBy. The after-predicate is applied BELOW the aggregation
+    (plan-asserted in pytest) — the Spark analog of ES's index-sorted
+    early termination."""
+    ix = _engine_index(spark, sf_dir)
+    return ix.aggregate(
+        {
+            "page": {
+                "composite": {
+                    "sources": [
+                        {"lg": {"terms": {"field": "lang"}}},
+                        {"rb": {"histogram": {"field": "rating", "interval": 2.0}}},
+                    ],
+                    "size": 8,
+                    "after": {"lg": "de", "rb": 2.0},
+                },
+                "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+            }
+        }
+    )
 
 
 def q_engine_suggest(spark, sf_dir):
@@ -1721,6 +1779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_json_range": q_engine_json_range,
         "engine_folded": q_engine_folded,
         "engine_stopped": q_engine_stopped,
+        "engine_synonym": q_engine_synonym,
+        "engine_collapse": q_engine_collapse,
+        "engine_composite": q_engine_composite,
         "engine_suggest": q_engine_suggest,
         "engine_sig_terms": q_engine_sig_terms,
         "engine_wildcard": q_engine_wildcard,
@@ -3064,6 +3125,78 @@ s AS (
 SELECT term, fg_df, bg_df, score FROM s
 WHERE score > 0
 ORDER BY score DESC, term ASC LIMIT 10
+"""
+
+    # SynonymFilter merge→join: the oracle replays the mapped token stream
+    # (1:1, so dl/avgdl equal the plain text field's) and smart_query's
+    # compiled plan Prefix('join') | Term('join') — disjunction sums the
+    # matching children: prefix const 1.0 + tf=1 BM25 when 'join' present
+    sqls["engine_synonym"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        t -> CASE WHEN t = 'merge' THEN 'join' ELSE t END) AS ts
+  FROM documents
+),
+tbl AS (SELECT {_SQL_NORMTBL} AS t),
+s AS ({_SQL_STATS}),
+d AS (SELECT count(*)::DOUBLE AS df FROM tok WHERE list_contains(ts, 'join')),
+q AS (
+  SELECT CAST(m.doc_id AS VARCHAR) AS id,
+         (CASE WHEN list_contains(ts, 'join')
+               THEN {_sql_bm25(dl=_SQL_DLQ)} ELSE 0.0 END)
+         + (CASE WHEN len(list_filter(ts, x -> x LIKE 'join%')) > 0
+                 THEN 1.0 ELSE 0.0 END) AS score
+  FROM (SELECT doc_id, ts, len(ts)::DOUBLE AS dl FROM tok) m, d, s, tbl
+  WHERE list_contains(ts, 'join')
+     OR len(list_filter(ts, x -> x LIKE 'join%')) > 0
+)
+SELECT id, round(score, 4) AS score
+FROM (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 10)
+ORDER BY score DESC, id ASC
+"""
+
+    # field collapsing: best 'spark' hit per lang + absorbed match count;
+    # the oracle's per-group window rank IS the semantics the engine's
+    # min-struct groupBy must reproduce
+    sqls["engine_collapse"] = f"""{_SQL_ENGINE_PRELUDE},
+q AS ({_sql_engine_term('spark')}),
+grp AS (
+  SELECT q.id, q.score, d.lang
+  FROM q JOIN documents d ON CAST(d.doc_id AS VARCHAR) = q.id
+),
+best AS (
+  SELECT id, score, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, id ASC) AS rn,
+         count(*) OVER (PARTITION BY lang)::BIGINT AS group_count
+  FROM grp
+)
+SELECT id, round(score, 4) AS score, lang, group_count
+FROM best WHERE rn = 1
+ORDER BY 2 DESC, id ASC LIMIT 10
+"""
+
+    # composite agg: (lang × rating-histogram) buckets strictly after the
+    # (de, 2.0) cursor in key-tuple order, page size 8, avg metric; rating
+    # is the engine index's derived doc_id%7 (NULL on doc_id%3=0), and
+    # null-key rows are omitted (composite semantics)
+    sqls["engine_composite"] = """
+WITH base AS (
+  SELECT lang AS lg,
+         floor((CASE WHEN doc_id % 3 = 0 THEN NULL
+                     ELSE doc_id % 7 END) / 2.0) * 2.0 AS rb,
+         n_chars
+  FROM documents
+),
+f AS (
+  SELECT * FROM base
+  WHERE lg IS NOT NULL AND rb IS NOT NULL
+    AND ((lg > 'de') OR (lg = 'de' AND rb > 2.0))
+)
+SELECT lg, rb, count(*)::BIGINT AS doc_count,
+       round(avg(n_chars), 6) AS avg_chars
+FROM f GROUP BY lg, rb ORDER BY lg ASC, rb ASC LIMIT 8
 """
 
     # string-field term: tf=1, dl=avgdl=1 by construction (the engine stores

@@ -57,7 +57,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from tantiny_spark.errors import UnsupportedField
 
-BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range")
+BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "composite")
 METRIC_KINDS = (
     "avg", "min", "max", "sum", "value_count", "stats", "extended_stats",
     "cardinality",
@@ -362,6 +362,121 @@ def _top_hits_build(
     )
 
 
+def _composite_build(
+    ix, params: dict, metrics: list, matched: DataFrame | None,
+) -> DataFrame:
+    """ES ``composite`` aggregation — THE scalable pagination primitive
+    for unbounded bucket cardinality (billions of (host, hour) buckets at
+    100 TB): buckets stream in key-tuple-asc order, ``size`` at a time,
+    resumable via an ``after`` cursor (the previous page's last key).
+
+    Request params: ``sources`` (list of single-entry dicts, each naming
+    one terms / histogram / date_histogram source), ``size`` (page size,
+    default 10), ``after`` ({source_name: last_key_value} cursor, or
+    None for the first page).
+
+    Scale shape: the ``after`` cursor compiles to a lexicographic
+    key-tuple predicate applied BELOW the groupBy — rows belonging to
+    already-paged buckets never enter the aggregation (the Spark analog
+    of ES's index-sorted early termination) — then ONE partial-
+    aggregatable groupBy and a TakeOrdered(size) over the surviving
+    buckets. Page N costs what page 1 costs; no state accumulates.
+    Buckets with a null source key are omitted (ES composite's default;
+    ``missing_bucket`` is not supported)."""
+    sources = params.get("sources")
+    if not isinstance(sources, list) or not sources:
+        raise ValueError("composite needs a non-empty sources list")
+    if len(sources) > 4:
+        raise ValueError("composite supports at most 4 sources")
+    size = int(params.get("size", 10))
+    if size < 1:
+        raise ValueError("composite size must be >= 1")
+    levels = []
+    for src in sources:
+        if not (isinstance(src, dict) and len(src) == 1):
+            raise ValueError(
+                "each composite source is one {name: {kind: params}} dict"
+            )
+        (name, spec), = src.items()
+        kind, sparams, sub = _split_spec(name, spec)
+        if kind not in ("terms", "histogram", "date_histogram") or sub:
+            raise ValueError(
+                f"composite source '{name}' must be a plain "
+                "terms/histogram/date_histogram source"
+            )
+        levels.append((name, kind, sparams))
+    names = [n for n, _, _ in levels]
+    if len(set(names)) != len(names):
+        raise ValueError("composite source names must be unique")
+
+    # base relation: identical construction to the groupBy path — postings
+    # term columns for indexed terms sources, codegen'd key expressions
+    # over the column-pruned docs scan for value sources
+    doc_fields = {p["field"] for _, _, p in metrics}
+    postings_levels, key_exprs = [], []
+    for name, kind, sparams in levels:
+        field, via_postings = _bucket_fields(ix, kind, sparams)
+        if via_postings:
+            if "missing" in sparams:
+                raise ValueError(
+                    "missing= applies to value-field terms only (see "
+                    "aggregate)"
+                )
+            postings_levels.append((name, field))
+        else:
+            doc_fields.add(field)
+            key_exprs.append((name, kind, sparams))
+
+    base = None
+    if doc_fields:
+        base = ix.ctx.docs.select("doc_id", *sorted(doc_fields))
+        if matched is not None:
+            base = base.join(matched, "doc_id", "left_semi")
+            matched = None
+    for name, field in postings_levels:
+        posts = (
+            ix.ctx.postings.where(F.col("field") == field)
+            .select("doc_id", F.col("term").alias(name))
+        )
+        if base is None:
+            base = posts
+            if matched is not None:
+                base = base.join(matched, "doc_id", "left_semi")
+                matched = None
+        else:
+            base = base.join(posts, "doc_id")
+    for name, kind, sparams in key_exprs:
+        base = base.withColumn(name, _bucket_key(kind, sparams, name))
+    for name in names:
+        base = base.where(F.col(name).isNotNull())
+
+    after = params.get("after")
+    if after is not None:
+        if set(after) != set(names):
+            raise ValueError(
+                f"after cursor must carry exactly the source names "
+                f"{names}, got {sorted(after)}"
+            )
+        types = dict(base.dtypes)
+        # strict lexicographic key-tuple > cursor, pushed below the groupBy
+        cond, eq = F.lit(False), F.lit(True)
+        for name in names:
+            lit = F.lit(after[name]).cast(types[name])
+            cond = cond | (eq & (F.col(name) > lit))
+            eq = eq & (F.col(name) == lit)
+        base = base.where(cond)
+
+    agg_exprs = [F.count(F.lit(1)).cast("long").alias("doc_count")]
+    for mname, mkind, mparams in metrics:
+        agg_exprs += _metric_exprs(ix, mname, mkind, mparams)
+    return (
+        base.groupBy(*names)
+        .agg(*agg_exprs)
+        .orderBy(*[F.col(n).asc() for n in names])
+        .limit(size)
+    )
+
+
 def aggregate(ix, request: dict, query=None, **smart_opts) -> DataFrame:
     """Compile one ES/Tantivy-style aggregation request (module docstring)
     against ``ix``'s live snapshot, optionally restricted to the docs
@@ -435,6 +550,17 @@ def aggregate(ix, request: dict, query=None, **smart_opts) -> DataFrame:
 
     root_metrics, nested = split_subs(root_sub)
 
+    if root_kind == "composite":
+        if nested:
+            raise ValueError(
+                "composite roots take metric sub-aggs only — the sources "
+                "list IS the (multi-)bucket key"
+            )
+        return _composite_build(
+            ix, root_params, root_metrics,
+            ix._matched_docs(query, smart_opts),
+        )
+
     if root_kind == "range":
         if nested:
             raise ValueError(
@@ -456,8 +582,8 @@ def aggregate(ix, request: dict, query=None, **smart_opts) -> DataFrame:
                 "metrics live at the deepest bucket level; compute "
                 "parent-level metrics with a second aggregate() call"
             )
-        if n_kind == "range":
-            raise ValueError("range buckets are root-only")
+        if n_kind in ("range", "composite"):
+            raise ValueError(f"{n_kind} buckets are root-only")
         n_metrics, deeper = split_subs(n_sub)
         if deeper:
             raise ValueError("bucket nesting is limited to two levels")

@@ -213,6 +213,15 @@ class Tokenizer:
     #: AsciiFoldingFilter: accent-fold the FINAL tokens (after stemming,
     #: the cross-language-safe order) — 'café' and 'cafe' unify.
     ascii_folding: bool = False
+    #: SynonymFilter (the Lucene SynonymFilter contract, restricted to
+    #: token→token normalization so positions are preserved 1:1): each
+    #: (variant, canonical) pair rewrites a lowercased token AFTER stop
+    #: words and BEFORE stemming — both index- and query-time streams go
+    #: through the same map, so searching either surface form matches the
+    #: union. Multi-word (graph) synonyms are deliberately out of scope:
+    #: they would break the flat positions contract (position = stream
+    #: index) that phrase queries and the terms()-parity UDFs rely on.
+    synonyms: tuple = ()
 
     def terms(self, text: str) -> list[str]:
         if text is None:
@@ -222,10 +231,10 @@ class Tokenizer:
         elif self.kind == "stemmer":
             out = _simple_terms(text)
         elif self.kind == "ngram":
-            if self.stop_words or self.ascii_folding:
+            if self.stop_words or self.ascii_folding or self.synonyms:
                 raise UnknownTokenizer(
-                    "ngram tokenizer does not take stop_words/ascii_folding "
-                    "(it has no word stream to filter)"
+                    "ngram tokenizer does not take stop_words/ascii_folding/"
+                    "synonyms (it has no word stream to filter)"
                 )
             return _ngrams(text, self.min_gram, self.max_gram, self.prefix_only)
         else:
@@ -233,6 +242,9 @@ class Tokenizer:
         if self.stop_words:
             sw = self._stop_set()
             out = [t for t in out if t not in sw]
+        if self.synonyms:
+            syn = _syn_map(self.synonyms)
+            out = [syn.get(t, t) for t in out]
         if self.kind == "stemmer":
             stem = _stem_fn(self.language)
             out = [stem(t) for t in out]
@@ -253,6 +265,7 @@ class Tokenizer:
         filters = {
             "stop_words": tuple(opts.get("stop_words", ()) or ()),
             "ascii_folding": bool(opts.get("ascii_folding", False)),
+            "synonyms": _norm_synonyms(opts.get("synonyms", ()) or ()),
         }
         if kind == "simple":
             return Tokenizer("simple", **filters)
@@ -262,9 +275,10 @@ class Tokenizer:
                 raise UnknownTokenizer(f"stemmer language '{language}'")
             return Tokenizer("stemmer", language=language, **filters)
         if kind == "ngram":
-            if filters["stop_words"] or filters["ascii_folding"]:
+            if any(filters.values()):
                 raise UnknownTokenizer(
-                    "ngram tokenizer does not take stop_words/ascii_folding"
+                    "ngram tokenizer does not take "
+                    "stop_words/ascii_folding/synonyms"
                 )
             return Tokenizer(
                 "ngram",
@@ -278,6 +292,36 @@ class Tokenizer:
 @lru_cache(maxsize=None)
 def _stop_frozen(words: tuple) -> frozenset:
     return frozenset(words)
+
+
+def _norm_synonyms(synonyms) -> tuple:
+    """Normalize a synonyms spec ({variant: canonical} dict or iterable of
+    (variant, canonical) pairs) into the frozen, sorted pair tuple the
+    Tokenizer dataclass stores. Both sides are lowercased (the stream the
+    filter sees is post-LowerCaser) and must each be exactly ONE token of
+    the simple analyzer — anything else could never match / never be
+    emitted coherently, so fail loud at construction time."""
+    pairs = synonyms.items() if isinstance(synonyms, dict) else synonyms
+    out = {}
+    for variant, canonical in pairs:
+        v, c = _lowercase(str(variant)), _lowercase(str(canonical))
+        for side in (v, c):
+            if _split_words(side) != [side]:
+                raise UnknownTokenizer(
+                    f"synonym entry {side!r} is not a single simple-analyzer "
+                    "token (multi-word/graph synonyms are not supported)"
+                )
+        if v in out and out[v] != c:
+            raise UnknownTokenizer(
+                f"conflicting synonym targets for {v!r}: {out[v]!r} vs {c!r}"
+            )
+        out[v] = c
+    return tuple(sorted(out.items()))
+
+
+@lru_cache(maxsize=None)
+def _syn_map(pairs: tuple) -> dict:
+    return dict(pairs)
 
 
 def _stem_fn(language: str):

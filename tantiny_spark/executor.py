@@ -842,6 +842,46 @@ def batch_rank_prune(tagged: DataFrame, k: int) -> DataFrame:
     return tagged.mapInPandas(prune, BATCH_SCHEMA)
 
 
+def collapse_top_k(
+    result: DataFrame, ctx: SearchContext, field: str, limit: int = 10
+) -> DataFrame:
+    """Field collapsing (the ES ``collapse`` request): rank the matched
+    docs by (score desc, id asc), keep only the BEST hit per value of a
+    fast field, and return the top ``limit`` group representatives in hit
+    order, each carrying how many matches its group absorbed.
+
+    Scale shape — one partial-aggregatable groupBy, never a per-group
+    window: the representative is ``min(struct(-score, id))`` (IEEE
+    negation is exact, so -(-score) round-trips bit-for-bit), which
+    combines map-side even when one group holds half the corpus (the
+    classic collapse skew case — e.g. collapsing a web crawl by host),
+    and the final rank is a TakeOrderedAndProject over #groups rows,
+    not #docs. NULL field values collapse into one group (documented
+    divergence from ES, which keeps missing-field docs as singletons —
+    a null group is the Spark/SQL-natural and oracle-replayable choice).
+
+    Returns DataFrame[id, score, <field>, group_count].
+    """
+    vals = ctx.docs.select("doc_id", field)
+    hits = result.join(vals, "doc_id").join(ctx.id_map, "doc_id")
+    reps = hits.groupBy(field).agg(
+        F.min(
+            F.struct((-F.col("score")).alias("ns"), F.col("id").alias("id"))
+        ).alias("best"),
+        F.count(F.lit(1)).cast("long").alias("group_count"),
+    )
+    return (
+        reps.select(
+            F.col("best.id").alias("id"),
+            (-F.col("best.ns")).alias("score"),
+            field,
+            "group_count",
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(limit)
+    )
+
+
 def facet_counts(
     ctx: SearchContext,
     field: str,

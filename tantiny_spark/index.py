@@ -594,6 +594,36 @@ class Index:
             out = out.offset(offset)
         return out.limit(limit).select("id", "value")
 
+    def search_collapse(
+        self, query, collapse: str, limit: int = DEFAULT_LIMIT, **smart_opts,
+    ) -> DataFrame:
+        """Relevance search with field collapsing (the ES ``collapse``
+        request, public search API): the best-scoring hit per value of the
+        ``collapse`` fast field, ranked by that hit's (score desc, id asc),
+        top ``limit`` groups. Returns ``(id, score, <collapse>,
+        group_count)`` where group_count is how many matches the group
+        absorbed. One partial-aggregatable groupBy + a TakeOrdered over
+        group representatives — see executor.collapse_top_k for the
+        skew/scale analysis."""
+        from tantiny_spark.executor import collapse_top_k
+
+        if collapse not in (
+            list(self.schema.string_fields) + self.schema.integer_fields
+            + self.schema.double_fields + list(self.schema.date_fields)
+            + list(self.schema.facet_fields)
+        ):
+            raise UnsupportedField(
+                f"collapse needs a string/integer/double/date/facet "
+                f"fast field, got {collapse!r}"
+            )
+        if limit < 1:
+            raise ValueError("limit must be >= 1")
+        plan = self._as_plan(query, smart_opts)
+        prime_stats(plan, self.ctx)
+        return collapse_top_k(
+            compile_plan(plan, self.ctx), self.ctx, collapse, limit
+        )
+
     def count(self, query=None, **smart_opts) -> int:
         """Number of documents matching ``query`` (all docs when None) —
         the searcher-count companion to search(): no ranking, no top-k, so

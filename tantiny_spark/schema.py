@@ -202,6 +202,7 @@ class IndexSchema:
                 "prefix_only": t.prefix_only,
                 "stop_words": list(t.stop_words),
                 "ascii_folding": t.ascii_folding,
+                "synonyms": [list(p) for p in t.synonyms],
             }
 
         return json.dumps(
@@ -235,6 +236,9 @@ class IndexSchema:
                 # .get: schemas persisted before token filters existed
                 stop_words=tuple(td.get("stop_words", ())),
                 ascii_folding=bool(td.get("ascii_folding", False)),
+                synonyms=tuple(
+                    (v, c) for v, c in td.get("synonyms", ())
+                ),
             )
 
         return IndexSchema(
