@@ -1155,6 +1155,31 @@ def q_engine_composite(spark, sf_dir):
     )
 
 
+def q_engine_rescore(spark, sf_dir):
+    """Two-phase ranking (ES rescore, score_mode=total): top-100 'spark'
+    hits re-ranked by + 2x the 'batch batch' phrase score. The expensive
+    phrase scorer touches only the bounded window — the oracle replays
+    the same window cut (score desc, id asc LIMIT 100) and the weighted
+    sum."""
+    ix = _engine_index(spark, sf_dir)
+    return ix.rescore(
+        ix.term_query("text", "spark"),
+        ix.phrase_query("text", "batch batch"),
+        window_size=100, weight=2.0, limit=10,
+    ).select("id", F.round("score", 4).alias("score"))
+
+
+def q_engine_function_score(spark, sf_dir):
+    """Field-value-factor scoring (ES function_score): BM25('spark') x
+    log1p(n_chars) — the classic query-independent quality boost. One
+    column-pruned docs join + codegen'd combine + TakeOrdered."""
+    ix = _engine_index(spark, sf_dir)
+    return ix.function_score(
+        ix.term_query("text", "spark"), "n_chars", modifier="log1p",
+        boost_mode="multiply", limit=10,
+    ).select("id", F.round("score", 4).alias("score"))
+
+
 def q_engine_suggest(spark, sf_dir):
     """Did-you-mean suggestions (Lucene DirectSpellChecker family): the
     dictionary terms within OSA distance 1 of the typo 'spak', ranked
@@ -1782,6 +1807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_synonym": q_engine_synonym,
         "engine_collapse": q_engine_collapse,
         "engine_composite": q_engine_composite,
+        "engine_rescore": q_engine_rescore,
+        "engine_function_score": q_engine_function_score,
         "engine_suggest": q_engine_suggest,
         "engine_sig_terms": q_engine_sig_terms,
         "engine_wildcard": q_engine_wildcard,
@@ -3153,6 +3180,46 @@ q AS (
 )
 SELECT id, round(score, 4) AS score
 FROM (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 10)
+ORDER BY score DESC, id ASC
+"""
+
+    # rescore: top-100 'spark' window (same deterministic cut both
+    # engines pin: score desc, id asc), + 2x the 'batch batch' phrase
+    # score (the engine_phrase scoring body) for window docs matching it
+    sqls["engine_rescore"] = f"""{_SQL_ENGINE_PRELUDE},
+q AS ({_sql_engine_term('spark')}),
+w AS (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 100),
+ph AS (
+  SELECT CAST(ph.doc_id AS VARCHAR) AS id,
+         2.0 * ({_sql_bm25(dl=_SQL_DLQ, tf='tf')}) AS rscore
+  FROM (SELECT a.doc_id, count(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, pos FROM ex WHERE term = 'batch') a
+        JOIN (SELECT doc_id, pos FROM ex WHERE term = 'batch') b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.doc_id) ph
+  JOIN (SELECT doc_id, len(ts)::DOUBLE AS dl FROM tok) dl0
+    ON ph.doc_id = dl0.doc_id,
+       (SELECT count(*)::DOUBLE AS df FROM tok
+        WHERE list_contains(ts, 'batch')) d,
+       s, tbl
+),
+r AS (SELECT w.id, w.score + 2.0 * coalesce(ph.rscore, 0.0) AS score
+      FROM w LEFT JOIN ph USING (id))
+SELECT id, round(score, 4) AS score
+FROM (SELECT id, score FROM r ORDER BY score DESC, id ASC LIMIT 10)
+ORDER BY score DESC, id ASC
+"""
+
+    # function_score: BM25('spark') x log1p(n_chars), factor 1.0
+    sqls["engine_function_score"] = f"""{_SQL_ENGINE_PRELUDE},
+q AS ({_sql_engine_term('spark')}),
+r AS (
+  SELECT q.id, q.score * ln(1.0 + greatest(1.0 * d.n_chars, 0.0)) AS score
+  FROM q JOIN (SELECT CAST(doc_id AS VARCHAR) AS id, n_chars
+               FROM documents) d USING (id)
+)
+SELECT id, round(score, 4) AS score
+FROM (SELECT id, score FROM r ORDER BY score DESC, id ASC LIMIT 10)
 ORDER BY score DESC, id ASC
 """
 

@@ -624,6 +624,114 @@ class Index:
             compile_plan(plan, self.ctx), self.ctx, collapse, limit
         )
 
+    def rescore(
+        self, query, rescore_query, window_size: int = 100,
+        weight: float = 1.0, limit: int = DEFAULT_LIMIT, **smart_opts,
+    ) -> DataFrame:
+        """Two-phase ranking (the ES ``rescore`` request): take the top
+        ``window_size`` hits of the cheap primary ``query``, add ``weight``
+        × the ``rescore_query``'s score for each candidate that matches it
+        (score_mode=total, ES's default), and return the re-ranked top
+        ``limit`` as ``(id, score)``.
+
+        Scale shape — the expensive query never sees the corpus: phase 1
+        rides the normal top-k machinery (WAND-eligible, partial top-k per
+        partition), so the candidate set is ≤ window_size rows; phase 2
+        LEFT-joins the rescorer's compiled doc-set against that bounded
+        frame, which AQE plans as a broadcast of the candidates — the
+        rescore query's postings scan is semi-join-pruned to the window.
+        This is exactly why ES rescore exists: proximity/phrase scoring
+        costs O(window), not O(matches)."""
+        if window_size < 1:
+            raise ValueError("window_size must be >= 1")
+        if limit > window_size:
+            raise ValueError("limit cannot exceed window_size")
+        plan = self._as_plan(query, smart_opts)
+        prime_stats(plan, self.ctx)
+        fast = try_wand_topk(plan, self.ctx, window_size)
+        primary = fast if fast is not None else compile_plan(plan, self.ctx)
+        window = (
+            primary.join(self.ctx.id_map, "doc_id")
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(window_size)
+        )
+        rplan = self._as_plan(rescore_query, {})
+        prime_stats(rplan, self.ctx)
+        second = compile_plan(rplan, self.ctx).select(
+            "doc_id", F.col("score").alias("__rescore")
+        )
+        return (
+            window.join(second, "doc_id", "left")
+            .select(
+                "id",
+                (
+                    F.col("score")
+                    + F.lit(float(weight)) * F.coalesce("__rescore", F.lit(0.0))
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(limit)
+        )
+
+    def function_score(
+        self, query, field: str, factor: float = 1.0,
+        modifier: str = "none", missing: float = 0.0,
+        boost_mode: str = "multiply", limit: int = DEFAULT_LIMIT,
+        **smart_opts,
+    ) -> DataFrame:
+        """Field-value-factor scoring (the ES ``function_score`` /
+        ``field_value_factor`` function): combine each hit's relevance
+        score with a fast numeric field —
+
+            value = modifier(factor × field)   (docs missing the field
+                                                use ``missing``)
+            score = score × value | score + value   (``boost_mode``)
+
+        ``modifier`` ∈ none | log1p | sqrt (the commonly-used subset; ES's
+        reciprocal forms are one expression away). The classic use is
+        query-independent quality/recency boosting at web scale — e.g.
+        BM25 × log1p(page_rank).
+
+        Plan shape: ONE column-pruned docs join adds the field to the
+        matched set, the combine is a codegen'd expression, and the rank
+        is the same TakeOrderedAndProject as search_df — no extra shuffle
+        beyond the join, no Python."""
+        if field not in (
+            self.schema.integer_fields + self.schema.double_fields
+        ):
+            raise UnsupportedField(
+                f"function_score needs an integer/double fast field, "
+                f"got {field!r}"
+            )
+        if modifier not in ("none", "log1p", "sqrt"):
+            raise ValueError("modifier must be none | log1p | sqrt")
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError("boost_mode must be multiply | sum")
+        plan = self._as_plan(query, smart_opts)
+        prime_stats(plan, self.ctx)
+        matched = compile_plan(plan, self.ctx)
+        val = (
+            F.coalesce(F.col(field), F.lit(float(missing))).cast("double")
+            * F.lit(float(factor))
+        )
+        if modifier == "log1p":
+            val = F.log1p(F.greatest(val, F.lit(0.0)))
+        elif modifier == "sqrt":
+            val = F.sqrt(F.greatest(val, F.lit(0.0)))
+        combined = (
+            (F.col("score") * val) if boost_mode == "multiply"
+            else (F.col("score") + val)
+        )
+        vals = self.ctx.docs.select("doc_id", field)
+        return (
+            matched.join(vals, "doc_id", "left")
+            .select("doc_id", combined.alias("score"))
+            .join(self.ctx.id_map, "doc_id")
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(limit)
+            .select("id", "score")
+        )
+
     def count(self, query=None, **smart_opts) -> int:
         """Number of documents matching ``query`` (all docs when None) —
         the searcher-count companion to search(): no ranking, no top-k, so
