@@ -846,6 +846,18 @@ def q_lang_dist(spark, sf_dir):
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
+def q_sessions(spark, sf_dir):
+    """Gap-based sessionization (Spark's native session_window, the same
+    expression batch and streaming share — pipeline/sessions.py): per
+    (user, session) bounds/count/value sum with a 30-minute inactivity
+    gap. The oracle replays the merge-on-touch semantics (new session
+    only strictly past prev_ts + gap) via lag + island numbering."""
+    from tantiny_spark.pipeline import sessions
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessions.sessionize(ev, gap="30 minutes")
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling time-window aggregation over the events stream table (the
     batch shape of the Structured Streaming windowed-agg path)."""
@@ -1862,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "lang_dist": q_lang_dist,
         "events_hourly": q_events_hourly,
+        "sessions": q_sessions,
         "knn_join": q_knn_join,
     }
 
@@ -2587,6 +2600,23 @@ FROM bits, thr
     sqls["doc_chunks"] = prep.chunk_documents_sql(max_words=50)
 
     sqls["lang_dist"] = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+    sqls["sessions"] = """
+WITH e AS (SELECT user_id, ts, value FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+l AS (SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+i AS (SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM l)
+SELECT user_id, epoch_us(min(ts))::BIGINT AS session_start_us,
+       epoch_us(max(ts) + INTERVAL '30 minutes')::BIGINT AS session_end_us,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM i GROUP BY user_id, sid
+"""
 
     sqls["events_hourly"] = """
 SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hour_bucket,
