@@ -3270,8 +3270,9 @@ best AS (
   FROM grp
 )
 SELECT id, round(score, 4) AS score, lang, group_count
-FROM best WHERE rn = 1
-ORDER BY 2 DESC, id ASC LIMIT 10
+FROM (SELECT id, score, lang, group_count FROM best WHERE rn = 1
+      ORDER BY score DESC, id ASC LIMIT 10)
+ORDER BY score DESC, id ASC
 """
 
     # composite agg: (lang × rating-histogram) buckets strictly after the

@@ -404,6 +404,22 @@ def _composite_build(
                 f"composite source '{name}' must be a plain "
                 "terms/histogram/date_histogram source"
             )
+        # fail loud on ES source knobs this build does not implement —
+        # silently dropping 'order'/'missing_bucket' would return
+        # different buckets than the caller asked for
+        known = {
+            "terms": {"field", "missing"},
+            "histogram": {"field", "interval"},
+            "date_histogram": {"field", "interval_sec"},
+        }[kind]
+        extra = set(sparams) - known
+        if extra:
+            raise ValueError(
+                f"composite source '{name}' has unsupported params "
+                f"{sorted(extra)} (per-source order/missing_bucket are "
+                "not implemented; buckets stream key-tuple-asc, null "
+                "keys are omitted)"
+            )
         levels.append((name, kind, sparams))
     names = [n for n, _, _ in levels]
     if len(set(names)) != len(names):
@@ -505,10 +521,11 @@ def aggregate(ix, request: dict, query=None, **smart_opts) -> DataFrame:
                 "top_hits must be the only sub-aggregation of its bucket "
                 "level — counts/metrics are one extra aggregate() call"
             )
-        if root_kind == "range":
+        if root_kind in ("range", "composite"):
             raise ValueError(
                 "top_hits lives under terms/histogram/date_histogram "
-                "roots (range roots have no grouping key to rank within)"
+                "roots (range/composite roots have no single grouping "
+                "key to rank within)"
             )
         (_h_name, h_spec), = hits.items()
         if set(h_spec) - {"top_hits"}:

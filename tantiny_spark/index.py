@@ -723,14 +723,11 @@ class Index:
             else (F.col("score") + val)
         )
         vals = self.ctx.docs.select("doc_id", field)
-        return (
-            matched.join(vals, "doc_id", "left")
-            .select("doc_id", combined.alias("score"))
-            .join(self.ctx.id_map, "doc_id")
-            .orderBy(F.col("score").desc(), F.col("id").asc())
-            .limit(limit)
-            .select("id", "score")
+        scored = matched.join(vals, "doc_id", "left").select(
+            "doc_id", combined.alias("score")
         )
+        # the pinned tie-break/top-k shape lives in ONE place: top_k
+        return top_k(scored, self.ctx, limit)
 
     def count(self, query=None, **smart_opts) -> int:
         """Number of documents matching ``query`` (all docs when None) —

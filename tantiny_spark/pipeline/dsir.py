@@ -66,10 +66,17 @@ def raw_bucket_counts(
     df: DataFrame, text: str = "text",
     n_buckets: int = DEFAULT_BUCKETS, salt: str = "dsir",
 ) -> DataFrame:
-    """Fit the raw hashed-n-gram model once — (bucket, ct) over the whole
-    corpus. Persist/write this and feed it to ``dsir_log_weights`` via
-    ``raw_counts`` so repeated selections don't re-tokenize 100 TB."""
-    return _bucket_counts(df, text, n_buckets, salt)
+    """Fit the raw hashed-n-gram model once — (bucket, ct, n_buckets,
+    salt) over the whole corpus. Persist/write this and feed it to
+    ``dsir_log_weights`` via ``raw_counts`` so repeated selections don't
+    re-tokenize 100 TB. The two constant columns stamp the model's
+    hashing config so a selection run with a DIFFERENT n_buckets/salt
+    fails loud instead of silently scoring against a mismatched model."""
+    return _bucket_counts(df, text, n_buckets, salt).select(
+        "bucket", "ct",
+        F.lit(int(n_buckets)).alias("n_buckets"),
+        F.lit(salt).alias("salt"),
+    )
 
 
 def _bucket_counts(df: DataFrame, text: str, n_buckets: int, salt: str) -> DataFrame:
@@ -105,6 +112,18 @@ def dsir_log_weights(
     persisted/written) to reuse the model across selection runs."""
     if raw_counts is None:
         raw_counts = _bucket_counts(df, text, n_buckets, salt)
+    elif {"n_buckets", "salt"} <= set(raw_counts.columns):
+        # raw_bucket_counts-stamped model: validate the hashing config
+        # matches this call (one tiny 1-row collect), then drop the stamps
+        cfg = raw_counts.select("n_buckets", "salt").limit(1).collect()
+        if cfg and (cfg[0]["n_buckets"] != n_buckets or cfg[0]["salt"] != salt):
+            raise ValueError(
+                f"raw_counts was fit with n_buckets={cfg[0]['n_buckets']} "
+                f"salt={cfg[0]['salt']!r} but this call uses "
+                f"n_buckets={n_buckets} salt={salt!r} — weights would be "
+                "silently wrong; refit with raw_bucket_counts"
+            )
+        raw_counts = raw_counts.select("bucket", "ct")
     tgt_counts = _bucket_counts(target, text, n_buckets, salt)
     # two scalar totals (the Weight-phase pattern: tiny collects, then
     # literals in the scoring expression)

@@ -224,3 +224,25 @@ def test_composite_validation(syn_index):
         ix.aggregate(
             {"p": {"composite": {"sources": [{"x": {"terms": {"field": "nope"}}}]}}}
         )
+    with pytest.raises(ValueError, match="top_hits"):
+        # composite + top_hits must fail with the clean message, not a
+        # KeyError deep in the top_hits builder
+        ix.aggregate(
+            {"p": {"composite": {"sources": [{"lg": {"terms": {"field": "lang"}}}]},
+                   "aggs": {"h": {"top_hits": {
+                       "size": 3, "sort": [{"n": "desc"}]}}}}}
+        )
+    with pytest.raises(ValueError, match="unsupported params"):
+        # ES knobs this build doesn't implement fail loud, never silently
+        # change the bucket stream
+        ix.aggregate(
+            {"p": {"composite": {"sources": [
+                {"lg": {"terms": {"field": "lang", "order": "desc"}}}
+            ]}}}
+        )
+    with pytest.raises(ValueError, match="unsupported params"):
+        ix.aggregate(
+            {"p": {"composite": {"sources": [
+                {"lg": {"terms": {"field": "lang", "missing_bucket": True}}}
+            ]}}}
+        )

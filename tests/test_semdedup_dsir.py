@@ -142,6 +142,14 @@ def test_dsir_precomputed_raw_counts_identical(spark):
               for r in dsir_log_weights(raw, target, n_buckets=64,
                                         raw_counts=rc).collect()}
     assert inline == reused
+    # a model fit under a different hashing config must fail loud, never
+    # silently skew the weights
+    import pytest
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_log_weights(raw, target, n_buckets=128, raw_counts=rc).collect()
+    with pytest.raises(ValueError, match="salt"):
+        dsir_log_weights(raw, target, n_buckets=64, salt="other",
+                         raw_counts=rc).collect()
 
 
 def test_dsir_sample_is_deterministic_topk(spark):
