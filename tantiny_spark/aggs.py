@@ -362,6 +362,55 @@ def _top_hits_build(
     )
 
 
+def _build_base(ix, levels, metrics, matched: DataFrame | None):
+    """Shared base-relation construction for the groupBy and composite
+    paths: doc_id + a postings term column per indexed-terms level +
+    codegen'd key expressions over the column-pruned docs scan. The
+    matched semi-join is applied exactly once; key columns from value
+    fields are null-filtered (no null bucket — Tantivy's fast-field
+    collector contract; postings terms are non-null by construction).
+    Returns the base DataFrame with one column per level name."""
+    doc_fields = {p["field"] for _, _, p in metrics}
+    postings_levels, key_exprs = [], []
+    for name, kind, params in levels:
+        field, via_postings = _bucket_fields(ix, kind, params)
+        if via_postings:
+            if "missing" in params:
+                raise ValueError(
+                    "missing= applies to value-field terms only: indexed "
+                    "text/string buckets come from the postings scan, "
+                    "which has no entry for a docless field"
+                )
+            postings_levels.append((name, field))
+        else:
+            doc_fields.add(field)
+            key_exprs.append((name, kind, params))
+    base = None
+    if doc_fields:
+        base = ix.ctx.docs.select("doc_id", *sorted(doc_fields))
+        if matched is not None:
+            base = base.join(matched, "doc_id", "left_semi")
+            matched = None
+    for name, field in postings_levels:
+        posts = (
+            ix.ctx.postings.where(F.col("field") == field)
+            .select("doc_id", F.col("term").alias(name))
+        )
+        if base is None:
+            base = posts
+            if matched is not None:
+                base = base.join(matched, "doc_id", "left_semi")
+                matched = None  # applied once; joins below carry it
+        else:
+            base = base.join(posts, "doc_id")
+    if base is None:
+        raise ValueError("request resolved to no bucket keys")
+    for name, kind, params in key_exprs:
+        base = base.withColumn(name, _bucket_key(kind, params, name))
+        base = base.where(F.col(name).isNotNull())
+    return base
+
+
 def _composite_build(
     ix, params: dict, metrics: list, matched: DataFrame | None,
 ) -> DataFrame:
@@ -425,46 +474,7 @@ def _composite_build(
     if len(set(names)) != len(names):
         raise ValueError("composite source names must be unique")
 
-    # base relation: identical construction to the groupBy path — postings
-    # term columns for indexed terms sources, codegen'd key expressions
-    # over the column-pruned docs scan for value sources
-    doc_fields = {p["field"] for _, _, p in metrics}
-    postings_levels, key_exprs = [], []
-    for name, kind, sparams in levels:
-        field, via_postings = _bucket_fields(ix, kind, sparams)
-        if via_postings:
-            if "missing" in sparams:
-                raise ValueError(
-                    "missing= applies to value-field terms only (see "
-                    "aggregate)"
-                )
-            postings_levels.append((name, field))
-        else:
-            doc_fields.add(field)
-            key_exprs.append((name, kind, sparams))
-
-    base = None
-    if doc_fields:
-        base = ix.ctx.docs.select("doc_id", *sorted(doc_fields))
-        if matched is not None:
-            base = base.join(matched, "doc_id", "left_semi")
-            matched = None
-    for name, field in postings_levels:
-        posts = (
-            ix.ctx.postings.where(F.col("field") == field)
-            .select("doc_id", F.col("term").alias(name))
-        )
-        if base is None:
-            base = posts
-            if matched is not None:
-                base = base.join(matched, "doc_id", "left_semi")
-                matched = None
-        else:
-            base = base.join(posts, "doc_id")
-    for name, kind, sparams in key_exprs:
-        base = base.withColumn(name, _bucket_key(kind, sparams, name))
-    for name in names:
-        base = base.where(F.col(name).isNotNull())
+    base = _build_base(ix, levels, metrics, matched)
 
     after = params.get("after")
     if after is not None:
@@ -573,10 +583,16 @@ def aggregate(ix, request: dict, query=None, **smart_opts) -> DataFrame:
                 "composite roots take metric sub-aggs only — the sources "
                 "list IS the (multi-)bucket key"
             )
-        return _composite_build(
-            ix, root_params, root_metrics,
-            ix._matched_docs(query, smart_opts),
-        )
+        if query is not None:
+            plan = ix._as_plan(query, smart_opts)
+            prime_stats(plan, ix.ctx)
+            matched = compile_plan(plan, ix.ctx).select("doc_id")
+        else:
+            # no query → no matched-set semi-join at all (the groupBy
+            # path's convention; _matched_docs would semi-join the whole
+            # docs table against itself)
+            matched = None
+        return _composite_build(ix, root_params, root_metrics, matched)
 
     if root_kind == "range":
         if nested:
@@ -625,61 +641,18 @@ def aggregate(ix, request: dict, query=None, **smart_opts) -> DataFrame:
             "the result instead of passing size"
         )
 
-    # ---- build the base relation: doc_id + postings term columns + the
-    # docs-table columns the keys/metrics read. The docs scan is column-
-    # pruned; a postings-only request never touches the docs table.
-    doc_fields = {p["field"] for _, _, p in metrics}
-    postings_levels, key_exprs = [], []
-    for name, kind, params in levels:
-        field, via_postings = _bucket_fields(ix, kind, params)
-        if via_postings:
-            if "missing" in params:
-                raise ValueError(
-                    "missing= applies to value-field terms only: indexed "
-                    "text/string buckets come from the postings scan, "
-                    "which has no entry for a docless field"
-                )
-            postings_levels.append((name, field))
-        else:
-            doc_fields.add(field)
-            key_exprs.append((name, kind, params))
-
+    # ---- build the base relation (shared with the composite path):
+    # doc_id + postings term columns + the docs-table columns the
+    # keys/metrics read. The docs scan is column-pruned; a postings-only
+    # request never touches the docs table.
     if query is not None:
         plan = ix._as_plan(query, smart_opts)
         prime_stats(plan, ix.ctx)
         matched = compile_plan(plan, ix.ctx).select("doc_id")
     else:
         matched = None
-
-    base = None
-    if doc_fields:
-        base = ix.ctx.docs.select("doc_id", *sorted(doc_fields))
-        if matched is not None:
-            base = base.join(matched, "doc_id", "left_semi")
-    for name, field in postings_levels:
-        posts = (
-            ix.ctx.postings.where(F.col("field") == field)
-            .select("doc_id", F.col("term").alias(name))
-        )
-        if base is None:
-            base = posts
-            if matched is not None:
-                base = base.join(matched, "doc_id", "left_semi")
-                matched = None  # applied once; joins below carry it
-        else:
-            base = base.join(posts, "doc_id")
-    if base is None:
-        raise ValueError("request resolved to no bucket keys")
-
-    keys = [name for name, _ in postings_levels]
-    for name, kind, params in key_exprs:
-        base = base.withColumn(name, _bucket_key(kind, params, name))
-        keys.append(name)
-    # histogram/date_histogram buckets exclude null values (Tantivy does
-    # not emit a null bucket); terms on value fields likewise
-    for name, kind, params in key_exprs:
-        base = base.where(F.col(name).isNotNull())
-    # keep declared level order (root key first)
+    base = _build_base(ix, levels, metrics, matched)
+    # declared level order (root key first)
     keys = [name for name, _, _ in levels]
 
     agg_exprs = [F.count(F.lit(1)).alias("doc_count")]

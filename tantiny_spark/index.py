@@ -833,7 +833,14 @@ class Index:
             raise ValueError("min_doc_count must be >= 1")
         plan = self._as_plan(query, smart_opts)
         prime_stats(plan, self.ctx)
-        matched = compile_plan(plan, self.ctx).select("doc_id")
+        # localCheckpoint: fg_n (a scalar the score expression needs as a
+        # literal) forces one execution of the matched set; without it the
+        # fg semi-join would re-run the whole query plan a second time
+        # (the duplicate_clusters lineage-truncation precedent)
+        matched = (
+            compile_plan(plan, self.ctx).select("doc_id")
+            .localCheckpoint(eager=True)
+        )
         fg_n = matched.count()
         if fg_n == 0:
             return self.spark.createDataFrame(

@@ -27,6 +27,8 @@ Spark-first shape:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 from tantiny_spark.pipeline.decontam import normalized_words
@@ -144,12 +146,29 @@ def dsir_log_weights(
         F.col(key),
         F.explode_outer(hashed_gram_buckets(F.col(text), n_buckets, salt)).alias("bucket"),
     )
+    # a gram whose bucket is in NEITHER model (possible only with a
+    # pre-fit raw model from a different corpus) still carries the
+    # smoothed prior ratio log((0+1)/(tgt_total+B)) - log((0+1)/
+    # (raw_total+B)) — without it, novel-vocabulary docs would silently
+    # score those grams as 0
+    prior = math.log(raw_total + n_buckets) - math.log(tgt_total + n_buckets)
     return (
         exploded.join(w, "bucket", "left")
         .groupBy(key)
         .agg(
             F.count(F.col("bucket")).cast("long").alias("n_grams"),
-            F.round(F.coalesce(F.sum("lw"), F.lit(0.0)), 6).alias("log_weight"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("bucket").isNotNull(),
+                            F.coalesce(F.col("lw"), F.lit(prior)),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("log_weight"),
         )
     )
 

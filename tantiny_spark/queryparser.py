@@ -310,6 +310,11 @@ class _Parser:
     def _phrase_atom(self, field, text: str, slop: int):
         per_field = []
         for f in self._fields_for(field):
+            if f in self.schema.string_fields:
+                # string fields are ONE exact case-sensitive term
+                # (build.py): the quoted text matches raw, never analyzed
+                per_field.append(P.Term(f, text))
+                continue
             terms = self.schema.tokenizer_for(f).terms(text)
             if not terms:
                 continue
@@ -340,9 +345,10 @@ class _Parser:
             per_field = []
             for f in self._fields_for(field):
                 try:
-                    per_field.append(
-                        P.wildcard_query(self.schema, f, word.lower())
-                    )
+                    # text terms are lowercased by analysis, so the pattern
+                    # lowercases too; string-field terms are raw/exact
+                    pat = word if f in self.schema.string_fields else word.lower()
+                    per_field.append(P.wildcard_query(self.schema, f, pat))
                 except UnsupportedField as e:  # pragma: no cover
                     raise QueryParseError(str(e)) from e
             return P.disjunction(*per_field)
@@ -354,6 +360,17 @@ class _Parser:
             distance = int(fuzzy) if fuzzy else P.DEFAULT_FUZZY_DISTANCE
         per_field = []
         for f in self._fields_for(field):
+            if f in self.schema.string_fields:
+                # string fields are ONE exact case-sensitive term: the
+                # atom matches raw (lang:EN matches stored 'EN'), prefix
+                # and fuzzy apply to the raw value
+                if prefix:
+                    per_field.append(P.Prefix(f, word))
+                elif distance is not None:
+                    per_field.append(P.FuzzyTerm(f, word, distance))
+                else:
+                    per_field.append(P.Term(f, word))
+                continue
             terms = self.schema.tokenizer_for(f).terms(word)
             if not terms:
                 continue
@@ -369,7 +386,16 @@ class _Parser:
                     P.PhrasePrefix(f, tuple(terms[:-1]), terms[-1])
                 )
             elif distance is not None:
-                per_field.append(P.FuzzyTerm(f, terms[0], distance))
+                if len(terms) > 1:
+                    # 'data-base~1' analyzes to two tokens: fuzzy applies
+                    # per token, ALL required — silently fuzzing only the
+                    # first token would broaden results (a fuzzy PHRASE is
+                    # not supported, so adjacency is not enforced)
+                    per_field.append(P.conjunction(*[
+                        P.FuzzyTerm(f, t, distance) for t in terms
+                    ]))
+                else:
+                    per_field.append(P.FuzzyTerm(f, terms[0], distance))
             elif len(terms) == 1:
                 per_field.append(P.Term(f, terms[0]))
             else:

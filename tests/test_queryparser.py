@@ -146,3 +146,35 @@ def test_multi_token_prefix_atom_is_phrase_prefix():
     prefix on the last token alone."""
     q = parse_query(_schema(), "data-base*", ["text"])
     assert q == P.PhrasePrefix("text", ("data",), "base")
+
+
+def test_string_field_atoms_match_raw_values():
+    """String fields are ONE exact case-sensitive term: atoms must not be
+    analyzed (lang:EN matches stored 'EN'; a hyphenated value stays one
+    term, never a phrase that could never match a single-position
+    posting)."""
+    s = _schema()
+    assert parse_query(s, "tag:EN", ["text"]) == P.Term("tag", "EN")
+    assert parse_query(s, "tag:in-progress", ["text"]) == P.Term(
+        "tag", "in-progress"
+    )
+    assert parse_query(s, 'tag:"In Progress"', ["text"]) == P.Term(
+        "tag", "In Progress"
+    )
+    assert parse_query(s, "tag:Rel*", ["text"]) == P.Prefix("tag", "Rel")
+    assert parse_query(s, "tag:Relx~1", ["text"]) == P.FuzzyTerm(
+        "tag", "Relx", 1
+    )
+    # wildcard atoms keep the raw case on string fields too
+    w = parse_query(s, "tag:R?lease", ["text"])
+    assert isinstance(w, P.Regex) and w.field == "tag"
+
+
+def test_fuzzy_atom_with_split_word_requires_all_tokens():
+    """'data-base~1' analyzes to two tokens: fuzzy applies per token, ALL
+    required — not a silent fuzzy on the first token only."""
+    q = parse_query(_schema(), "data-base~1", ["text"])
+    assert isinstance(q, P.Conjunction)
+    assert set(q.children) == {
+        P.FuzzyTerm("text", "data", 1), P.FuzzyTerm("text", "base", 1),
+    }
