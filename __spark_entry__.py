@@ -1192,6 +1192,15 @@ def q_engine_function_score(spark, sf_dir):
     ).select("id", F.round("score", 4).alias("score"))
 
 
+def q_engine_term_vector(spark, sf_dir):
+    """Per-document term-vector inspection (what MLT/snippets/explain
+    reason about): doc 7's text field as (term, tf, positions) — one
+    (field, doc_id)-pruned postings scan; the oracle re-tokenizes the
+    same doc."""
+    ix = _engine_index(spark, sf_dir)
+    return ix.term_vector(7, "text")
+
+
 def q_engine_suggest(spark, sf_dir):
     """Did-you-mean suggestions (Lucene DirectSpellChecker family): the
     dictionary terms within OSA distance 1 of the typo 'spak', ranked
@@ -1821,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_composite": q_engine_composite,
         "engine_rescore": q_engine_rescore,
         "engine_function_score": q_engine_function_score,
+        "engine_term_vector": q_engine_term_vector,
         "engine_suggest": q_engine_suggest,
         "engine_sig_terms": q_engine_sig_terms,
         "engine_wildcard": q_engine_wildcard,
@@ -3251,6 +3261,16 @@ r AS (
 SELECT id, round(score, 4) AS score
 FROM (SELECT id, score FROM r ORDER BY score DESC, id ASC LIMIT 10)
 ORDER BY score DESC, id ASC
+"""
+
+    # term vector of one doc: re-tokenize doc 7 and rebuild (term, tf,
+    # sorted positions); INT[] cast matches the engine's array<int>
+    sqls["engine_term_vector"] = """
+WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE doc_id = 7),
+ex AS (SELECT unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tok)
+SELECT term, count(*)::BIGINT AS tf,
+       list_sort(list(pos))::INT[] AS positions
+FROM ex GROUP BY term ORDER BY term
 """
 
     # field collapsing: best 'spark' hit per lang + absorbed match count;

@@ -729,6 +729,43 @@ class Index:
         # the pinned tie-break/top-k shape lives in ONE place: top_k
         return top_k(scored, self.ctx, limit)
 
+    def term_vector(self, doc_id, field: str) -> DataFrame:
+        """One document's indexed term vector for a field (Lucene/Tantivy
+        term-vector inspection — what MLT, snippets and explain reason
+        about, exposed to the user): DataFrame[term, tf, positions]
+        ordered term asc. Raw analyzed terms as indexed, tombstones
+        respected (a deleted doc has no vector).
+
+        Plan shape: the external id resolves through the slim cached id
+        map (one tiny pushdown-pruned lookup), then ONE postings scan
+        filtered (field, doc_id) — the (field, term)-sorted layout prunes
+        to the field's row groups and the doc_id predicate pushes down;
+        no aggregation, no shuffle beyond the sort of ≤ distinct-terms
+        rows."""
+        if field not in (
+            list(self.schema.text_fields) + list(self.schema.string_fields)
+            + list(self.schema.facet_fields) + list(self.schema.json_fields)
+        ):
+            raise UnsupportedField(field)
+        target = (
+            self.ctx.id_map.where(F.col("id") == str(doc_id))
+            .select("doc_id").collect()
+        )
+        if not target:
+            return self.spark.createDataFrame(
+                [], "term string, tf long, positions array<int>"
+            )
+        did = target[0]["doc_id"]
+        return (
+            self.ctx.postings.where(
+                (F.col("field") == field) & (F.col("doc_id") == did)
+            )
+            .select(
+                "term", F.col("tf").cast("long").alias("tf"), "positions"
+            )
+            .orderBy(F.col("term").asc())
+        )
+
     def count(self, query=None, **smart_opts) -> int:
         """Number of documents matching ``query`` (all docs when None) —
         the searcher-count companion to search(): no ranking, no top-k, so

@@ -111,3 +111,21 @@ def test_rescore_plan_keeps_secondary_off_the_corpus(fs_index):
     join_pos = plan.find("Join")
     limit_pos = plan.find("GlobalLimit", join_pos)
     assert join_pos != -1 and limit_pos != -1, plan
+
+
+def test_term_vector(fs_index):
+    ix = fs_index
+    rows = ix.term_vector(4, "t").collect()
+    got = {r["term"]: (r["tf"], list(r["positions"])) for r in rows}
+    # doc 4: "other words here"
+    assert got == {"other": (1, [0]), "words": (1, [1]), "here": (1, [2])}
+    # terms come back term-asc
+    assert [r["term"] for r in rows] == sorted(got)
+    # unknown doc -> empty frame with the contract schema
+    empty = ix.term_vector("nope", "t")
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == ["term", "tf", "positions"]
+    import pytest
+    from tantiny_spark.errors import UnsupportedField
+    with pytest.raises(UnsupportedField):
+        ix.term_vector(4, "pr")  # integer fields have no term vector
