@@ -246,3 +246,51 @@ def test_composite_validation(syn_index):
                 {"lg": {"terms": {"field": "lang", "missing_bucket": True}}}
             ]}}}
         )
+
+
+def test_collapse_matches_naive_rank_on_seeded_corpus(spark, tmp_path_factory):
+    """Randomized (seeded) cross-check: search_collapse's min-struct
+    groupBy must equal the naive per-group rank over the full scored
+    set."""
+    import random
+
+    rng = random.Random(42)
+    words = ["spark", "merge", "join", "batch", "window", "hash"]
+    langs = ["en", "de", "es", "fr"]
+    docs = [
+        {
+            "id": i,
+            "t": " ".join(rng.choices(words, k=rng.randint(3, 12))),
+            "lang": rng.choice(langs),
+        }
+        for i in range(80)
+    ]
+    s = IndexSchema()
+    s.text("t")
+    s.string("lang")
+    ix = Index(spark, str(tmp_path_factory.mktemp("clp")) + "/idx", s)
+    with ix.transaction():
+        for d in docs:
+            ix.add(d)
+    ix.reload()
+
+    full = ix.search_df(ix.term_query("t", "spark"), limit=10_000).collect()
+    by_id = {d["id"]: d for d in docs}
+    naive = {}
+    for r in sorted(full, key=lambda r: (-r["score"], r["id"])):
+        lang = by_id[int(r["id"])]["lang"]
+        if lang not in naive:
+            naive[lang] = {"id": r["id"], "score": r["score"], "n": 0}
+        naive[lang]["n"] += 1
+    got = ix.search_collapse(
+        ix.term_query("t", "spark"), "lang", limit=10
+    ).collect()
+    assert len(got) == len(naive)
+    for r in got:
+        exp = naive[r["lang"]]
+        assert r["id"] == exp["id"]
+        assert abs(r["score"] - exp["score"]) < 1e-12
+        assert r["group_count"] == exp["n"]
+    # ranked by representative score desc, id asc
+    keys = [(-r["score"], r["id"]) for r in got]
+    assert keys == sorted(keys)
