@@ -1750,14 +1750,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r03.json out of 72 exposed). The first 50 below are the
     certification set: the 12 SURVEY §2 spec rows, 37 engine-routed
     feature rows (round 4 adds all/empty, the >=3-term slop row, term-set,
-    query-parser, range-agg, percentiles, cardinality, and the dis-max /
-    const-score / exists / order-by-field family), and 1 pipeline
-    representative (host_stats re-certifies the r03 oracle-cast fix) —
+    query-parser, range-agg, percentiles, cardinality, the dis-max /
+    const-score / exists / order-by-field family, and the third-batch
+    synonym / collapse / composite rows), and 1 pipeline representative
+    (host_stats re-certifies the r03 oracle-cast fix) —
     12 + 37 + 1 = 50 exactly, NO slack in the window. Rows
     past 50 were all hash-green in a driver run (r02 or r03) and stay
     covered by scripts/check_contract.py; the three index-internals rows
-    (postings_sample/dict_topdf/corpus_stats, r03-green) and dup_clusters
-    (r03-green) ceded their window slots to the never-scored new rows."""
+    (postings_sample/dict_topdf/corpus_stats, r03-green), dup_clusters
+    (r03-green), and engine_term_topk/engine_phrase/engine_smart
+    (r03-DRIVER-certified as engine rows — their operators stay in-window
+    via the §2 spec twins term_topk/phrase/smart) ceded their slots to
+    never-scored rows."""
     return {
         # --- SURVEY §2 spec rows (12) ------------------------------------
         "term_bm25": q_term_bm25,
@@ -1773,9 +1777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet": q_facet,
         "smart": q_smart,
         # --- engine-routed rows (37): every feature through Index.search --
-        "engine_term_topk": q_engine_term_topk,
-        "engine_phrase": q_engine_phrase,
-        "engine_smart": q_engine_smart,
+        "engine_synonym": q_engine_synonym,
+        "engine_collapse": q_engine_collapse,
+        "engine_composite": q_engine_composite,
         "engine_bool_and": q_engine_bool_and,
         "engine_bool_or": q_engine_bool_or,
         "engine_bool_not": q_engine_bool_not,
@@ -1821,13 +1825,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine_wildcard..engine_regex_phrase) have replica-harness
         # verdicts only until the next driver run scores them
         # ------------------------------------------------------------------
+        "engine_term_topk": q_engine_term_topk,
+        "engine_phrase": q_engine_phrase,
+        "engine_smart": q_engine_smart,
         "engine_json": q_engine_json,
         "engine_json_range": q_engine_json_range,
         "engine_folded": q_engine_folded,
         "engine_stopped": q_engine_stopped,
-        "engine_synonym": q_engine_synonym,
-        "engine_collapse": q_engine_collapse,
-        "engine_composite": q_engine_composite,
         "engine_rescore": q_engine_rescore,
         "engine_function_score": q_engine_function_score,
         "engine_term_vector": q_engine_term_vector,
