@@ -1570,6 +1570,21 @@ def q_engine_snippet(spark, sf_dir):
     )
 
 
+def q_engine_snippet_multi(spark, sf_dir):
+    """Multi-fragment highlighting (ES highlight number_of_fragments): up
+    to 2 matching fragments per hit, selected (hits desc, position asc),
+    emitted in document order, n_hits summed — the oracle replays the
+    selection with a window rank + list() aggregation."""
+    ix = _engine_index(spark, sf_dir)
+    out = ix.snippets(
+        ix.term_query("text", "vector"), _docs(spark, sf_dir),
+        field="text", id_col="doc_id", window=_SNIP_W, n_fragments=2,
+    )
+    return out.select(
+        "id", F.round("score", 4).alias("score"), "fragments", "n_hits"
+    )
+
+
 _MLT_SEED_DOC = 7
 _MLT_PARAMS = dict(max_query_terms=5, min_term_freq=2, min_doc_freq=2)
 
@@ -1835,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_rescore": q_engine_rescore,
         "engine_function_score": q_engine_function_score,
         "engine_term_vector": q_engine_term_vector,
+        "engine_snippet_multi": q_engine_snippet_multi,
         "engine_suggest": q_engine_suggest,
         "engine_sig_terms": q_engine_sig_terms,
         "engine_wildcard": q_engine_wildcard,
@@ -3053,6 +3069,33 @@ SELECT d.id, round(d.score, 4) AS score,
          AS snippet,
        b.hits::BIGINT AS n_hits
 FROM best b JOIN d USING (id) WHERE b.rn = 1
+"""
+
+    # multi-fragment highlight: same fragment scoring, top-2 hit>0 chunks
+    # per id (hits desc, chunk asc), fragments listed in document order
+    sqls["engine_snippet_multi"] = f"""
+{_SQL_ENGINE_PRELUDE},
+q AS ({_sql_engine_term('vector')}),
+top AS (SELECT id, score FROM q ORDER BY score DESC, id ASC LIMIT 10),
+d AS (SELECT t.id, t.score, tok.ts
+      FROM top t JOIN tok ON CAST(tok.doc_id AS VARCHAR) = t.id),
+exw AS (SELECT id, (i - 1) // {_SNIP_W} AS chunk,
+               CASE WHEN ts[i] = 'vector' THEN 1 ELSE 0 END AS hit
+        FROM d, unnest(generate_series(1, len(ts))) AS u(i)),
+pc AS (SELECT id, chunk, sum(hit) AS hits FROM exw GROUP BY 1, 2),
+rk AS (SELECT id, chunk, hits,
+              row_number() OVER (PARTITION BY id
+                                 ORDER BY hits DESC, chunk ASC) AS rn
+       FROM pc),
+sel AS (SELECT id, chunk, hits FROM rk WHERE rn <= 2 AND hits > 0),
+fr AS (SELECT s.id,
+              list(array_to_string(
+                  d.ts[s.chunk * {_SNIP_W} + 1 : s.chunk * {_SNIP_W} + {_SNIP_W}],
+                  ' ') ORDER BY s.chunk) AS fragments,
+              sum(s.hits)::BIGINT AS n_hits
+       FROM sel s JOIN d USING (id) GROUP BY s.id)
+SELECT d.id, round(d.score, 4) AS score, fr.fragments, fr.n_hits
+FROM d JOIN fr USING (id)
 """
 
     # MoreLikeThis: replay the engine's term selection (seed-doc tf, corpus

@@ -355,6 +355,30 @@ class Index:
         postings.unpersist()
         return version
 
+    def segment_count(self) -> int:
+        """Number of live segments in the current manifest (tombstone-only
+        entries excluded) — what a merge policy decides on."""
+        manifest = self.storage.read_manifest(self.storage.current_version())
+        return sum(1 for s in manifest["segments"] if s.get("name"))
+
+    def maybe_merge(self, max_segments: int = 8) -> int | None:
+        """Tiered-merge policy trigger (the LogMergePolicy analog Tantivy
+        runs in the background — here explicit, because on a cluster the
+        caller decides when to spend a compaction job): compact IFF the
+        live segment count exceeds ``max_segments``. Returns the new
+        manifest version, or None when below threshold.
+
+        Call after a batch of commits (e.g. each streaming
+        foreachBatch epoch): read amplification grows with segment count
+        (every query unions all live segments), while a merge is one
+        corpus-scale job — this knob bounds the former without paying the
+        latter per-commit."""
+        if max_segments < 1:
+            raise ValueError("max_segments must be >= 1")
+        if self.segment_count() <= max_segments:
+            return None
+        return self.merge_segments()
+
     # --- queries (constructor forwarding, index.rb:96-114) -------------------
     def all_query(self):
         return P.all_query()

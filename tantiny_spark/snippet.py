@@ -79,6 +79,7 @@ def snippets(
     id_col: str = "id",
     window: int = 20,
     limit: int = 10,
+    n_fragments: int = 1,
 ) -> DataFrame:
     """Top-``limit`` search + best-fragment snippet per hit.
 
@@ -88,12 +89,23 @@ def snippets(
     when the scored doc contains no query term on ``field`` (negation-only
     matches, range filters).
 
+    ``n_fragments > 1`` switches to the ES-highlight multi-fragment shape:
+    (id, score, fragments, n_hits) where ``fragments`` is up to
+    ``n_fragments`` matching (hits > 0) fragments — selected by
+    (hits desc, position asc), returned in DOCUMENT order (ES's default) —
+    and ``n_hits`` counts matched words across the returned fragments.
+    The selection is a pure array aggregation (sort_array over the
+    per-chunk structs), still no window function: the frame is bounded by
+    the top-``limit`` hit set.
+
     Plan shape: search_df's top-k (WAND-prunable) → broadcast-size hit set
     joined against the source corpus (id pushdown on the scan) → word
     windows and the (n_hits desc, fragment asc) argmax as ONE
     partial-aggregatable min-struct groupBy over the exploded words of the
     <=limit hit docs.
     """
+    if n_fragments < 1:
+        raise ValueError("n_fragments must be >= 1")
     plan = index._as_plan(query, {})
     qterms = query_terms(plan, field)
     tokenizer = index.schema.tokenizer_for(field)
@@ -120,6 +132,45 @@ def snippets(
                    F.floor(F.col("pos") / window).alias("__chunk"))
         .agg(F.sum(F.col("flag").cast("int")).alias("__hits"))
     )
+    if n_fragments > 1:
+        agg = per_chunk.groupBy("id", "score", "__words").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("__hits")).alias("neg_hits"),
+                        F.col("__chunk").alias("chunk"),
+                    )
+                )
+            ).alias("__all")
+        )
+        # top-N matching chunks by (hits desc, position asc) ...
+        sel = F.slice(
+            F.filter(F.col("__all"), lambda c: c["neg_hits"] < 0),
+            1, n_fragments,
+        )
+        n_hits = F.aggregate(
+            sel, F.lit(0).cast("long"),
+            lambda acc, c: acc - c["neg_hits"].cast("long"),
+        )
+        # ... emitted in document order (ES highlight default)
+        chunks = F.array_sort(F.transform(sel, lambda c: c["chunk"]))
+        frags = F.transform(
+            chunks,
+            lambda ch: F.array_join(
+                F.slice(
+                    F.col("__words"), (ch * window + 1).cast("int"), window
+                ),
+                " ",
+            ),
+        )
+        return (
+            agg.select(
+                "id", "score",
+                frags.alias("fragments"), n_hits.alias("n_hits"),
+            )
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+        )
+
     best = (
         per_chunk.groupBy("id", "score", "__words")
         .agg(

@@ -228,3 +228,24 @@ def test_deterministic_doc_ids(spark, tmp_path):
     ) == list(range(98))
     # rank order identical regardless of layout; base offsets apply
     assert {k: v + 100 for k, v in rows_a.items()} == rows_b
+
+
+def test_maybe_merge_policy(spark, tmp_path):
+    s = IndexSchema()
+    s.text("t")
+    idx = Index(spark, str(tmp_path / "idxmm"), s)
+    for i in range(3):  # three separate commits -> three live segments
+        idx.add({"id": i, "t": f"alpha doc{i}"})
+    idx.reload()
+    assert idx.segment_count() == 3
+    # below threshold: no merge job spent
+    assert idx.maybe_merge(max_segments=3) is None
+    assert idx.segment_count() == 3
+    # above threshold: compacts to one
+    assert idx.maybe_merge(max_segments=2) is not None
+    idx.reload()
+    assert idx.segment_count() == 1
+    assert sorted(idx.search("alpha")) == ["0", "1", "2"]
+    import pytest
+    with pytest.raises(ValueError):
+        idx.maybe_merge(max_segments=0)

@@ -109,3 +109,29 @@ def test_query_terms_walks_dismax_and_const_score(idx_and_src):
     assert query_terms(ix._as_plan(q, {}), "text") == ["spark", "ten"]
     out = {r["id"]: r for r in snippets(ix, q, src).collect()}
     assert out["2"]["n_hits"] >= 1 and "spark" in out["2"]["snippet"]
+
+
+def test_multi_fragment_highlight(idx_and_src):
+    """n_fragments > 1: ES-highlight shape — top fragments by hits,
+    returned in document order, n_hits summed over them."""
+    ix, src = idx_and_src
+    q = ix.term_query("text", "spark")
+    rows = snippets(ix, q, src, window=5, n_fragments=2).collect()
+    got = {r["id"]: (list(r["fragments"]), r["n_hits"]) for r in rows}
+    # doc 1: fragment [10,15) has 2 hits, [0,5) has 1 — selected both,
+    # emitted in document order
+    assert got["1"] == (
+        ["zero one two three spark", "ten spark spark thirteen fourteen"], 3,
+    )
+    # doc 2: only one fragment has hits — no padding with hitless ones
+    assert got["2"] == (["spark at start then filler"], 1)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        snippets(ix, q, src, n_fragments=0)
+
+
+def test_multi_fragment_zero_hit_doc(idx_and_src):
+    ix, src = idx_and_src
+    q = ~ix.term_query("text", "relevant") & ix.term_query("text", "spark")
+    rows = snippets(ix, q, src, window=5, n_fragments=3).collect()
+    assert all(r["n_hits"] > 0 or r["fragments"] == [] for r in rows)
