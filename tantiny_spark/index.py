@@ -313,7 +313,13 @@ class Index:
 
         from tantiny_spark.wand import build_blocks
 
-        ctx = self.snapshot.context()
+        # merge the LATEST COMMITTED version, never the reader snapshot:
+        # a writer that committed since the last reload() (e.g. the
+        # streaming foreachBatch upsert path) must not have its segments
+        # silently dropped by a merge of a stale view
+        ctx = Snapshot(
+            self.spark, self.storage, self.storage.current_version()
+        ).context()
         docs = ctx.docs
         postings = ctx.postings.persist()
         dictionary = postings.groupBy("field", "term").agg(

@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame
 from tantiny_spark.index import Index
 
 
-def foreach_batch_upsert(index: Index, order_col: str | None = None):
+def foreach_batch_upsert(
+    index: Index, order_col: str | None = None,
+    max_segments: int | None = None,
+):
     """Returns the foreachBatch callback: one segment commit per micro-batch.
 
     Upsert means ONE live row per id: a CDC/update stream can carry several
@@ -29,7 +32,15 @@ def foreach_batch_upsert(index: Index, order_col: str | None = None):
     last-wins before indexing. ``order_col`` picks the winner (highest value
     wins, e.g. an update timestamp); without one, the winner among exact
     same-id rows is arbitrary-but-deterministic (max by all columns' struct
-    order), which only matters if a batch truly carries conflicting rows."""
+    order), which only matters if a batch truly carries conflicting rows.
+
+    ``max_segments`` arms the merge policy: after each commit,
+    ``Index.maybe_merge(max_segments)`` compacts once the live segment
+    count exceeds the threshold — continuous ingest stays queryable
+    without unbounded read amplification, and the merge job cost is paid
+    once per ~max_segments epochs, not per batch. Replay-safe: a merge is
+    itself one atomic manifest commit, and re-running a batch after a
+    crash re-upserts the same ids."""
 
     def _process(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
@@ -51,19 +62,25 @@ def foreach_batch_upsert(index: Index, order_col: str | None = None):
             for r in batch_df.select(batch_df[id_col].cast("string")).distinct().collect()
         ]
         index._commit_segment(deduped, deletes=sorted(ids))
+        if max_segments is not None:
+            index.maybe_merge(max_segments)
 
     return _process
 
 
 def incremental_index_writer(
     stream_df: DataFrame, index: Index, checkpoint_dir: str,
-    order_col: str | None = None,
+    order_col: str | None = None, max_segments: int | None = None,
 ):
     """Configure (not start) the streaming writer:
     ``incremental_index_writer(df, idx, dir).trigger(availableNow=True).start()``
-    """
+
+    ``max_segments`` arms per-epoch auto-compaction (see
+    :func:`foreach_batch_upsert`)."""
     return (
-        stream_df.writeStream.foreachBatch(foreach_batch_upsert(index, order_col))
+        stream_df.writeStream.foreachBatch(
+            foreach_batch_upsert(index, order_col, max_segments)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

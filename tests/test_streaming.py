@@ -40,3 +40,42 @@ def test_incremental_stream_upserts(spark, tmp_path):
     assert idx.search("world") == ["2"]
     assert idx.search("replaced") == ["1"]
     assert sorted(idx.search("hello")) == ["3"]
+
+
+def test_merge_uses_latest_committed_version_not_reader_snapshot(spark, tmp_path):
+    """Regression: merge_segments must compact the latest COMMITTED
+    manifest — a merge issued while the reader snapshot is stale (commits
+    since the last reload) must not drop those commits."""
+    s = IndexSchema()
+    s.text("t")
+    idx = Index(spark, str(tmp_path / "idxstale"), s)
+    idx.add({"id": 1, "t": "alpha one"})
+    idx.reload()  # reader snapshot sees only doc 1
+    idx.add({"id": 2, "t": "alpha two"})  # committed, NOT reloaded
+    idx.merge_segments()
+    idx.reload()
+    assert sorted(idx.search("alpha")) == ["1", "2"]
+    assert idx.segment_count() == 1
+
+
+def test_streaming_auto_merge_policy(spark, tmp_path):
+    src_dir = str(tmp_path / "in2")
+    os.makedirs(src_dir)
+    chk = str(tmp_path / "chk2")
+    s = IndexSchema()
+    s.text("t")
+    idx = Index(spark, str(tmp_path / "idx2"), s)
+
+    stream = spark.readStream.schema("id string, t string").parquet(src_dir)
+    # three epochs with max_segments=2: the third commit trips the policy
+    for i in range(3):
+        spark.createDataFrame(
+            [(str(i), f"alpha doc{i}")], "id string, t string"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        q = incremental_index_writer(
+            stream, idx, chk, max_segments=2
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+    idx.reload()
+    assert idx.segment_count() <= 2
+    assert sorted(idx.search("alpha")) == ["0", "1", "2"]
