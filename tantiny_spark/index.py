@@ -309,8 +309,20 @@ class Index:
         longer affect BM25 stats and WAND drops its dead-doc anti-join
         (between merges the fast path stays on, filtering tombstoned docs
         post-decode — see wand.wand_topk)."""
-        from pyspark.sql import functions as F
+        # a merge rewrites the whole manifest, so it is a WRITE: take the
+        # writer lock (like transaction()) — a merge racing another writer
+        # would silently drop that writer's commit from the new manifest
+        took_lock = False
+        if not self._held_lock:
+            self._acquire_lock()
+            took_lock = True
+        try:
+            return self._merge_segments_locked()
+        finally:
+            if took_lock:
+                self._release_lock()
 
+    def _merge_segments_locked(self) -> int:
         from tantiny_spark.wand import build_blocks
 
         # merge the LATEST COMMITTED version, never the reader snapshot:

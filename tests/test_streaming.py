@@ -79,3 +79,20 @@ def test_streaming_auto_merge_policy(spark, tmp_path):
     idx.reload()
     assert idx.segment_count() <= 2
     assert sorted(idx.search("alpha")) == ["0", "1", "2"]
+
+
+def test_merge_respects_writer_lock(spark, tmp_path):
+    from tantiny_spark.errors import IndexWriterBusyError
+    import pytest
+
+    s = IndexSchema()
+    s.text("t")
+    path = str(tmp_path / "idxlock")
+    idx = Index(spark, path, s)
+    idx.add({"id": 1, "t": "alpha"})
+    writer = Index(spark, path, exclusive_writer=True)
+    try:
+        with pytest.raises(IndexWriterBusyError):
+            idx.merge_segments()
+    finally:
+        writer.close()
