@@ -296,7 +296,14 @@ def wand_topk(
         )
 
     def decode_buckets(bucket_df: DataFrame) -> DataFrame:
-        sel = tblocks.join(F.broadcast(bucket_df.select("bucket")), "bucket", "left_semi")
+        # NO forced broadcast: the survivor set is usually tiny (τ pruned
+        # hard) and AQE will broadcast it then — but when τ prunes little
+        # (near-uniform scores, or the τ=-inf fallback on <k champion
+        # docs) survivors ≈ every bucket of the query terms, which at
+        # 10^12 docs is millions of rows; forcing a broadcast there is a
+        # driver OOM. Let AQE pick broadcast-vs-shuffle from the agg's
+        # runtime stats.
+        sel = tblocks.join(bucket_df.select("bucket"), "bucket", "left_semi")
 
         def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             return decode_block_scores(pdf, weights, avgdl, tf1)
