@@ -37,6 +37,7 @@ Encoding notes:
 from __future__ import annotations
 
 import json
+import re
 from typing import Iterator
 
 #: separator between the JSON path and the typed value inside a term
@@ -47,6 +48,48 @@ MARK_STR = "s"
 MARK_INT = "i"
 MARK_FLOAT = "f"
 MARK_BOOL = "b"
+MARK_DATE = "d"
+
+#: strict RFC3339 datetime — the ONLY string shape date-inferred at ingest
+#: (Tantivy's json field tries DateTime::from_rfc3339 on string leaves,
+#: reference date parse at src/index.rs:173-174; a bare "2026-01-01" or a
+#: word stays text, so inference can never eat ordinary tokens)
+_RFC3339_RE = re.compile(
+    r"\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(?:\.\d{1,9})?"
+    r"(?:[Zz]|[+-]\d{2}:\d{2})"
+)
+
+
+def parse_rfc3339_micros(text: str):
+    """Epoch microseconds for a strict-RFC3339 string, else None. Naive
+    arithmetic in UTC — no platform localtime involved, so build and query
+    agree on every executor."""
+    import calendar
+    from datetime import datetime, timezone
+
+    if not _RFC3339_RE.fullmatch(text):
+        return None
+    try:
+        dt = datetime.fromisoformat(text.upper().replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    dt = dt.astimezone(timezone.utc)
+    return calendar.timegm(dt.utctimetuple()) * 1_000_000 + dt.microsecond
+
+
+def datetime_micros(dt) -> int:
+    """Epoch microseconds for a datetime/date query value; naive datetimes
+    are UTC (the date fast-field convention, schema.coerce)."""
+    import calendar
+    from datetime import date, datetime, timezone
+
+    if isinstance(dt, datetime):
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(timezone.utc)
+        return calendar.timegm(dt.utctimetuple()) * 1_000_000 + dt.microsecond
+    if isinstance(dt, date):
+        return calendar.timegm(dt.timetuple()) * 1_000_000
+    raise TypeError(f"expected datetime/date, got {type(dt).__name__}")
 
 
 def encode_json_term(path: str, marker: str, value: str) -> str:
@@ -57,9 +100,15 @@ def encode_json_term(path: str, marker: str, value: str) -> str:
 def encode_typed(value) -> tuple:
     """(marker, canonical text) for a non-string scalar leaf. The SAME
     canonicalization runs at build and query time, so queries match by
-    construction. bool is checked before int (bool subclasses int)."""
+    construction. bool is checked before int (bool subclasses int);
+    datetime/date query values canonicalize to the epoch-microsecond date
+    term the ingest-side RFC3339 inference produces."""
+    import datetime as _dt
+
     if isinstance(value, bool):
         return MARK_BOOL, "true" if value else "false"
+    if isinstance(value, (_dt.datetime, _dt.date)):
+        return MARK_DATE, str(datetime_micros(value))
     if isinstance(value, int):
         return MARK_INT, str(value)
     if isinstance(value, float):
@@ -130,6 +179,15 @@ def json_postings(raw: str, tokenizer) -> tuple:
     n_tokens = 0
     for path, leaf in walk_json(obj):
         if isinstance(leaf, str):
+            micros = parse_rfc3339_micros(leaf)
+            if micros is not None:
+                # strict-RFC3339 string leaf → ONE typed date term (epoch
+                # micros), like Tantivy's json date inference; not a text
+                # token, so it never counts toward the json fieldnorm
+                term = encode_json_term(path, MARK_DATE, str(micros))
+                if term not in acc:
+                    acc[term] = [next_pos.get(path, 0)]
+                continue
             tokens = tokenizer.terms(leaf)
             base = next_pos.get(path, 0)
             for i, tok in enumerate(tokens):

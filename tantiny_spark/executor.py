@@ -209,17 +209,28 @@ def compile_plan(node: P.Query, ctx: SearchContext) -> DataFrame:
         )
     if isinstance(node, P.JsonRange):
         from tantiny_spark.analysis.jsonpath import (
-            JSON_SEP, MARK_FLOAT, MARK_INT,
+            JSON_SEP, MARK_DATE, MARK_FLOAT, MARK_INT,
         )
 
-        # the path's typed number terms are contiguous dictionary slices
+        # the path's typed terms are contiguous dictionary slices
         # (path SEP marker value); parse the value suffix and range-test it.
         # startswith gates the substr/cast, so foreign terms never parse.
-        p_i = f"{node.path}{JSON_SEP}{MARK_INT}"
-        p_f = f"{node.path}{JSON_SEP}{MARK_FLOAT}"
-        num = F.col("term").substr(F.lit(len(p_i) + 1), F.lit(64)).cast("double")
+        # date terms are epoch micros (< 2^53, exact in double).
+        if node.kind == "date":
+            prefixes = [f"{node.path}{JSON_SEP}{MARK_DATE}"]
+        else:
+            prefixes = [
+                f"{node.path}{JSON_SEP}{MARK_INT}",
+                f"{node.path}{JSON_SEP}{MARK_FLOAT}",
+            ]
+        num = F.col("term").substr(
+            F.lit(len(prefixes[0]) + 1), F.lit(64)
+        ).cast("double")
+        starts = F.col("term").startswith(prefixes[0])
+        for p in prefixes[1:]:
+            starts = starts | F.col("term").startswith(p)
         pred = (
-            (F.col("term").startswith(p_i) | F.col("term").startswith(p_f))
+            starts
             & num.isNotNull()
             & (num >= F.lit(node.low)) & (num <= F.lit(node.high))
         )

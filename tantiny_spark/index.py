@@ -88,6 +88,23 @@ class Index:
             os.unlink(self._lock_path())
             self._held_lock = False
 
+    @contextmanager
+    def _writer_lock(self):
+        """Hold the writer lock for the block (no-op when already held) —
+        the one serialization point every manifest read-modify-write goes
+        through: transactions, bulk add_dataframe, streaming foreachBatch
+        commits and segment merges all converge here, so none of them can
+        silently drop another's commit."""
+        took = False
+        if not self._held_lock:
+            self._acquire_lock()
+            took = True
+        try:
+            yield
+        finally:
+            if took:
+                self._release_lock()
+
     def close(self):
         """Release an exclusive writer lock (if held)."""
         self._release_lock()
@@ -263,42 +280,66 @@ class Index:
         # re-indexed in the new segment
         self._commit_segment(self._rows_to_df(rows), touched)
 
-    def _commit_segment(self, df: DataFrame | None, deletes: list | None) -> int:
-        manifest = self.storage.read_manifest(self.storage.current_version())
-        base = int(manifest.get("next_doc_id", 0))
-        segments = list(manifest["segments"])
-        next_doc_id = base
-        if df is not None:
-            import shutil
-            import uuid as uuid_mod
+    def _commit_segment(
+        self, df: DataFrame | None, deletes: list | DataFrame | None
+    ) -> int:
+        """One segment commit. ``deletes`` may be an id list (the bounded
+        transaction/delete_by_query path, inlined in the manifest) or a
+        DataFrame (the streaming upsert path — persisted as a parquet
+        tombstone side-table so a 100 TB ``availableNow`` batch never
+        materializes its ids on the driver or in the manifest JSON).
 
-            staging = os.path.join(
-                self.storage.path, "staging", uuid_mod.uuid4().hex[:12]
-            )
-            try:
-                tables = build_segment(
-                    self.spark, df, self.schema, doc_id_base=base, work_dir=staging
+        The whole manifest read-modify-write runs under the writer lock
+        (no-op when the caller already holds it via transaction() /
+        exclusive_writer) — without it a concurrent merge or writer could
+        commit between our read and our commit and be silently dropped."""
+        with self._writer_lock():
+            manifest = self.storage.read_manifest(self.storage.current_version())
+            base = int(manifest.get("next_doc_id", 0))
+            segments = list(manifest["segments"])
+            next_doc_id = base
+            if df is not None:
+                import shutil
+                import uuid as uuid_mod
+
+                staging = os.path.join(
+                    self.storage.path, "staging", uuid_mod.uuid4().hex[:12]
                 )
-                n = tables["n_docs"]
-                if n > 0:
-                    entry = self.storage.write_segment(tables, tombstones=deletes)
-                    segments.append(entry)
-                    next_doc_id = base + n
-                elif deletes:
-                    segments.append({"name": None, "tombstones": sorted(deletes)})
-            finally:
-                shutil.rmtree(staging, ignore_errors=True)
-        elif deletes:
-            # pure-delete commit: attach tombstones to an empty segment entry
-            segments.append({"name": None, "tombstones": sorted(deletes)})
-        version = self.storage.commit(
-            {
-                "segments": segments,
-                "next_doc_id": next_doc_id,
-                "schema": self.schema.to_json(),
+                try:
+                    tables = build_segment(
+                        self.spark, df, self.schema, doc_id_base=base,
+                        work_dir=staging,
+                    )
+                    n = tables["n_docs"]
+                    if n > 0:
+                        entry = self.storage.write_segment(
+                            tables, tombstones=deletes
+                        )
+                        segments.append(entry)
+                        next_doc_id = base + n
+                    elif isinstance(deletes, DataFrame) or deletes:
+                        segments.append(self._pure_delete_entry(deletes))
+                finally:
+                    shutil.rmtree(staging, ignore_errors=True)
+            elif isinstance(deletes, DataFrame) or deletes:
+                # pure-delete commit: tombstones on an empty segment entry
+                segments.append(self._pure_delete_entry(deletes))
+            version = self.storage.commit(
+                {
+                    "segments": segments,
+                    "next_doc_id": next_doc_id,
+                    "schema": self.schema.to_json(),
+                }
+            )
+            return version
+
+    def _pure_delete_entry(self, deletes: list | DataFrame) -> dict:
+        if isinstance(deletes, DataFrame):
+            return {
+                "name": None, "tombstones": [],
+                "tombstone_table": self.storage.write_tombstone_table(deletes),
             }
-        )
-        return version
+        return {"name": None, "tombstones": sorted(deletes)}
 
     # --- segment merge / compaction ------------------------------------------
     def merge_segments(self) -> int:
@@ -312,15 +353,8 @@ class Index:
         # a merge rewrites the whole manifest, so it is a WRITE: take the
         # writer lock (like transaction()) — a merge racing another writer
         # would silently drop that writer's commit from the new manifest
-        took_lock = False
-        if not self._held_lock:
-            self._acquire_lock()
-            took_lock = True
-        try:
+        with self._writer_lock():
             return self._merge_segments_locked()
-        finally:
-            if took_lock:
-                self._release_lock()
 
     def _merge_segments_locked(self) -> int:
         from tantiny_spark.wand import build_blocks

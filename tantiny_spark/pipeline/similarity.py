@@ -174,12 +174,15 @@ def deterministic_centroids(df: DataFrame, k: int, vec: str = "embedding",
     pts = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(42)
     cents = [pts[0]]
+    # incremental min-distance: update with the newest centroid only —
+    # O(k·n·d), not O(k²·n·d); identical values (min is associative), so
+    # the seeding (and every centroid) is bit-for-bit what the old
+    # recompute-everything loop produced
+    d = np.sum((pts - cents[0]) ** 2, axis=1)
     for _ in range(1, k):
-        d = np.min(
-            [np.sum((pts - c) ** 2, axis=1) for c in cents], axis=0
-        )
         probs = d / d.sum() if d.sum() > 0 else None
         cents.append(pts[rng.choice(len(pts), p=probs)])
+        d = np.minimum(d, np.sum((pts - cents[-1]) ** 2, axis=1))
     return np.vstack(cents)
 
 
@@ -263,14 +266,16 @@ def pq_train(
         # with the first centroid (argmin ties resolve to the lowest code,
         # so padding never changes an assignment)
         cents = [sub[0]]
+        # incremental min-distance (same values as recomputing the min over
+        # every centroid — see deterministic_centroids): O(k·n·d) seeding,
+        # which is what makes FAISS-style k=256 codebooks tractable
+        dist = np.sum((sub - cents[0]) ** 2, axis=1)
         for _ in range(1, k):
-            dist = np.min(
-                [np.sum((sub - c) ** 2, axis=1) for c in cents], axis=0
-            )
             tot = float(dist.sum())
             if tot <= 1e-24:
                 break
             cents.append(sub[rng.choice(len(sub), p=dist / tot)])
+            dist = np.minimum(dist, np.sum((sub - cents[-1]) ** 2, axis=1))
         cb = np.vstack(cents + [cents[0]] * (k - len(cents)))
         for _ in range(max(0, n_iter)):
             codes = np.argmin(
@@ -395,3 +400,64 @@ def quantization_error(
     return float(
         df.select(F.avg(_err(F.col(vec))).alias("e")).collect()[0]["e"]
     )
+
+
+def synthetic_vectors(
+    spark, n: int, dim: int = 64, n_clusters: int = 64,
+    noise: float = 0.35, seed: int = 7,
+) -> DataFrame:
+    """Deterministic clustered vector corpus for ANN recall evaluation —
+    (vec_id, embedding array<float>, label). Row i is unit-normalized
+    ``center[i % n_clusters] + noise·g(i)`` where both the centers and the
+    per-row Gaussian g(i) are seeded ONLY by (seed, i): any partitioning,
+    any parallelism, any executor count produces bit-identical vectors, so
+    recall numbers are reproducible across cluster sizes (the north-rule
+    requirement). The generator is Spark-side (range → mapInPandas), so a
+    100M-row corpus never touches the driver."""
+    books = synthetic_centers(dim, n_clusters, seed)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            out = np.empty((len(ids), dim), dtype=np.float64)
+            for j, i in enumerate(ids):
+                g = np.random.default_rng((seed << 32) ^ int(i))
+                out[j] = books[int(i) % n_clusters] + noise * g.standard_normal(dim)
+            out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "embedding": list(out.astype(np.float32)),
+                "label": ids % n_clusters,
+            })
+
+    return (
+        spark.range(n).withColumnRenamed("id", "vec_id")
+        .mapInPandas(
+            gen, "vec_id long, embedding array<float>, label long"
+        )
+    )
+
+
+def synthetic_centers(dim: int, n_clusters: int, seed: int = 7) -> np.ndarray:
+    """The unit-norm cluster centers synthetic_vectors plants — exposed so
+    query vectors can be drawn near known clusters."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_clusters, dim))
+    return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+
+def recall_at_k(
+    df: DataFrame, queries: list, k: int,
+    ann_fn, vec: str = "embedding", key: str = "vec_id",
+) -> float:
+    """Mean recall@k of ``ann_fn(df, query, k) -> DataFrame[key, ...]``
+    against the exact cosine brute force, over the given query vectors —
+    the standard ANN quality metric (Jégou et al. 2011 eval protocol)."""
+    total = 0.0
+    for q in queries:
+        exact = {
+            r[key] for r in brute_force_topk(df, q, k, vec, key).collect()
+        }
+        got = {r[key] for r in ann_fn(df, q, k).collect()}
+        total += len(exact & got) / float(k)
+    return total / len(queries)

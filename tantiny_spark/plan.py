@@ -185,15 +185,18 @@ class Facet(Query):
 
 @dataclass(frozen=True)
 class JsonRange(Query):
-    """Inclusive numeric range over ONE json path's typed number terms
-    (Tantivy's json-field range support): matches both integer ('i') and
-    float ('f') encoded terms whose numeric value falls in [low, high].
+    """Inclusive range over ONE json path's typed terms (Tantivy's
+    json-field range support). kind='number' matches both integer ('i')
+    and float ('f') encoded terms whose numeric value falls in [low,
+    high]; kind='date' matches date ('d') terms — epoch microseconds, the
+    ingest-side RFC3339 inference's canonical value — in the same way.
     Executes as a dictionary-expansion predicate on the path's contiguous
     term slice — the Prefix machinery with a numeric parse, constant 1.0."""
     field: str
     path: str
     low: float
     high: float
+    kind: str = "number"
 
 
 @dataclass(frozen=True)
@@ -773,12 +776,31 @@ def json_range_query(
     schema: IndexSchema, field: str, path: str, rng,
     boost: float = DEFAULT_BOOST,
 ) -> Query:
-    """Inclusive numeric range on a json path — ``(low, high)`` tuple or a
+    """Inclusive range on a json path — ``(low, high)`` tuple or a
     2-list, both ends inclusive like the engine's Range (src/query.rs:
-    139-163). Matches integer AND float leaves (one numeric domain, the
-    way JSON numbers behave)."""
+    139-163). Numeric bounds match integer AND float leaves (one numeric
+    domain, the way JSON numbers behave); datetime/date bounds match the
+    typed date terms the ingest-side RFC3339 inference produced (Tantivy
+    json date support, reference date parse src/index.rs:173-174). Mixed
+    bound types are rejected loud."""
+    import datetime as _dt
+
     _require_json(schema, field)
     low, high = rng
+    lo_dt = isinstance(low, (_dt.datetime, _dt.date))
+    hi_dt = isinstance(high, (_dt.datetime, _dt.date))
+    if lo_dt != hi_dt:
+        raise UnsupportedRange(
+            f"json range bounds must both be numbers or both be dates, "
+            f"got ({low!r}, {high!r})"
+        )
+    if lo_dt:
+        from tantiny_spark.analysis.jsonpath import datetime_micros
+
+        return JsonRange(
+            field, path, float(datetime_micros(low)),
+            float(datetime_micros(high)), kind="date",
+        ).boost(boost)
     if not isinstance(low, (int, float)) or isinstance(low, bool) or \
             not isinstance(high, (int, float)) or isinstance(high, bool):
         raise UnsupportedRange(

@@ -232,10 +232,9 @@ class _Parser:
             if json_target is not None:
                 lo = _parse_literal(m.group("rlo"))
                 hi = _parse_literal(m.group("rhi"))
-                if not all(isinstance(x, (int, float)) for x in (lo, hi)):
-                    raise QueryParseError(
-                        "json path ranges must be numeric"
-                    )
+                # numeric pairs hit the number terms, ISO-date pairs the
+                # typed date terms (attrs.when:[2020-01-01 TO 2021-01-01]);
+                # json_range_query rejects mixed bounds loud
                 try:
                     return P.json_range_query(
                         self.schema, json_target[0], json_target[1], (lo, hi)

@@ -72,9 +72,28 @@ class IndexStorage:
         os.replace(htmp, self._head_path())
         return version
 
+    # --- tombstone side-tables ------------------------------------------------
+    def write_tombstone_table(self, ids_df) -> str:
+        """Persist a (possibly huge) delete set as a parquet side-table and
+        return its name. The manifest then references the table by name
+        instead of inlining the ids — a 100 TB ``availableNow`` backfill
+        batch can tombstone billions of ids without the manifest JSON (or
+        the driver's Python heap) ever materializing them; the read path
+        (Snapshot.context) anti-joins the table exactly like the inline
+        list it replaces."""
+        name = f"ts-{uuid.uuid4().hex[:12]}"
+        ids_df.select(F.col(ids_df.columns[0]).cast("string").alias("id")) \
+            .distinct().write.mode("overwrite").parquet(
+                os.path.join(self.path, "tombstones", name)
+            )
+        return name
+
+    def read_tombstone_table(self, spark: SparkSession, name: str):
+        return spark.read.parquet(os.path.join(self.path, "tombstones", name))
+
     # --- segment IO ---------------------------------------------------------
     def write_segment(
-        self, tables: dict, tombstones: list | None = None, name: str | None = None
+        self, tables: dict, tombstones=None, name: str | None = None
     ) -> dict:
         """Persist one segment's tables; returns its manifest entry. Does NOT
         commit — a crash here leaves an unreferenced directory, never a
@@ -102,7 +121,13 @@ class IndexStorage:
                 fn(stored_postings).write.mode("overwrite").parquet(
                     os.path.join(seg_dir, tname)
                 )
-        entry = {"name": name, "tombstones": sorted(tombstones or [])}
+        if isinstance(tombstones, DataFrame):
+            entry = {
+                "name": name, "tombstones": [],
+                "tombstone_table": self.write_tombstone_table(tombstones),
+            }
+        else:
+            entry = {"name": name, "tombstones": sorted(tombstones or [])}
         return entry
 
     def load_segment(self, spark: SparkSession, entry: dict) -> dict:
@@ -165,29 +190,47 @@ class Snapshot:
             if seg is None:  # pure-delete commit: tombstones only
                 continue
             dead: set = set()
+            dead_tables: list = []
             for later in entries[i + 1 :]:
                 dead.update(later.get("tombstones", []))
+                if later.get("tombstone_table"):
+                    dead_tables.append(later["tombstone_table"])
             docs, postings = seg["docs"], seg["postings"]
-            if dead:
+            if dead or dead_tables:
                 any_tombstoned = True
                 import pandas as pd
 
-                dead_df = F.broadcast(
-                    self.spark.createDataFrame(
-                        pd.DataFrame({"id": sorted(dead)}), schema="id string"
+                parts = []
+                if dead:
+                    parts.append(
+                        self.spark.createDataFrame(
+                            pd.DataFrame({"id": sorted(dead)}), schema="id string"
+                        )
                     )
+                parts.extend(
+                    self.storage.read_tombstone_table(self.spark, t)
+                    for t in dead_tables
                 )
+                dead_df = parts[0]
+                for p in parts[1:]:
+                    dead_df = dead_df.unionByName(p)
                 # resolve tombstoned ids to this segment's doc_ids ONCE: the
-                # dead set (bounded by tombstones since the last merge) is
-                # the broadcastable side — broadcasting the live docs would
-                # ship nearly the whole segment
+                # dead set (bounded by deletes since the last merge) sits on
+                # the build side — broadcasting the live docs would ship
+                # nearly the whole segment. Inline lists (delete_by_query's
+                # max_deletes-bounded path) are always broadcastable; a
+                # parquet tombstone table from a giant streaming upsert
+                # batch may not be, so there AQE picks the strategy from
+                # the table's actual size instead of a forced hint.
+                if not dead_tables:
+                    dead_df = F.broadcast(dead_df)
                 seg_dead_docs = (
                     seg["docs"].join(dead_df, "id", "left_semi").select("doc_id")
                 )
                 docs = docs.join(dead_df, "id", "left_anti")
-                postings = postings.join(
-                    F.broadcast(seg_dead_docs), "doc_id", "left_anti"
-                )
+                if not dead_tables:
+                    seg_dead_docs = F.broadcast(seg_dead_docs)
+                postings = postings.join(seg_dead_docs, "doc_id", "left_anti")
                 dead_doc_parts.append(seg_dead_docs)
             docs_parts.append(docs)
             post_parts.append(postings)

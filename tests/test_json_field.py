@@ -264,8 +264,117 @@ def test_json_range_with_float_terms(spark, tmp_path):
 def test_json_parser_range(jix):
     assert sorted(jix.search(jix.parse_query("attrs.meta.stars:[5 TO 9]",
                                              ["body"]), limit=10)) == ["d1", "d3"]
-    with pytest.raises(QueryParseError, match="numeric"):
-        jix.parse_query("attrs.meta.stars:[2020-01-01 TO 2021-01-01]", ["body"])
+    # date-literal ranges now compile to the typed date-term range (no
+    # date leaves in this fixture → empty, not an error)
+    assert jix.search(
+        jix.parse_query("attrs.meta.stars:[2020-01-01 TO 2021-01-01]",
+                        ["body"]), limit=10) == []
+    # mixed bounds stay loud
+    with pytest.raises(QueryParseError):
+        jix.parse_query("attrs.meta.stars:[5 TO 2021-01-01]", ["body"])
+
+
+# --------------------------------------------------------------------------
+# date leaves (Tantivy json date inference — RFC3339 strings become typed
+# date terms; reference date parse src/index.rs:173-174)
+# --------------------------------------------------------------------------
+
+def test_parse_rfc3339_strictness():
+    from tantiny_spark.analysis.jsonpath import parse_rfc3339_micros
+
+    assert parse_rfc3339_micros("2026-01-01T00:00:00Z") == 1767225600000000
+    assert parse_rfc3339_micros("2026-01-01T01:00:00+01:00") == 1767225600000000
+    assert parse_rfc3339_micros("2026-01-01T00:00:00.5Z") == 1767225600500000
+    # NOT inferred: bare dates, partial times, plain words, numbers
+    for s in ("2026-01-01", "2026-01-01T00:00", "spark", "17672256",
+              "2026-01-01T00:00:00"):  # no offset → not RFC3339
+        assert parse_rfc3339_micros(s) is None
+
+
+def test_json_postings_date_leaf_is_typed_term_not_text():
+    tok = Tokenizer.default()
+    acc, n = json_postings(
+        json.dumps({"when": "2026-01-01T00:00:00Z", "title": "spark"}), tok
+    )
+    assert n == 1  # only 'spark'; the date leaf is not a text token
+    assert acc[f"when{JSON_SEP}d1767225600000000"] == [0]
+    assert f"when{JSON_SEP}s2026" not in acc
+
+
+@pytest.fixture()
+def dix(spark, tmp_path):
+    s = IndexSchema()
+    s.text("body")
+    s.json("j")
+    ix = Index(spark, str(tmp_path / "dix"), s)
+    with ix.transaction():
+        ix.add({"id": "a", "j": {"when": "2020-06-01T12:00:00Z", "k": "x"}})
+        ix.add({"id": "b", "j": {"when": "2021-03-15T00:00:00Z"}})
+        ix.add({"id": "c", "j": {"when": "not a date 2020-06-01"}})
+    ix.reload()
+    return ix
+
+
+def test_json_date_term_equality(dix):
+    from datetime import datetime, timezone
+
+    dt = datetime(2020, 6, 1, 12, 0, 0, tzinfo=timezone.utc)
+    assert dix.search(dix.json_term_query("j", "when", dt), limit=10) == ["a"]
+    # naive datetimes are UTC (the date fast-field convention)
+    assert dix.search(
+        dix.json_term_query("j", "when", datetime(2021, 3, 15)), limit=10
+    ) == ["b"]
+
+
+def test_json_date_range(dix):
+    from datetime import date, datetime
+
+    q = dix.json_range_query(
+        "j", "when", (datetime(2020, 1, 1), datetime(2020, 12, 31))
+    )
+    assert dix.search(q, limit=10) == ["a"]
+    # inclusive ends; date objects accepted
+    q = dix.json_range_query("j", "when",
+                             (date(2020, 6, 1), date(2021, 3, 15)))
+    assert sorted(dix.search(q, limit=10)) == ["a", "b"]
+    # a date range never matches number or text terms
+    assert dix.search(
+        dix.json_range_query("j", "when", (datetime(2026, 1, 1),
+                                           datetime(2027, 1, 1))), limit=10
+    ) == []
+    from tantiny_spark.errors import UnsupportedRange
+    with pytest.raises(UnsupportedRange, match="both"):
+        dix.json_range_query("j", "when", (5, datetime(2021, 1, 1)))
+
+
+def test_json_date_parser_syntax(dix):
+    got = dix.search(
+        dix.parse_query("j.when:[2020-01-01 TO 2021-01-01]", ["body"]), limit=10
+    )
+    assert got == ["a"]
+    got = dix.search(
+        dix.parse_query("j.when:[2020-01-01 TO 2021-03-15T00:00:00]", ["body"]),
+        limit=10,
+    )
+    assert sorted(got) == ["a", "b"]
+
+
+def test_json_date_leaf_does_not_affect_fieldnorm(spark, tmp_path):
+    """Two docs with identical text leaves, one with an extra date leaf:
+    BM25 over the json text must be identical (date terms are typed, not
+    tokens — they never count toward the per-(doc,field) fieldnorm)."""
+    s = IndexSchema()
+    s.json("j")
+    ix = Index(spark, str(tmp_path / "nrm"), s)
+    with ix.transaction():
+        ix.add({"id": "p", "j": {"t": "spark merge"}})
+        ix.add({"id": "q", "j": {"t": "spark merge",
+                                 "when": "2020-01-01T00:00:00Z"}})
+    ix.reload()
+    rows = ix.search_df(ix.json_term_query("j", "t", "spark"),
+                        limit=10).collect()
+    scores = {r["id"]: r["score"] for r in rows}
+    assert scores["p"] == scores["q"]
 
 
 def test_json_survives_merge(jix):

@@ -96,3 +96,88 @@ def test_merge_respects_writer_lock(spark, tmp_path):
             idx.merge_segments()
     finally:
         writer.close()
+
+
+def test_streaming_tombstones_never_materialize_on_driver(spark, tmp_path, monkeypatch):
+    """The streaming upsert path must commit its delete set as a parquet
+    tombstone side-table — never as collected Python ids (a 100 TB
+    availableNow backfill is ONE batch) and never inlined in the manifest
+    JSON. DataFrame.collect is poisoned for the duration of the batch to
+    prove no id list ever crosses to the driver."""
+    import json
+    from pyspark.sql import DataFrame
+
+    src_dir = str(tmp_path / "in3")
+    os.makedirs(src_dir)
+    chk = str(tmp_path / "chk3")
+    s = IndexSchema()
+    s.text("t")
+    idx = Index(spark, str(tmp_path / "idx3"), s)
+
+    spark.createDataFrame(
+        [("1", "alpha one"), ("2", "alpha two")], "id string, t string"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema("id string, t string").parquet(src_dir)
+
+    real_collect = DataFrame.collect
+
+    def poisoned(self, *a, **k):
+        raise AssertionError("streaming commit collected rows onto the driver")
+
+    monkeypatch.setattr(DataFrame, "collect", poisoned)
+    try:
+        q = incremental_index_writer(stream, idx, chk).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+        exc = q.exception()
+        assert exc is None, f"streaming batch failed: {exc}"
+    finally:
+        monkeypatch.setattr(DataFrame, "collect", real_collect)
+
+    # the manifest references a tombstone table by name; no inline ids
+    manifest = idx.storage.read_manifest(idx.storage.current_version())
+    seg = manifest["segments"][-1]
+    assert seg["tombstones"] == []
+    assert seg.get("tombstone_table")
+    ts = idx.storage.read_tombstone_table(spark, seg["tombstone_table"])
+    assert sorted(r["id"] for r in ts.collect()) == ["1", "2"]
+
+    # and the read path applies table-backed tombstones on upsert
+    spark.createDataFrame(
+        [("1", "replaced text")], "id string, t string"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    q = incremental_index_writer(stream, idx, chk).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    idx.reload()
+    assert idx.search("alpha") == ["2"]
+    assert idx.search("replaced") == ["1"]
+
+
+def test_streaming_commit_holds_writer_lock(spark, tmp_path):
+    """r04 ADVICE #2: the foreachBatch commit must serialize through the
+    same writer lock merges take — an exclusive writer elsewhere makes the
+    streaming batch fail loudly instead of silently interleaving."""
+    from tantiny_spark.errors import IndexWriterBusyError
+
+    src_dir = str(tmp_path / "in4")
+    os.makedirs(src_dir)
+    s = IndexSchema()
+    s.text("t")
+    path = str(tmp_path / "idx4")
+    idx = Index(spark, path, s)
+    idx.add({"id": "0", "t": "seed"})  # persist the schema first
+    spark.createDataFrame(
+        [("1", "alpha")], "id string, t string"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    other = Index(spark, path, exclusive_writer=True)
+    try:
+        from tantiny_spark.streaming import foreach_batch_upsert
+        import pytest
+
+        batch = spark.read.parquet(src_dir)
+        with pytest.raises(IndexWriterBusyError):
+            foreach_batch_upsert(idx)(batch, 0)
+    finally:
+        other.close()
