@@ -21,6 +21,7 @@ columns a query type needs are read (no positions for term queries).
 from __future__ import annotations
 
 from dataclasses import dataclass
+import weakref
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -36,9 +37,23 @@ RESULT_SCHEMA = T.StructType(
     ]
 )
 
+#: per-session cache of the 256-entry SmallFloat decode table Column —
+#: building it costs 256 py4j literal round-trips (~130 ms, measured), which
+#: used to be paid by EVERY scored query; Column expressions are immutable
+#: and session-scoped, so one per live session is exactly right
+_NORM_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _decode_norm(col):
     """fieldnorm byte id → document length, JVM-side (no UDF)."""
-    table = F.array(*[F.lit(v) for v in scoring.FIELDNORM_TABLE])
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    table = _NORM_TABLE_CACHE.get(spark) if spark is not None else None
+    if table is None:
+        table = F.array(*[F.lit(v) for v in scoring.FIELDNORM_TABLE])
+        if spark is not None:
+            _NORM_TABLE_CACHE[spark] = table
     return F.element_at(table, col.cast("int") + 1).cast("double")
 
 
@@ -68,6 +83,11 @@ class SearchContext:
         # from the searcher before scoring (src/index.rs:244-274).
         self._stats_cache: dict = {}
         self._df_cache: dict = {}
+        # memoized dictionary-expansion heads (prefix/regex/fuzzy/json-range
+        # nodes are frozen dataclasses → hashable keys); the matched term
+        # slice of an immutable snapshot never changes, so repeating the
+        # query must not repeat the capped collect job
+        self._expansion_cache: dict = {}
 
     def release(self) -> None:
         """Unpersist the cached hot tables (ids/dictionary/stats). Called by
@@ -202,10 +222,12 @@ def compile_plan(node: P.Query, ctx: SearchContext) -> DataFrame:
         return _dict_expansion(
             ctx, node.field,
             F.col("term").rlike("^(?:" + node.pattern + ")$"),
+            cache_key=node,
         )
     if isinstance(node, P.Prefix):
         return _dict_expansion(
-            ctx, node.field, F.col("term").startswith(node.prefix)
+            ctx, node.field, F.col("term").startswith(node.prefix),
+            cache_key=node,
         )
     if isinstance(node, P.JsonRange):
         from tantiny_spark.analysis.jsonpath import (
@@ -234,7 +256,7 @@ def compile_plan(node: P.Query, ctx: SearchContext) -> DataFrame:
             & num.isNotNull()
             & (num >= F.lit(node.low)) & (num <= F.lit(node.high))
         )
-        return _dict_expansion(ctx, node.field, pred)
+        return _dict_expansion(ctx, node.field, pred, cache_key=node)
     if isinstance(node, P.Range):
         col = F.col(node.field)
         return ctx.docs.where(col.isNotNull() & col.between(F.lit(node.low), F.lit(node.high))).select(
@@ -614,7 +636,9 @@ def _phrase_prefix(node: P.PhrasePrefix, ctx: SearchContext) -> DataFrame:
 MAX_EXPANSION_LITERALS = 10_000
 
 
-def _dict_expansion(ctx: SearchContext, field: str, term_predicate) -> DataFrame:
+def _dict_expansion(
+    ctx: SearchContext, field: str, term_predicate, cache_key=None,
+) -> DataFrame:
     """Automaton-style queries (regex/prefix/fuzzy): enumerate matching
     dictionary terms, union their postings, constant score 1.0.
 
@@ -633,7 +657,14 @@ def _dict_expansion(ctx: SearchContext, field: str, term_predicate) -> DataFrame
         .select("term")
         .distinct()
     )
-    head = matched_df.limit(MAX_EXPANSION_LITERALS + 1).collect()
+    # memoize the capped head per plan node: the snapshot's dictionary is
+    # immutable, so a repeated prefix/regex/fuzzy query must not re-run
+    # the expansion job (the dominant fixed cost of a repeated smart query)
+    head = ctx._expansion_cache.get(cache_key) if cache_key is not None else None
+    if head is None:
+        head = matched_df.limit(MAX_EXPANSION_LITERALS + 1).collect()
+        if cache_key is not None:
+            ctx._expansion_cache[cache_key] = head
     if not head:
         return ctx.docs.sparkSession.createDataFrame([], RESULT_SCHEMA)
     if len(head) <= MAX_EXPANSION_LITERALS:
@@ -674,7 +705,10 @@ def _fuzzy(node: P.FuzzyTerm, ctx: SearchContext) -> DataFrame:
     band = F.length(F.col("term")) >= F.lit(len(query) - dist)
     if not node.prefix:
         band = band & (F.length(F.col("term")) <= F.lit(len(query) + dist))
-    return _dict_expansion(ctx, node.field, band & (osa(F.col("term")) <= F.lit(dist)))
+    return _dict_expansion(
+        ctx, node.field, band & (osa(F.col("term")) <= F.lit(dist)),
+        cache_key=node,
+    )
 
 
 def _osa_udf(query: str, prefix: bool = False):

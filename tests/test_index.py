@@ -249,3 +249,33 @@ def test_maybe_merge_policy(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         idx.maybe_merge(max_segments=0)
+
+
+def test_query_cache_semantics(spark, tmp_path):
+    """The compiled-query LRU returns identical results on repeat, stays
+    consistent with snapshot isolation (stale until reload, fresh after),
+    and is invalidated by reload()."""
+    from tantiny_spark.schema import IndexSchema
+
+    s = IndexSchema()
+    s.text("t")
+    ix = Index(spark, str(tmp_path / "qc"), s)
+    ix.add({"id": "1", "t": "alpha one"})
+    ix.reload()
+    first = ix.search("alpha")
+    assert first == ["1"]
+    assert len(ix._query_cache) == 1
+    # commit without reload: cached (and uncached) reads stay on the
+    # pinned snapshot — exactly the reference's ReloadPolicy::Manual
+    ix.add({"id": "2", "t": "alpha two"})
+    assert ix.search("alpha") == ["1"]
+    ix.reload()
+    assert len(ix._query_cache) == 0  # invalidated with the snapshot
+    assert sorted(ix.search("alpha")) == ["1", "2"]
+    # repeat hit returns the same DataFrame object (analysis reused)
+    a = ix.search_df(ix.term_query("t", "alpha"))
+    b = ix.search_df(ix.term_query("t", "alpha"))
+    assert a is b
+    # different limit/offset/plan are distinct entries
+    c = ix.search_df(ix.term_query("t", "alpha"), limit=1)
+    assert c is not a
