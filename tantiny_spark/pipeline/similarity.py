@@ -231,10 +231,14 @@ def kmeans_fit(
     return cents
 
 
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
 def pq_train(
     df: DataFrame, m: int = 4, k: int = 16, n_iter: int = 10,
     vec: str = "embedding", key: str = "vec_id", sample: int = 1024,
-    seed: int = 42,
+    seed: int = 42, centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks (Jégou et al. 2011): split the
     (row-normalized) vector into ``m`` subspaces and run an independent
@@ -246,7 +250,14 @@ def pq_train(
     sample, not the corpus, so training cost is O(sample·m·k·iters)
     regardless of corpus size. Encoding and querying are the distributed
     parts (``pq_encode`` / ``pq_topk``). Vectors are normalized first so
-    ADC's L2 ranking matches the module's cosine ranking."""
+    ADC's L2 ranking matches the module's cosine ranking.
+
+    ``centroids``: when the IVF coarse centroids are given, codebooks are
+    trained on the RESIDUALS x̂ − ĉ(x̂) — FAISS's IndexIVFPQ semantics
+    (Jégou et al. 2011 §IV): residuals concentrate near 0, so the same
+    m·log2(k) bits resolve WITHIN-cell distances instead of re-spending
+    them on the cell position the IVF assignment already encodes. Pass the
+    same centroids to pq_encode/pq_topk/ivfpq_topk."""
     if m < 1 or k < 1:
         raise ValueError("m and k must be >= 1")
     rows = df.orderBy(key).limit(sample).select(vec).collect()
@@ -257,7 +268,10 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"dim {dim} is not divisible by m={m} subspaces")
     d = dim // m
-    pts = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
+    pts = _unit_rows(pts)
+    if centroids is not None:
+        cn = _unit_rows(np.asarray(centroids, dtype=np.float64))
+        pts = pts - cn[np.argmax(pts @ cn.T, axis=1)]
     books = np.zeros((m, k, d), dtype=np.float64)
     for s in range(m):
         sub = pts[:, s * d:(s + 1) * d]
@@ -292,14 +306,45 @@ def pq_train(
 def pq_encode(
     df: DataFrame, codebooks: np.ndarray,
     vec: str = "embedding", key: str = "vec_id",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Encode every vector as ``m`` one-byte-ish codes (nearest centroid
     per subspace, after row normalization) — the compressed representation
     a 100 TB ANN index actually stores: m·log2(k) bits per vector instead
     of dim·32. Arrow-vectorized numpy, one (batch × k) distance matrix per
-    subspace per batch; adds a ``pq_code`` array<int> column."""
+    subspace per batch; adds a ``pq_code`` array<int> column.
+
+    With ``centroids`` (FAISS IVFPQ residual mode) each row encodes
+    x̂ − ĉ[ivf_cell] against residual-trained codebooks; the ``ivf_cell``
+    column is computed if absent (at scale it is precomputed at write
+    time and the table partitioned by it)."""
     books = np.asarray(codebooks, dtype=np.float64)
     m, k, d = books.shape
+
+    if centroids is not None:
+        cn = _unit_rows(np.asarray(centroids, dtype=np.float64))
+        if "ivf_cell" not in df.columns:
+            df = ivf_assign(df, centroids, vec, key)
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def _enc_resid(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+            mat = _unit_rows(np.vstack(vecs.to_numpy()).astype(np.float64))
+            if mat.shape[1] != m * d:
+                raise ValueError(
+                    f"pq_encode: vector dim {mat.shape[1]} != codebooks' "
+                    f"m*d = {m * d}"
+                )
+            mat = mat - cn[cells.to_numpy().astype(np.int64)]
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for s in range(m):
+                sub = mat[:, s * d:(s + 1) * d]
+                dist = -2.0 * (sub @ books[s].T) + (books[s] ** 2).sum(axis=1)
+                codes[:, s] = np.argmin(dist, axis=1)
+            return pd.Series(list(codes))
+
+        return df.withColumn(
+            "pq_code", _enc_resid(F.col(vec), F.col("ivf_cell"))
+        )
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _enc(vecs: pd.Series) -> pd.Series:
@@ -324,7 +369,8 @@ def pq_encode(
 
 def pq_topk(
     df: DataFrame, codebooks: np.ndarray, query: list, k: int = 10,
-    vec: str = "embedding", key: str = "vec_id",
+    vec: str = "embedding", key: str = "vec_id", rerank: int | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """PQ top-k by ASYMMETRIC distance (ADC): the driver computes the tiny
     (m × K) lookup table of squared L2 distances from each normalized
@@ -335,29 +381,85 @@ def pq_topk(
     the full vectors never leave storage. Combine with ``ivf_assign``
     cells for the classic IVF-PQ layout (partition pruning × compressed
     scan). Ranking matches cosine because train/encode/query all
-    normalize. Returns (key, pq_dist) ascending."""
+    normalize. Returns (key, pq_dist) ascending.
+
+    ``centroids``: residual-ADC mode (codes from residual-trained
+    codebooks; see pq_train). ``rerank``: FAISS IndexRefine stage — ADC
+    shortlists rerank·k candidates, their full vectors are exact-scored;
+    returns (key, cosine) descending instead."""
     books = np.asarray(codebooks, dtype=np.float64)
     m, K, d = books.shape
     q = np.asarray(query, dtype=np.float64)
     if q.shape[0] != m * d:
         raise ValueError(f"query dim {q.shape[0]} != m*d = {m * d}")
     q = q / max(float(np.linalg.norm(q)), 1e-12)
-    lut = np.stack([
-        ((books[s] - q[s * d:(s + 1) * d]) ** 2).sum(axis=1) for s in range(m)
-    ])  # (m, K)
-    encoded = df if "pq_code" in df.columns else pq_encode(df, books, vec, key)
-    dist = F.lit(0.0)
-    for s in range(m):
-        table = F.array(*[F.lit(round(float(x), 12)) for x in lut[s]])
-        dist = dist + F.element_at(table, F.element_at("pq_code", s + 1) + F.lit(1))
-    scored = encoded.select(F.col(key), F.round(dist, 6).alias("pq_dist"))
-    return scored.orderBy(F.col("pq_dist").asc(), F.col(key).asc()).limit(k)
+
+    if centroids is not None:
+        # residual ADC (FAISS IVFPQ): the lookup table depends on the cell —
+        # dist(q, c + r) needs (q − ĉ[cell]) per probed cell. The per-cell
+        # (m × K) tables are a small numpy closure shipped once per task and
+        # scored with Arrow-batched take()+sum — the same SIMD-lookup scan
+        # FAISS runs per inverted list, still reading only (key, cell, code).
+        cn = _unit_rows(np.asarray(centroids, dtype=np.float64))
+        qr = q[None, :] - cn  # (n_cells, dim)
+        luts = np.stack([
+            ((qr[:, None, s * d:(s + 1) * d] - books[s][None, :, :]) ** 2)
+            .sum(axis=2)
+            for s in range(m)
+        ], axis=1)  # (n_cells, m, K)
+        encoded = (
+            df if "pq_code" in df.columns
+            else pq_encode(df, books, vec, key, centroids=centroids)
+        )
+
+        @F.pandas_udf(T.DoubleType())
+        def _adc(cells: pd.Series, codes: pd.Series) -> pd.Series:
+            cell_arr = cells.to_numpy().astype(np.int64)
+            code_mat = np.vstack(codes.to_numpy()).astype(np.int64)
+            t = luts[cell_arr]  # (batch, m, K)
+            dist = np.take_along_axis(
+                t, code_mat[:, :, None], axis=2
+            )[:, :, 0].sum(axis=1)
+            return pd.Series(np.round(dist, 6))
+
+        scored = encoded.select(
+            F.col(key), _adc(F.col("ivf_cell"), F.col("pq_code")).alias("pq_dist")
+        )
+    else:
+        lut = np.stack([
+            ((books[s] - q[s * d:(s + 1) * d]) ** 2).sum(axis=1)
+            for s in range(m)
+        ])  # (m, K)
+        encoded = df if "pq_code" in df.columns else pq_encode(df, books, vec, key)
+        dist = F.lit(0.0)
+        for s in range(m):
+            table = F.array(*[F.lit(round(float(x), 12)) for x in lut[s]])
+            dist = dist + F.element_at(
+                table, F.element_at("pq_code", s + 1) + F.lit(1)
+            )
+        scored = encoded.select(F.col(key), F.round(dist, 6).alias("pq_dist"))
+    if rerank is None:
+        return scored.orderBy(F.col("pq_dist").asc(), F.col(key).asc()).limit(k)
+    # FAISS IndexRefine / IVFPQR stage: the compressed scan shortlists
+    # rerank·k candidates by ADC, then ONLY those rows' full vectors are
+    # read and exact-cosine-scored (a semi-join of ~rerank·k keys) — the
+    # standard way PQ recall@k recovers quantization loss without ever
+    # scanning uncompressed vectors. Returns (key, cosine) descending.
+    cand = (
+        scored.orderBy(F.col("pq_dist").asc(), F.col(key).asc())
+        .limit(int(rerank) * k)
+        .select(key)
+    )
+    return brute_force_topk(
+        encoded.join(F.broadcast(cand), key, "left_semi"), query, k, vec, key
+    )
 
 
 def ivfpq_topk(
     df: DataFrame, centroids: np.ndarray, codebooks: np.ndarray,
     query: list, k: int = 10, n_probe: int = 2,
-    vec: str = "embedding", key: str = "vec_id",
+    vec: str = "embedding", key: str = "vec_id", rerank: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """The full IVF-PQ read path (FAISS's default 100 TB layout): rank the
     coarse centroids driver-side, scan ONLY the ``n_probe`` nearest cells
@@ -371,13 +473,14 @@ def ivfpq_topk(
     assigned = (
         df if "ivf_cell" in df.columns else ivf_assign(df, centroids, vec, key)
     )
+    resid_cents = centroids if residual else None
     encoded = (
         assigned if "pq_code" in assigned.columns
-        else pq_encode(assigned, codebooks, vec, key)
+        else pq_encode(assigned, codebooks, vec, key, centroids=resid_cents)
     )
     return pq_topk(
         encoded.where(F.col("ivf_cell").isin(probe)), codebooks, query, k,
-        vec, key,
+        vec, key, rerank=rerank, centroids=resid_cents,
     )
 
 
@@ -404,16 +507,19 @@ def quantization_error(
 
 def synthetic_vectors(
     spark, n: int, dim: int = 64, n_clusters: int = 64,
-    noise: float = 0.35, seed: int = 7,
+    noise: float = 0.6, seed: int = 7,
 ) -> DataFrame:
     """Deterministic clustered vector corpus for ANN recall evaluation —
     (vec_id, embedding array<float>, label). Row i is unit-normalized
-    ``center[i % n_clusters] + noise·g(i)`` where both the centers and the
-    per-row Gaussian g(i) are seeded ONLY by (seed, i): any partitioning,
-    any parallelism, any executor count produces bit-identical vectors, so
-    recall numbers are reproducible across cluster sizes (the north-rule
-    requirement). The generator is Spark-side (range → mapInPandas), so a
-    100M-row corpus never touches the driver."""
+    ``center[i % n_clusters] + noise·ĝ(i)`` where ĝ is a UNIT-norm Gaussian
+    direction (so ``noise`` is the actual perturbation magnitude relative
+    to the unit center — a raw N(0,I_dim) draw would have norm ~sqrt(dim)
+    and swamp the cluster structure). Centers and ĝ(i) are seeded ONLY by
+    (seed, i): any partitioning, any parallelism, any executor count
+    produces bit-identical vectors, so recall numbers are reproducible
+    across cluster sizes (the north-rule requirement). The generator is
+    Spark-side (range → mapInPandas), so a 100M-row corpus never touches
+    the driver."""
     books = synthetic_centers(dim, n_clusters, seed)
 
     def gen(batches):
@@ -421,8 +527,9 @@ def synthetic_vectors(
             ids = pdf["vec_id"].to_numpy()
             out = np.empty((len(ids), dim), dtype=np.float64)
             for j, i in enumerate(ids):
-                g = np.random.default_rng((seed << 32) ^ int(i))
-                out[j] = books[int(i) % n_clusters] + noise * g.standard_normal(dim)
+                g = np.random.default_rng((seed << 32) ^ int(i)).standard_normal(dim)
+                g /= max(float(np.linalg.norm(g)), 1e-12)
+                out[j] = books[int(i) % n_clusters] + noise * g
             out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
             yield pd.DataFrame({
                 "vec_id": ids,
@@ -446,18 +553,32 @@ def synthetic_centers(dim: int, n_clusters: int, seed: int = 7) -> np.ndarray:
     return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
 
 
+def exact_topk_sets(
+    df: DataFrame, queries: list, k: int,
+    vec: str = "embedding", key: str = "vec_id",
+) -> list:
+    """Ground-truth id sets (exact cosine brute force) per query — compute
+    ONCE and share across every ANN configuration under evaluation."""
+    return [
+        {r[key] for r in brute_force_topk(df, q, k, vec, key).collect()}
+        for q in queries
+    ]
+
+
 def recall_at_k(
     df: DataFrame, queries: list, k: int,
     ann_fn, vec: str = "embedding", key: str = "vec_id",
+    ground_truth: list | None = None,
 ) -> float:
     """Mean recall@k of ``ann_fn(df, query, k) -> DataFrame[key, ...]``
     against the exact cosine brute force, over the given query vectors —
-    the standard ANN quality metric (Jégou et al. 2011 eval protocol)."""
+    the standard ANN quality metric (Jégou et al. 2011 eval protocol).
+    Pass ``ground_truth`` (from :func:`exact_topk_sets`) when scoring
+    several configurations so the exact scan runs once, not per config."""
+    if ground_truth is None:
+        ground_truth = exact_topk_sets(df, queries, k, vec, key)
     total = 0.0
-    for q in queries:
-        exact = {
-            r[key] for r in brute_force_topk(df, q, k, vec, key).collect()
-        }
+    for q, exact in zip(queries, ground_truth):
         got = {r[key] for r in ann_fn(df, q, k).collect()}
         total += len(exact & got) / float(k)
     return total / len(queries)
