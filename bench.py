@@ -238,6 +238,12 @@ def main():
             )
         )
     finally:
+        keep = os.environ.get("SPARK_GRAFT_KEEP_INDEX")
+        if keep:
+            # scale studies keep one built index for post-hoc layout
+            # inspection (partition-size histograms, file counts)
+            shutil.rmtree(keep, ignore_errors=True)
+            shutil.move(os.path.join(tmp, "idx0"), keep)
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
 

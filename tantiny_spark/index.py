@@ -76,6 +76,11 @@ class Index:
         # Invalidation: cleared on reload() together with the snapshot;
         # results over the immutable segment files cannot go stale sooner.
         self._query_cache: "OrderedDict" = OrderedDict()
+        #: merge-cost telemetry of the LAST merge_segments/maybe_merge run
+        #: by this writer (None until one runs): segments_before/after,
+        #: tombstone entries dropped, live docs rewritten — the numbers
+        #: behind any merge-policy read-amplification claim
+        self.last_merge_stats: dict | None = None
         self._exclusive = exclusive_writer
         self._held_lock = False
         if exclusive_writer:
@@ -415,6 +420,21 @@ class Index:
             }
         )
         postings.unpersist()
+        # merge-cost telemetry: what the compaction actually rewrote —
+        # lets merge-policy read-amplification claims carry numbers
+        # (streaming tests assert on this) instead of adjectives
+        self.last_merge_stats = {
+            "version": version,
+            "segments_before": sum(
+                1 for s in manifest["segments"] if s.get("name")
+            ),
+            "segments_after": 1,
+            "tombstone_entries_dropped": sum(
+                1 for s in manifest["segments"]
+                if s.get("tombstones") or s.get("tombstone_table")
+            ),
+            "live_docs_rewritten": n_docs,
+        }
         return version
 
     def segment_count(self) -> int:

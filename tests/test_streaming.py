@@ -181,3 +181,24 @@ def test_streaming_commit_holds_writer_lock(spark, tmp_path):
             foreach_batch_upsert(idx)(batch, 0)
     finally:
         other.close()
+
+
+def test_merge_telemetry_numbers(spark, tmp_path):
+    """maybe_merge records what the compaction rewrote — the numbers
+    behind the merge policy's read-amplification bound."""
+    s = IndexSchema()
+    s.text("t")
+    idx = Index(spark, str(tmp_path / "idxtel"), s)
+    for i in range(3):
+        idx.add({"id": str(i), "t": f"alpha doc{i}"})
+    idx.delete("2")
+    idx.reload()
+    assert idx.last_merge_stats is None
+    assert idx.maybe_merge(max_segments=2) is not None
+    st = idx.last_merge_stats
+    assert st["segments_before"] == 3
+    assert st["segments_after"] == 1
+    assert st["tombstone_entries_dropped"] >= 1  # upserts + the delete
+    assert st["live_docs_rewritten"] == 2  # doc 2 tombstoned, not rewritten
+    idx.reload()
+    assert sorted(idx.search("alpha")) == ["0", "1"]
