@@ -1375,35 +1375,49 @@ class Index:
         from tantiny_spark.executor import prime_stats_many
 
         plans = {name: self._as_plan(q, {}) for name, q in queries.items()}
-        # one batched dictionary/stats lookup per field for the WHOLE batch
-        prime_stats_many(list(plans.values()), self.ctx)
-        tagged = []
-        for name, plan in plans.items():
-            tagged.append(
-                compile_plan(plan, self.ctx).select(
-                    F.lit(name).alias("query"), "doc_id", "score"
-                )
+        # the whole batch plan rides the compiled-query LRU (same staleness
+        # semantics as search_df's cache — cleared on reload()): a repeated
+        # batch pays py4j plan construction once, execution every call
+        try:
+            cache_key = (
+                "__batch__", tuple(sorted(plans.items())), limit,
             )
-        unioned = tagged[0]
-        for t in tagged[1:]:
-            unioned = unioned.unionByName(t)
-        # per-partition per-query top-(k+ties) BEFORE the global window: the
-        # window's partitionBy(query) otherwise ranks each query's whole
-        # matched set in a single task (executor.batch_rank_prune docstring)
-        from tantiny_spark.executor import batch_rank_prune
+            ranked = self._query_cache.get(cache_key)
+        except TypeError:  # unhashable plan payload — skip the cache
+            cache_key, ranked = None, None
+        if ranked is not None:
+            self._query_cache.move_to_end(cache_key)
+        else:
+            # one batched dictionary/stats lookup per field for the batch
+            prime_stats_many(list(plans.values()), self.ctx)
+            tagged = []
+            for name, plan in plans.items():
+                tagged.append(
+                    compile_plan(plan, self.ctx).select(
+                        F.lit(name).alias("query"), "doc_id", "score"
+                    )
+                )
+            unioned = tagged[0]
+            for t in tagged[1:]:
+                unioned = unioned.unionByName(t)
+            # per-partition per-query top-(k+ties) BEFORE the global window:
+            # the window's partitionBy(query) otherwise ranks each query's
+            # whole matched set in one task (batch_rank_prune docstring)
+            from tantiny_spark.executor import batch_rank_prune
 
-        unioned = batch_rank_prune(unioned, limit)
-        ids = self.ctx.id_map
-        w = Window.partitionBy("query").orderBy(
-            F.col("score").desc(), F.col("id").asc()
-        )
-        rows = (
-            unioned.join(ids, "doc_id")
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= limit)
-            .select("query", "id", "rank")
-            .collect()
-        )
+            unioned = batch_rank_prune(unioned, limit)
+            ids = self.ctx.id_map
+            w = Window.partitionBy("query").orderBy(
+                F.col("score").desc(), F.col("id").asc()
+            )
+            ranked = (
+                unioned.join(ids, "doc_id")
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= limit)
+                .select("query", "id", "rank")
+            )
+            self._cache_query(cache_key, ranked)
+        rows = ranked.collect()
         out: dict = {name: [] for name in queries}
         for r in sorted(rows, key=lambda r: (r["query"], r["rank"])):
             out[r["query"]].append(r["id"])

@@ -279,3 +279,32 @@ def test_query_cache_semantics(spark, tmp_path):
     # different limit/offset/plan are distinct entries
     c = ix.search_df(ix.term_query("t", "alpha"), limit=1)
     assert c is not a
+
+
+def test_search_many_cache_semantics(spark, tmp_path):
+    """search_many's whole-batch plan rides the same compiled-query LRU:
+    a repeated batch reuses the analyzed plan, results stay identical,
+    staleness is exactly ReloadPolicy::Manual, reload() invalidates."""
+    from tantiny_spark.schema import IndexSchema
+
+    s = IndexSchema()
+    s.text("t")
+    ix = Index(spark, str(tmp_path / "qcm"), s)
+    ix.add({"id": "1", "t": "alpha one"})
+    ix.reload()
+    batch = {"a": ix.term_query("t", "alpha"), "o": ix.term_query("t", "one")}
+    first = ix.search_many(batch)
+    assert first == {"a": ["1"], "o": ["1"]}
+    n_entries = len(ix._query_cache)
+    assert n_entries >= 1
+    # repeat: no new cache entry, identical results
+    assert ix.search_many(batch) == first
+    assert len(ix._query_cache) == n_entries
+    # commit without reload: the cached batch stays on the pinned snapshot
+    ix.add({"id": "2", "t": "alpha two"})
+    assert ix.search_many(batch)["a"] == ["1"]
+    ix.reload()
+    assert len(ix._query_cache) == 0
+    assert sorted(ix.search_many(batch)["a"]) == ["1", "2"]
+    # a different limit is a distinct entry, not a wrong hit
+    assert ix.search_many(batch, limit=1)["a"] == ["1"]
