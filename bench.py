@@ -42,6 +42,14 @@ import sys
 import tempfile
 import time
 
+# numpy madvises MADV_HUGEPAGE on every >=4 MB buffer; on hosts where THP
+# faults are slow (this VM measured ~15 ms per 2 MB fault on 2026-08-19 —
+# scripts/host_speed.py thp_fault_ms_per_2mb — halving build throughput),
+# that torpedoes every fresh-buffer Arrow/numpy kernel. Set BEFORE the JVM
+# launches so executor Python workers inherit it; on a real cluster the
+# same knob ships as spark.executorEnv.NUMPY_MADVISE_HUGEPAGE=0.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import SparkSession, functions as F  # noqa: E402

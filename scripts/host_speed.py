@@ -46,6 +46,22 @@ import time
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 os.environ.setdefault("MKL_NUM_THREADS", "1")
+# 2026-08-19 host regime: transparent-huge-page faults turned pathological
+# (~15 ms per 2 MB fault vs ~50 us healthy; 4 KB faults stayed ~2-5 us).
+# numpy madvises MADV_HUGEPAGE on every >=4 MB buffer, so ANY fresh-buffer
+# ufunc (and the bench's Arrow workers) crawled while memcpy/scalar probes
+# read record-fast. The workload now disables numpy's THP madvise
+# (bench.py sets the same env), so the probes must measure the host the
+# same way; thp_fault_ms_per_2mb below tracks the pathology explicitly.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+# Same 2026-08-19 host change: the VM's CPUID string changed and OpenBLAS's
+# DYNAMIC_ARCH runtime dispatch now misdetects it, silently falling back to
+# a generic kernel (17 GFLOPS vs 53-56 with an explicitly named kernel —
+# verified by forcing HASWELL and SKYLAKEX, both full speed, so there is no
+# instruction-level slowdown). Pin the AVX2 kernel so st_matmul_gflops
+# measures the HOST, not OpenBLAS's dispatch table. The engine's bench path
+# has no GEMM anywhere, so this affects the probe only.
+os.environ.setdefault("OPENBLAS_CORETYPE", "HASWELL")
 
 import numpy as np  # noqa: E402
 
@@ -126,6 +142,30 @@ def _disk_w_mbps(path: str = "/tmp/.hostspeed_io", mb: int = 256) -> float:
     return mb / wall
 
 
+def _npy_thp_fill_gbs() -> float:
+    """First-touch fill rate of a fresh 64 MB numpy buffer WITH numpy's
+    default MADV_HUGEPAGE behavior (run in a subprocess so this process's
+    NUMPY_MADVISE_HUGEPAGE=0 doesn't mask it) — telemetry for the
+    2026-08-19 pathology: healthy hosts read multiple GB/s, the degraded
+    regime read 0.13 GB/s while plain-page faults stayed fast. Diagnostic
+    only, never gated: the workload disables numpy's THP madvise."""
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items()
+           if k != "NUMPY_MADVISE_HUGEPAGE"}
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import numpy as np, time; b=np.empty(1<<26, dtype=np.uint8); "
+         "t0=time.perf_counter(); b.fill(1); "
+         "print((1<<26)/(time.perf_counter()-t0)/1e9)"],
+        env=env, capture_output=True, text=True, timeout=120,
+    )
+    try:
+        return float(out.stdout.strip())
+    except ValueError:
+        return -1.0
+
+
 def measure() -> dict:
     st_mm = _matmul_gflops()
     st_py = _py_loop()
@@ -146,6 +186,7 @@ def measure() -> dict:
         "disk_w_mbps": round(_disk_w_mbps(), 1),
         "st_membw_gbs": round(_membw_gbs(), 2),
         "mt8_membw_gbs": round(mt8_bw, 2),
+        "npy_thp_fill_gbs": round(_npy_thp_fill_gbs(), 3),
     }
 
 
