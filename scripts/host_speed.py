@@ -228,7 +228,14 @@ def main() -> int:
     # mini-build in gated_sweep_v2.sh stays the decisive gate, these floors
     # only filter gross collapse. vs_best stays in the record for context.
     floors = {
-        "st_matmul_gflops": 40.0,   # clean 44-58
+        # 2026-08-19 recalibration: the new CPUID regime runs the PINNED
+        # HASWELL kernel at 30-53 GFLOPS with high per-window variance
+        # while IPC / sustained-mops / memcpy read record-clean and the
+        # engine mini-build sits in its clean band — the old 40.0 floor
+        # (clean 44-58 on the previous silicon) rejected healthy windows.
+        # 25 still catches the generic-kernel fallback (17-20) and any
+        # true FPU collapse.
+        "st_matmul_gflops": 25.0,   # old silicon clean 44-58; new 30-53
         "st_py_mops": 9.5,          # CPU-steal windows read 8.2
         "mt8_sustained_mops": 65.0,  # clean 73-89
         "disk_w_mbps": 100.0,        # clean 110-553 (bursty, barely relevant)
