@@ -128,18 +128,130 @@ class Index:
     def new(spark: SparkSession, path: str, schema: IndexSchema) -> "Index":
         return Index(spark, path, schema)
 
-    def reload(self) -> "Index":
+    def reload(self, version: int | None = None) -> "Index":
         """Refresh the reader snapshot (index.rb:63-65). The previous
         snapshot's cached tables are unpersisted — a streaming writer calling
-        reload() per micro-batch must not accumulate cached relations."""
-        self.snapshot = Snapshot(
-            self.spark, self.storage, self.storage.current_version()
-        )
+        reload() per micro-batch must not accumulate cached relations.
+
+        ``version`` pins the reader to a HISTORICAL commit instead of HEAD —
+        snapshot time travel (Iceberg ``VERSION AS OF`` / Lucene commit
+        points). Every manifest version stays on disk until
+        :meth:`expire_snapshots` removes it, and segment files are immutable,
+        so an old version reads exactly as it did when committed. Writes are
+        unaffected: commits always stack on the latest HEAD, never on the
+        pinned reader version."""
+        if version is None:
+            target = self.storage.current_version()
+        else:
+            target = int(version)
+            current = self.storage.current_version()
+            if target < 0 or target > current:
+                raise ValueError(
+                    f"version {target} out of range (HEAD is {current})"
+                )
+            try:
+                self.storage.read_manifest(target)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"version {target} was expired by expire_snapshots() — "
+                    f"remaining versions: "
+                    f"{[v['version'] for v in self.versions()]}"
+                ) from None
+        self.snapshot = Snapshot(self.spark, self.storage, target)
         if self._ctx is not None:
             self._ctx.release()
         self._ctx = None
         self._query_cache.clear()
         return self
+
+    def versions(self) -> list[dict]:
+        """Commit history still on disk, oldest first — the Iceberg
+        snapshot-listing / Lucene commit-point view of the manifest log.
+        Each entry: version, committed_at (epoch seconds), n_segments."""
+        import json as _json
+
+        snapdir = os.path.join(self.storage.path, "snapshots")
+        out = []
+        for fname in sorted(os.listdir(snapdir)):
+            if not (fname.startswith("v") and fname.endswith(".json")):
+                continue
+            with open(os.path.join(snapdir, fname)) as fh:
+                m = _json.load(fh)
+            out.append({
+                "version": m["version"],
+                "committed_at": m.get("committed_at"),
+                "n_segments": len(m.get("segments", [])),
+            })
+        return sorted(out, key=lambda r: r["version"])
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg-style snapshot expiry (``expireSnapshots``; Tantivy's
+        ``IndexWriter::garbage_collect_files`` is the single-version analog):
+        drop all but the newest ``keep_last`` manifest versions and delete
+        every segment directory / tombstone side-table referenced ONLY by
+        the dropped versions. Without this, a streaming writer's storage
+        grows without bound — every commit and merge leaves its
+        predecessors' files behind for time travel.
+
+        Safety rules:
+        - runs under the writer lock (no commit can interleave);
+        - only files referenced by at least one EXPIRED manifest and by no
+          KEPT manifest are deleted — directories referenced by NOTHING
+          (in-flight resumable-build shards, crashed commits) are left
+          alone and reported as ``orphans_skipped``;
+        - refuses to expire the version this reader is pinned to
+          (``reload()`` first).
+
+        Returns ``{expired_versions, kept_versions, deleted_segments,
+        deleted_tombstone_tables, orphans_skipped}``."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        with self._writer_lock():
+            existing = [v["version"] for v in self.versions()]
+            keep = set(existing[-keep_last:])
+            expired = [v for v in existing if v not in keep]
+            if self.snapshot.version in expired:
+                raise ValueError(
+                    f"reader is pinned to version {self.snapshot.version}, "
+                    "which would be expired — reload() first"
+                )
+            kept_segs: set = set()
+            kept_ts: set = set()
+            exp_segs: set = set()
+            exp_ts: set = set()
+            for versions, segs, ts in (
+                (keep, kept_segs, kept_ts), (expired, exp_segs, exp_ts),
+            ):
+                for v in versions:
+                    m = self.storage.read_manifest(v)
+                    for s in m.get("segments", []):
+                        if s.get("name"):  # pure-delete entries have name=None
+                            segs.add(s["name"])
+                        if s.get("tombstone_table"):
+                            ts.add(s["tombstone_table"])
+            dead_segs = sorted(exp_segs - kept_segs)
+            dead_ts = sorted(exp_ts - kept_ts)
+            segroot = os.path.join(self.storage.path, "segments")
+            tsroot = os.path.join(self.storage.path, "tombstones")
+            orphans = sorted(
+                set(os.listdir(segroot)) - kept_segs - exp_segs
+            ) if os.path.isdir(segroot) else []
+            for name in dead_segs:
+                shutil.rmtree(os.path.join(segroot, name), ignore_errors=True)
+            for name in dead_ts:
+                shutil.rmtree(os.path.join(tsroot, name), ignore_errors=True)
+            snapdir = os.path.join(self.storage.path, "snapshots")
+            for v in expired:
+                os.unlink(os.path.join(snapdir, f"v{v:06d}.json"))
+            return {
+                "expired_versions": expired,
+                "kept_versions": sorted(keep),
+                "deleted_segments": dead_segs,
+                "deleted_tombstone_tables": dead_ts,
+                "orphans_skipped": orphans,
+            }
 
     @property
     def ctx(self):
