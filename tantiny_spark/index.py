@@ -238,13 +238,20 @@ class Index:
             orphans = sorted(
                 set(os.listdir(segroot)) - kept_segs - exp_segs
             ) if os.path.isdir(segroot) else []
+            # Crash-safety order: unlink the expired manifests FIRST, then
+            # delete the files only they referenced. A crash in between
+            # leaves unreferenced files (reported as orphans_skipped on the
+            # next expiry — a bounded storage leak), never a live manifest
+            # pointing at deleted segments, so versions()/reload(version=)
+            # always see either a readable snapshot or a clean "expired"
+            # error.
+            snapdir = os.path.join(self.storage.path, "snapshots")
+            for v in expired:
+                os.unlink(os.path.join(snapdir, f"v{v:06d}.json"))
             for name in dead_segs:
                 shutil.rmtree(os.path.join(segroot, name), ignore_errors=True)
             for name in dead_ts:
                 shutil.rmtree(os.path.join(tsroot, name), ignore_errors=True)
-            snapdir = os.path.join(self.storage.path, "snapshots")
-            for v in expired:
-                os.unlink(os.path.join(snapdir, f"v{v:06d}.json"))
             return {
                 "expired_versions": expired,
                 "kept_versions": sorted(keep),

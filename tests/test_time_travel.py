@@ -141,3 +141,38 @@ def test_expire_drops_dead_tombstone_tables(spark, tmp_path):
     assert len(report["deleted_tombstone_tables"]) == 1
     assert os.listdir(tsroot) == []
     assert sorted(ix.search("alpha")) == ["1", "2"]
+
+
+def test_expire_crash_order_never_leaves_dangling_manifest(spark, tmp_path, monkeypatch):
+    """A crash mid-expiry must leave unreferenced files (safe, reported as
+    orphans on the next expiry), NEVER a live manifest pointing at deleted
+    segments — so expired manifests are unlinked BEFORE any file delete."""
+    import shutil as _shutil
+
+    path = str(tmp_path / "crash")
+    ix = _three_commits(spark, path)
+    ix.merge_segments()  # v4; v1-v3 segments become dead on expiry
+    ix.reload()
+    segroot = os.path.join(path, "segments")
+    n_before = len(os.listdir(segroot))
+
+    def boom(*a, **k):
+        raise OSError("simulated crash during file deletion")
+
+    monkeypatch.setattr(_shutil, "rmtree", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        ix.expire_snapshots(keep_last=1)
+    monkeypatch.undo()
+
+    # manifests were unlinked first: the expired versions are already gone
+    assert [v["version"] for v in ix.versions()] == [4]
+    with pytest.raises(ValueError, match="expired"):
+        ix.reload(version=2)
+    # no file was deleted (the crash preceded every rmtree) — the dead
+    # segments are now unreferenced orphans, skipped and reported by the
+    # next expiry rather than resurrected or left dangling
+    assert len(os.listdir(segroot)) == n_before
+    report = ix.expire_snapshots(keep_last=1)
+    assert report["deleted_segments"] == []
+    assert len(report["orphans_skipped"]) == 3
+    assert sorted(ix.search("alpha")) == ["1", "2", "3"]
