@@ -74,7 +74,14 @@ def assign_doc_ids(
         # no per-partition count job — the offset is just doc_id_base.
         # Identical ids to the general path (global rank is partition-
         # layout-invariant); saves two fixed driver jobs per segment.
-        arranged = df.coalesce(1).sortWithinPartitions(order_col)
+        # repartition(1), NOT coalesce(1): coalesce collapses the WHOLE
+        # upstream lineage (including expensive derived columns like the
+        # html→text extraction chain) into a single task, serializing the
+        # compute; repartition keeps the map side parallel and only the
+        # tiny single-partition sort runs on one task. Measured at 50k docs
+        # / local[32]: 3.4-4.3 s (coalesce) → 0.9-1.1 s (repartition) for
+        # the identical sorted result.
+        arranged = df.repartition(1).sortWithinPartitions(order_col)
         offsets = {0: doc_id_base}
     else:
         arranged = df.repartitionByRange(

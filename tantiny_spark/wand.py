@@ -65,18 +65,45 @@ BLOCKS_SCHEMA = T.StructType(
 # --- varint codec (vectorized decode; encode is build-time only) -----------
 
 def encode_varints(vals) -> bytes:
-    out = bytearray()
-    for v in vals:
-        v = int(v)
-        while True:
-            byte = v & 0x7F
-            v >>= 7
-            if v:
-                out.append(byte | 0x80)
-            else:
-                out.append(byte)
-                break
-    return bytes(out)
+    """Vectorized LEB128 encode: byte-identical to the per-value Python
+    loop it replaces (pinned by tests/test_wand.py round-trip tests), but
+    one numpy pass over the whole value array — the encoder runs once per
+    posting at build time, so the per-value loop was a measurable slice of
+    the blocks-derive wall."""
+    v = np.asarray(vals, dtype=np.int64)
+    if v.size == 0:
+        return b""
+    if v.size < 256:
+        # small runs (any single ≤128-doc block): numpy per-call setup
+        # overhead exceeds the loop — measured 0.23 s vs 0.65 s over 20k
+        # mixed ≤128-value calls. The vectorized path is for whole-batch
+        # encodes (build_blocks encodes a full partition's gaps in one call).
+        out = bytearray()
+        for x in v:
+            x = int(x)
+            while True:
+                byte = x & 0x7F
+                x >>= 7
+                if x:
+                    out.append(byte | 0x80)
+                else:
+                    out.append(byte)
+                    break
+        return bytes(out)
+    # bytes needed per value: 1 + how many 7-bit thresholds it crosses
+    nb = np.ones(v.size, dtype=np.int64)
+    for k in range(1, 9):
+        nb += v >= (1 << (7 * k))
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_nb = int(nb.max())
+    for j in range(max_nb):
+        mask = nb > j
+        chunk = ((v[mask] >> (7 * j)) & 0x7F).astype(np.uint8)
+        cont = (nb[mask] - 1) > j  # continuation bit on all but last byte
+        out[starts[mask] + j] = chunk | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
 
 
 def decode_varints(buf: bytes) -> np.ndarray:
