@@ -55,6 +55,7 @@ POSTINGS_SCHEMA = T.StructType(
 def assign_doc_ids(
     df: DataFrame, order_col: str = "id", doc_id_base: int = 0,
     num_partitions: Optional[int] = None, cleanup: Optional[list] = None,
+    info: Optional[dict] = None,
 ) -> DataFrame:
     """Deterministic, parallelism-invariant doc_id = doc_id_base + global rank
     of ``order_col``.
@@ -70,17 +71,46 @@ def assign_doc_ids(
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     if num_partitions == 1:
-        # small-input fast path: one partition needs no range sampling and
-        # no per-partition count job — the offset is just doc_id_base.
-        # Identical ids to the general path (global rank is partition-
-        # layout-invariant); saves two fixed driver jobs per segment.
-        # repartition(1), NOT coalesce(1): coalesce collapses the WHOLE
-        # upstream lineage (including expensive derived columns like the
-        # html→text extraction chain) into a single task, serializing the
-        # compute; repartition keeps the map side parallel and only the
-        # tiny single-partition sort runs on one task. Measured at 50k docs
-        # / local[32]: 3.4-4.3 s (coalesce) → 0.9-1.1 s (repartition) for
-        # the identical sorted result.
+        # small-input fast path (guide-§8 shape: decide with small rows,
+        # never move the big rows): the global rank depends ONLY on the key
+        # column, so collect just the pruned keys (bounded by the caller's
+        # ≤DOCS_PER_PARTITION gate — ~a few MB), rank them on the driver,
+        # and re-attach doc_id with a broadcast join. The full rows are
+        # never shuffled at all — the earlier funnel variants moved every
+        # row (including the large text payload) through a single sort
+        # task (coalesce(1): 3.4-4.3 s; repartition(1): 0.9-1.1 s at 50k
+        # docs / local[32]; this path: the pruned key scan + a broadcast
+        # hash join inside the consumer's own pass).
+        # Python str sort == Spark string asc sort (both are code-point
+        # lexicographic; UTF-8 binary order preserves code-point order).
+        keys = [r[0] for r in df.select(order_col).collect()]
+        if keys and all(k is not None for k in keys) and len(set(keys)) == len(keys):
+            if info is not None:
+                info["path"] = "broadcast"  # source partitioning preserved
+            ranked = pd.DataFrame(
+                {order_col: sorted(keys)}
+            )
+            ranked.insert(
+                0, "doc_id",
+                range(doc_id_base, doc_id_base + len(ranked)),
+            )
+            rank_df = spark.createDataFrame(
+                ranked,
+                schema=T.StructType(
+                    [
+                        T.StructField("doc_id", T.LongType(), False),
+                        df.schema[order_col],
+                    ]
+                ),
+            )
+            return df.join(F.broadcast(rank_df), order_col).select(
+                "doc_id", *df.columns
+            )
+        # duplicate or null keys: rank-by-key is ambiguous per row — take
+        # the positional funnel (identical to the historical behavior:
+        # duplicates get distinct consecutive ids in sorted order)
+        if info is not None:
+            info["path"] = "funnel"  # output lands on a single partition
         arranged = df.repartition(1).sortWithinPartitions(order_col)
         offsets = {0: doc_id_base}
     else:
@@ -394,22 +424,30 @@ def build_segment(
         num_partitions, spark.sparkContext.defaultParallelism
     ):
         projected = projected.repartition(num_partitions)
+    n_src_parts = projected.rdd.getNumPartitions()
     cached: list = []
-    with_ids = assign_doc_ids(projected, "id", doc_id_base, num_partitions, cleanup=cached)
+    id_info: dict = {}
+    with_ids = assign_doc_ids(
+        projected, "id", doc_id_base, num_partitions, cleanup=cached,
+        info=id_info,
+    )
     if num_partitions == 1:
-        # ids were stamped on a single partition; spread the rows back out
-        # so the analyzer parallelizes (ids are already assigned, so the
-        # round-robin layout cannot affect them) — but never wider than
+        # target analyzer width: data-parallel, but never wider than
         # ~500 docs/partition, so tiny builds don't fork a full worker pool
-        with_ids = with_ids.repartition(
-            max(
-                2,
-                min(
-                    spark.sparkContext.defaultParallelism,
-                    (n_input // ANALYZER_MIN_DOCS_PER_PARTITION) + 1,
-                ),
-            )
+        analyzer_parts = max(
+            2,
+            min(
+                spark.sparkContext.defaultParallelism,
+                (n_input // ANALYZER_MIN_DOCS_PER_PARTITION) + 1,
+            ),
         )
+        # the broadcast-join fast path in assign_doc_ids preserves the
+        # source partitioning — when the source is already at least that
+        # wide the repartition would be a pure full-row shuffle for
+        # nothing. The funnel fallback (dup/null ids) lands everything on
+        # one partition and must always be re-spread.
+        if id_info.get("path") != "broadcast" or n_src_parts < analyzer_parts:
+            with_ids = with_ids.repartition(analyzer_parts)
     stream_df = with_ids.mapInPandas(_flat_analyzer(schema), _flat_stream_schema(schema))
     if work_dir is not None:
         staged_path = os.path.join(work_dir, "analyzed")
