@@ -91,20 +91,25 @@ def main():
         )
         mark("postings_write", t0)
 
-        sc.setJobDescription("build: dict derive")
-        t0 = time.time()
-        stored = spark.read.parquet(os.path.join(seg_dir, "postings"))
-        tables["dict"](stored).write.mode("overwrite").parquet(
-            os.path.join(seg_dir, "dict")
-        )
-        mark("dict_write", t0)
-
         sc.setJobDescription("build: blocks derive")
         t0 = time.time()
+        stored = spark.read.parquet(os.path.join(seg_dir, "postings"))
         tables["blocks"](stored).write.mode("overwrite").parquet(
             os.path.join(seg_dir, "blocks")
         )
         mark("blocks_write", t0)
+
+        sc.setJobDescription("build: dict derive")
+        t0 = time.time()
+        dict_src = (
+            spark.read.parquet(os.path.join(seg_dir, "blocks"))
+            if getattr(tables["dict"], "input_table", "postings") == "blocks"
+            else stored
+        )
+        tables["dict"](dict_src).write.mode("overwrite").parquet(
+            os.path.join(seg_dir, "dict")
+        )
+        mark("dict_write", t0)
 
         sc.setJobDescription("build: stats write")
         t0 = time.time()

@@ -551,10 +551,18 @@ def build_segment(
     # --- dictionary + blocks: derived from the STORED postings files -------
     # (callables over the written table; storage.write_segment invokes them
     # after the postings write so neither re-runs the build lineage)
-    def derive_dict(stored: DataFrame) -> DataFrame:
-        return stored.groupBy("field", "term").agg(
-            F.count("*").cast("long").alias("df")
+    def derive_dict(stored_blocks: DataFrame) -> DataFrame:
+        # df per (field, term) = Σ block n — every posting row lands in
+        # exactly one block, so summing block sizes over the (much smaller:
+        # 1 row per ≤128 postings) stored blocks table gives the same df as
+        # counting the postings rows, for ~1% of the scan bytes. At 100 TB
+        # the dictionary derive reads the block metadata, not the posting
+        # lists.
+        return stored_blocks.groupBy("field", "term").agg(
+            F.sum("n").cast("long").alias("df")
         )
+
+    derive_dict.input_table = "blocks"
 
     def derive_blocks(stored: DataFrame) -> DataFrame:
         from tantiny_spark.wand import build_blocks
@@ -587,7 +595,7 @@ def build_segment(
     return {
         "docs": docs,
         "postings": postings,
-        "dict": derive_dict,  # callable(stored postings) -> DataFrame
+        "dict": derive_dict,  # callable(stored blocks) -> DataFrame
         "stats": stats,
         "blocks": derive_blocks,  # callable(stored postings) -> DataFrame
         "n_docs": n_docs,  # already counted by the stats aggregation

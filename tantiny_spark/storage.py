@@ -106,6 +106,7 @@ class IndexStorage:
         name = name or f"seg-{uuid.uuid4().hex[:12]}"
         seg_dir = os.path.join(self.path, "segments", name)
         deferred = []
+        direct = []
         for tname in TABLES:
             df = tables.get(tname)
             if df is None:
@@ -113,12 +114,46 @@ class IndexStorage:
             if callable(df):
                 deferred.append((tname, df))
                 continue
-            df.write.mode("overwrite").parquet(os.path.join(seg_dir, tname))
+            direct.append((tname, df))
+        # The direct tables (docs / postings / stats) are independent reads
+        # of the staged analyzer output — submit them from a small thread
+        # pool so the later jobs' tasks back-fill executors idling in the
+        # earlier jobs' stragglers (one job alone rarely fills the cluster:
+        # e.g. the postings range-sort runs at its data-sized partition
+        # count). Spark's scheduler runs concurrent actions FIFO, which is
+        # exactly the back-fill behavior wanted; failures propagate via
+        # future.result().
+        if len(direct) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _write(item):
+                tname, df = item
+                df.write.mode("overwrite").parquet(os.path.join(seg_dir, tname))
+
+            with ThreadPoolExecutor(max_workers=len(direct)) as pool:
+                for _ in pool.map(_write, direct):
+                    pass
+        else:
+            for tname, df in direct:
+                df.write.mode("overwrite").parquet(os.path.join(seg_dir, tname))
         if deferred:
             spark = tables["postings"].sparkSession
             stored_postings = spark.read.parquet(os.path.join(seg_dir, "postings"))
+            # callables may declare (via an ``input_table`` attribute) that
+            # they derive from another just-written table instead of the
+            # postings — e.g. the dictionary sums the block metadata rather
+            # than re-scanning every posting row. Postings-derived tables
+            # are written first so their outputs exist to be read.
+            deferred.sort(
+                key=lambda tf: getattr(tf[1], "input_table", "postings") != "postings"
+            )
             for tname, fn in deferred:
-                fn(stored_postings).write.mode("overwrite").parquet(
+                src_table = getattr(fn, "input_table", "postings")
+                if src_table == "postings":
+                    src = stored_postings
+                else:
+                    src = spark.read.parquet(os.path.join(seg_dir, src_table))
+                fn(src).write.mode("overwrite").parquet(
                     os.path.join(seg_dir, tname)
                 )
         if isinstance(tombstones, DataFrame):

@@ -64,32 +64,13 @@ BLOCKS_SCHEMA = T.StructType(
 
 # --- varint codec (vectorized decode; encode is build-time only) -----------
 
-def encode_varints(vals) -> bytes:
-    """Vectorized LEB128 encode: byte-identical to the per-value Python
-    loop it replaces (pinned by tests/test_wand.py round-trip tests), but
-    one numpy pass over the whole value array — the encoder runs once per
-    posting at build time, so the per-value loop was a measurable slice of
-    the blocks-derive wall."""
-    v = np.asarray(vals, dtype=np.int64)
+def _encode_varints_vec(v: np.ndarray) -> tuple:
+    """Vectorized LEB128 encode of an int64 array. Returns
+    (bytes, value_end_offsets) so callers can slice the encoded stream per
+    value range without re-encoding — the whole-batch path build_blocks uses
+    to encode every block of a partition in one call."""
     if v.size == 0:
-        return b""
-    if v.size < 256:
-        # small runs (any single ≤128-doc block): numpy per-call setup
-        # overhead exceeds the loop — measured 0.23 s vs 0.65 s over 20k
-        # mixed ≤128-value calls. The vectorized path is for whole-batch
-        # encodes (build_blocks encodes a full partition's gaps in one call).
-        out = bytearray()
-        for x in v:
-            x = int(x)
-            while True:
-                byte = x & 0x7F
-                x >>= 7
-                if x:
-                    out.append(byte | 0x80)
-                else:
-                    out.append(byte)
-                    break
-        return bytes(out)
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes needed per value: 1 + how many 7-bit thresholds it crosses
     nb = np.ones(v.size, dtype=np.int64)
     for k in range(1, 9):
@@ -103,7 +84,31 @@ def encode_varints(vals) -> bytes:
         chunk = ((v[mask] >> (7 * j)) & 0x7F).astype(np.uint8)
         cont = (nb[mask] - 1) > j  # continuation bit on all but last byte
         out[starts[mask] + j] = chunk | (cont.astype(np.uint8) << 7)
-    return out.tobytes()
+    return out.tobytes(), ends
+
+
+def encode_varints(vals) -> bytes:
+    """LEB128 encode. Byte-identical to the classic per-value loop (pinned
+    by tests/test_wand.py round-trips); small inputs keep the loop (numpy
+    per-call setup overhead exceeds it below a couple hundred values),
+    large arrays take the vectorized pass."""
+    v = np.asarray(vals, dtype=np.int64)
+    if v.size == 0:
+        return b""
+    if v.size < 256:
+        out = bytearray()
+        for x in v:
+            x = int(x)
+            while True:
+                byte = x & 0x7F
+                x >>= 7
+                if x:
+                    out.append(byte | 0x80)
+                else:
+                    out.append(byte)
+                    break
+        return bytes(out)
+    return _encode_varints_vec(v)[0]
 
 
 def decode_varints(buf: bytes) -> np.ndarray:
@@ -123,39 +128,73 @@ def decode_varints(buf: bytes) -> np.ndarray:
 
 # --- build: flat postings → block table -------------------------------------
 
-def _encode_run(field, term, bucket, docs, tfs, norms, norm_table) -> list:
-    """Encode one (field, term, bucket) run of sorted doc_ids into ≤128-doc
-    block rows."""
-    if len(docs) > 1 and not (np.diff(docs) > 0).all():
+def _encode_arrays(fields, terms, docs, tfs, norms, norm_table) -> pd.DataFrame:
+    """Encode a slice of the sorted postings stream (complete runs only)
+    into block rows — fully vectorized: run/block boundaries, delta gaps,
+    and both varint streams are computed over the WHOLE slice in numpy; the
+    only per-block Python work is slicing the three byte streams. Produces
+    exactly the rows the old per-run encoder did, in the same order."""
+    n = docs.size
+    buckets = docs // BUCKET_SPAN
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (
+        (fields[1:] != fields[:-1])
+        | (terms[1:] != terms[:-1])
+        | (buckets[1:] != buckets[:-1])
+    )
+    if n > 1 and ((~new_run[1:]) & (docs[1:] <= docs[:-1])).any():
         # defensive: a coalesced-file partition could concatenate two sorted
         # runs of the same key out of order; negative gaps must never reach
-        # the varint encoder
-        order = np.argsort(docs, kind="stable")
+        # the varint encoder. Stable sort by doc within each run (lexsort's
+        # primary key is the LAST one).
+        run_id = np.cumsum(new_run) - 1
+        order = np.lexsort((docs, run_id))
+        fields, terms = fields[order], terms[order]
         docs, tfs, norms = docs[order], tfs[order], norms[order]
-    rows = []
-    for bno, lo in enumerate(range(0, len(docs), BLOCK_SIZE)):
-        d = docs[lo : lo + BLOCK_SIZE]
-        t = tfs[lo : lo + BLOCK_SIZE]
-        nm = norms[lo : lo + BLOCK_SIZE]
-        gaps = np.diff(d, prepend=d[0])
-        gaps[0] = d[0] - bucket * BUCKET_SPAN  # delta from bucket base
-        rows.append(
-            {
-                "field": field,
-                "term": term,
-                "bucket": int(bucket),
-                "block_no": bno,
-                "n": len(d),
-                "first_doc": int(d[0]),
-                "last_doc": int(d[-1]),
-                "docs": encode_varints(gaps),
-                "tfs": encode_varints(t),
-                "norms": nm.astype(np.uint8).tobytes(),
-                "min_dl": float(norm_table[nm].min()),
-                "max_tf": int(t.max()),
-            }
-        )
-    return rows
+        buckets = buckets[order]
+    run_starts = np.flatnonzero(new_run)
+    run_id = np.cumsum(new_run) - 1
+    pos_in_run = np.arange(n, dtype=np.int64) - run_starts[run_id]
+    new_block = new_run | (pos_in_run % BLOCK_SIZE == 0)
+    block_starts = np.flatnonzero(new_block)
+    nblk = block_starts.size
+    block_ends = np.empty(nblk, dtype=np.int64)
+    block_ends[:-1] = block_starts[1:]
+    block_ends[-1] = n
+    # delta gaps: within a block vs previous doc; block-leading value is the
+    # delta from the bucket base
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[1:] = docs[1:] - docs[:-1]
+    gaps[block_starts] = docs[block_starts] - buckets[block_starts] * BUCKET_SPAN
+    doc_bytes, doc_ends = _encode_varints_vec(gaps)
+    tf_bytes, tf_ends = _encode_varints_vec(tfs)
+    d_off = np.concatenate(([0], doc_ends))
+    t_off = np.concatenate(([0], tf_ends))
+    norm_u8 = norms.astype(np.uint8).tobytes()
+    dl = norm_table[norms]
+    return pd.DataFrame(
+        {
+            "field": fields[block_starts],
+            "term": terms[block_starts],
+            "bucket": buckets[block_starts],
+            "block_no": (pos_in_run[block_starts] // BLOCK_SIZE).astype(np.int32),
+            "n": (block_ends - block_starts).astype(np.int32),
+            "first_doc": docs[block_starts],
+            "last_doc": docs[block_ends - 1],
+            "docs": [
+                doc_bytes[d_off[s]:d_off[e]]
+                for s, e in zip(block_starts, block_ends)
+            ],
+            "tfs": [
+                tf_bytes[t_off[s]:t_off[e]]
+                for s, e in zip(block_starts, block_ends)
+            ],
+            "norms": [norm_u8[s:e] for s, e in zip(block_starts, block_ends)],
+            "min_dl": np.minimum.reduceat(dl, block_starts),
+            "max_tf": np.maximum.reduceat(tfs, block_starts).astype(np.int32),
+        }
+    )
 
 
 def build_blocks(postings: DataFrame) -> DataFrame:
@@ -165,16 +204,16 @@ def build_blocks(postings: DataFrame) -> DataFrame:
     per-group pandas materialization (the sort the storage layout needs
     anyway IS the grouping). A run that crosses a partition boundary simply
     yields two block sets for the same bucket, which the decoder and the
-    per-bucket max-aggregation both handle."""
+    per-bucket max-aggregation both handle.
+
+    Each Arrow batch is encoded in ONE vectorized pass (_encode_arrays);
+    only the trailing run is carried over, since the next batch may
+    continue it (runs are bounded at BUCKET_SPAN docs, so the carry stays
+    small no matter how hot the term)."""
     norm_table = np.asarray(scoring.FIELDNORM_TABLE, dtype=np.float64)
 
     def encode_stream(batches):
-        pend = None  # carry-over tail: (field, term, bucket, docs, tfs, norms)
-        out: list = []
-
-        def flush_runs(field, term, bucket, docs, tfs, norms):
-            out.extend(_encode_run(field, term, bucket, docs, tfs, norms, norm_table))
-
+        pend = None  # carry-over arrays: (fields, terms, docs, tfs, norms)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -183,35 +222,33 @@ def build_blocks(postings: DataFrame) -> DataFrame:
             docs = pdf["doc_id"].to_numpy(dtype=np.int64)
             tfs = pdf["tf"].to_numpy(dtype=np.int64)
             norms = pdf["norm_id"].fillna(1).to_numpy(dtype=np.int64)
+            if pend is not None:
+                fields = np.concatenate((pend[0], fields))
+                terms = np.concatenate((pend[1], terms))
+                docs = np.concatenate((pend[2], docs))
+                tfs = np.concatenate((pend[3], tfs))
+                norms = np.concatenate((pend[4], norms))
+            # hold back the trailing run — the next batch may continue it
             buckets = docs // BUCKET_SPAN
-            # run boundaries where (field, term, bucket) changes
-            change = np.flatnonzero(
+            changed = np.flatnonzero(
                 (fields[1:] != fields[:-1])
                 | (terms[1:] != terms[:-1])
                 | (buckets[1:] != buckets[:-1])
             )
-            starts = np.concatenate(([0], change + 1))
-            ends = np.concatenate((change + 1, [len(docs)]))
-            for s, e in zip(starts, ends):
-                key = (fields[s], terms[s], buckets[s])
-                if pend is not None and pend[0] == key:
-                    pend = (
-                        key,
-                        np.concatenate((pend[1], docs[s:e])),
-                        np.concatenate((pend[2], tfs[s:e])),
-                        np.concatenate((pend[3], norms[s:e])),
-                    )
-                    continue
-                if pend is not None:
-                    flush_runs(pend[0][0], pend[0][1], pend[0][2], pend[1], pend[2], pend[3])
-                pend = (key, docs[s:e].copy(), tfs[s:e].copy(), norms[s:e].copy())
-            if out:
-                yield pd.DataFrame(out)
-                out = []
+            if changed.size == 0:
+                pend = (fields, terms, docs, tfs, norms)
+                continue
+            cut = int(changed[-1]) + 1  # start of the trailing run
+            pend = (
+                fields[cut:].copy(), terms[cut:].copy(), docs[cut:].copy(),
+                tfs[cut:].copy(), norms[cut:].copy(),
+            )
+            yield _encode_arrays(
+                fields[:cut], terms[:cut], docs[:cut], tfs[:cut], norms[:cut],
+                norm_table,
+            )
         if pend is not None:
-            flush_runs(pend[0][0], pend[0][1], pend[0][2], pend[1], pend[2], pend[3])
-        if out:
-            yield pd.DataFrame(out)
+            yield _encode_arrays(*pend, norm_table)
 
     sorted_postings = postings.select(
         "field", "term", "doc_id", "tf", "norm_id"

@@ -308,3 +308,74 @@ def test_search_many_cache_semantics(spark, tmp_path):
     assert sorted(ix.search_many(batch)["a"]) == ["1", "2"]
     # a different limit is a distinct entry, not a wrong hit
     assert ix.search_many(batch, limit=1)["a"] == ["1"]
+
+
+def test_assign_doc_ids_broadcast_path_matches_funnel(spark):
+    """The small-build fast path attaches doc ids via a broadcast join of
+    driver-ranked keys; it must stamp exactly the ids the positional funnel
+    stamps (global rank of id), and duplicate/null ids must fall back to the
+    funnel with distinct consecutive ids."""
+    import pandas as pd
+
+    from tantiny_spark.build import assign_doc_ids
+
+    pdf = pd.DataFrame(
+        {"id": [f"k{i:03d}" for i in (5, 1, 9, 3, 7)], "v": list(range(5))}
+    )
+    df = spark.createDataFrame(pdf).repartition(3)
+    info = {}
+    fast = {
+        r["id"]: r["doc_id"]
+        for r in assign_doc_ids(df, "id", 100, num_partitions=1, info=info).collect()
+    }
+    assert info.get("path") == "broadcast"
+    general = {
+        r["id"]: r["doc_id"]
+        for r in assign_doc_ids(df, "id", 100, num_partitions=3).collect()
+    }
+    assert fast == general
+    assert fast["k001"] == 100 and fast["k009"] == 104
+
+    dup = spark.createDataFrame(
+        pd.DataFrame({"id": ["a", "a", "b"], "v": [1, 2, 3]})
+    )
+    info = {}
+    rows = assign_doc_ids(dup, "id", 0, num_partitions=1, info=info).collect()
+    assert info.get("path") == "funnel"
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2]
+    assert sorted(r["id"] for r in rows) == ["a", "a", "b"]
+
+
+def test_dict_table_matches_postings_recount(spark, tmp_path):
+    """The stored dictionary is derived from block metadata (sum of block
+    sizes); it must equal a direct recount of the stored postings rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tantiny_spark.schema import IndexSchema
+
+    schema = IndexSchema()
+    schema.text("text")
+    schema.string("lang")
+    idx = Index(spark, str(tmp_path / "dictidx"), schema)
+    rng = __import__("random").Random(3)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [
+        (str(i), " ".join(rng.choices(vocab, k=rng.randint(3, 30))), "en")
+        for i in range(300)
+    ]
+    idx.add_dataframe(
+        spark.createDataFrame(rows, "id string, text string, lang string")
+    )
+    idx = idx.reload()
+    ctx = idx.ctx
+    stored_dict = {
+        (r["field"], r["term"]): r["df"] for r in ctx.dictionary.collect()
+    }
+    recount = {
+        (r["field"], r["term"]): r["cnt"]
+        for r in ctx.postings.groupBy("field", "term")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert stored_dict == recount

@@ -277,3 +277,77 @@ def test_wand_matches_naive_with_tombstones(spark, tmp_path_factory):
     deleted = {d for d, _ in before}
     got = {i for i, _ in _wand_topk(idx, plan, 25)}
     assert not (got & deleted)
+
+
+def test_varint_vectorized_encode_byte_identical():
+    """encode_varints dispatches small inputs to the classic loop and large
+    arrays to the vectorized numpy pass — both must produce the identical
+    LEB128 byte stream (the on-disk block format must not depend on the
+    input size that happened to be encoded)."""
+    rng = np.random.default_rng(7)
+
+    def ref_encode(vals):
+        out = bytearray()
+        for v in vals:
+            v = int(v)
+            while True:
+                byte = v & 0x7F
+                v >>= 7
+                if v:
+                    out.append(byte | 0x80)
+                else:
+                    out.append(byte)
+                    break
+        return bytes(out)
+
+    cases = [
+        [],
+        [0],
+        [127, 128, 129, 16383, 16384],
+        list(range(1000)),  # crosses the vectorized threshold
+        rng.integers(0, 2**62, size=5000).tolist(),
+        [2**62 - 1] * 300,
+    ]
+    for vals in cases:
+        enc = encode_varints(vals)
+        assert enc == ref_encode(vals)
+        assert decode_varints(enc).tolist() == [int(v) for v in vals]
+
+
+def test_build_blocks_batch_boundaries_and_run_carry(spark):
+    """The batched block encoder must produce the same blocks regardless of
+    how Arrow batches slice a partition: a run crossing a batch boundary is
+    carried over, never split mid-run."""
+    import pandas as pd
+
+    from tantiny_spark.wand import BLOCK_SIZE, BUCKET_SPAN, build_blocks
+
+    n = 1000
+    pdf = pd.DataFrame(
+        {
+            "field": ["text"] * n,
+            "term": ["hot"] * (n // 2) + ["rare"] * (n // 2),
+            "doc_id": list(range(n // 2)) + list(range(0, n, 2))[: n // 2],
+            "tf": [1 + (i % 5) for i in range(n)],
+            "positions": [[0]] * n,
+            "norm_id": [1 + (i % 7) for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf).coalesce(1).sortWithinPartitions(
+        "field", "term", "doc_id"
+    )
+    small = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    rows_default = [r.asDict() for r in build_blocks(df).collect()]
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+        rows_sliced = [r.asDict() for r in build_blocks(df).collect()]
+    finally:
+        if small is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", small)
+    key = lambda r: (r["field"], r["term"], r["bucket"], r["block_no"])  # noqa: E731
+    assert sorted(rows_default, key=key) == sorted(rows_sliced, key=key)
+    # shape sanity: each block covers <= BLOCK_SIZE docs of one bucket
+    for r in rows_default:
+        assert r["n"] <= BLOCK_SIZE
+        assert r["first_doc"] // BUCKET_SPAN == r["bucket"]
+        assert r["last_doc"] // BUCKET_SPAN == r["bucket"]
