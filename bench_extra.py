@@ -113,7 +113,8 @@ def main():
 
         sc.setJobDescription("build: stats write")
         t0 = time.time()
-        tables["stats"].write.mode("overwrite").parquet(os.path.join(seg_dir, "stats"))
+        stats_df = tables["stats"]() if callable(tables["stats"]) else tables["stats"]
+        stats_df.write.mode("overwrite").parquet(os.path.join(seg_dir, "stats"))
         mark("stats_write", t0)
 
         storage.commit(

@@ -220,10 +220,39 @@ def _flat_analyzer(schema: IndexSchema):
     norm_table = None
     ordered = [f.name for f in _flat_stream_schema(schema).fields]
 
+    string_fields = list(schema.string_fields)
+    facet_fields = list(schema.facet_fields)
+
+    def _facet_ancestors(value: str) -> list:
+        # must match _ANCESTORS_EXPR exactly (property-pinned by
+        # tests/test_index.py::test_facet_ancestors_python_matches_jvm):
+        # split on '/', drop empty parts, emit every '/'-prefixed prefix.
+        # Quirk parity: for a part-less value ('', '/', '//') the JVM
+        # sequence(1, 0) DESCENDS ([1, 0]), so the expr emits ['/', '/'] —
+        # reproduce that byte-for-byte rather than "fixing" it here.
+        parts = [p for p in value.split("/") if p]
+        if not parts:
+            return ["/", "/"]
+        return ["/" + "/".join(parts[: i + 1]) for i in range(len(parts))]
+
     def stream(batches):
         nonlocal norm_table
         if norm_table is None:
             norm_table = np.asarray(scoring.FIELDNORM_TABLE, dtype=np.int64)
+
+        def finish_post(post: dict) -> pd.DataFrame:
+            # fill the union-schema columns every post row leaves null
+            post["id"] = None
+            for c in fast_cols:
+                post[c] = None
+            for g in json_fields:
+                post[g] = None
+                post[f"{g}__len"] = None
+            for g in text_fields:
+                post[f"{g}__len"] = None
+                post[f"{g}__norm"] = None
+            return pd.DataFrame(post)
+
         for pdf in batches:
             n = len(pdf)
             doc_ids = pdf["doc_id"].to_numpy()
@@ -272,24 +301,18 @@ def _flat_analyzer(schema: IndexSchema):
                 doc_out[f] = pdf[f]
                 doc_out[f"{f}__len"] = lens.astype("int32")
                 if p_doc:
-                    post = {
-                        "doc_id": np.asarray(p_doc, dtype=np.int64),
-                        "field": f,
-                        "term": p_term,
-                        "tf": np.asarray(p_tf, dtype=np.int32),
-                        "positions": p_pos,
-                        "norm_id": np.asarray(p_norm, dtype="int32"),
-                        "id": None,
-                    }
-                    for c in fast_cols:
-                        post[c] = None
-                    for g in json_fields:
-                        post[g] = None
-                        post[f"{g}__len"] = None
-                    for g in text_fields:
-                        post[f"{g}__len"] = None
-                        post[f"{g}__norm"] = None
-                    post_frames.append(pd.DataFrame(post))
+                    post_frames.append(
+                        finish_post(
+                            {
+                                "doc_id": np.asarray(p_doc, dtype=np.int64),
+                                "field": f,
+                                "term": p_term,
+                                "tf": np.asarray(p_tf, dtype=np.int32),
+                                "positions": p_pos,
+                                "norm_id": np.asarray(p_norm, dtype="int32"),
+                            }
+                        )
+                    )
             for f in text_fields:
                 terms_fn = tokenizers[f].terms
                 p_doc, p_term, p_tf, p_pos = [], [], [], []
@@ -320,24 +343,63 @@ def _flat_analyzer(schema: IndexSchema):
                 doc_out[f"{f}__len"] = lens.astype("int32")
                 doc_out[f"{f}__norm"] = norms
                 if p_doc:
-                    post = {
-                        "doc_id": np.asarray(p_doc, dtype=np.int64),
-                        "field": f,
-                        "term": p_term,
-                        "tf": np.asarray(p_tf, dtype=np.int32),
-                        "positions": p_pos,
-                        "norm_id": np.repeat(norms, post_counts).astype("int32"),
-                        "id": None,
-                    }
-                    for c in fast_cols:
-                        post[c] = None
-                    for g in json_fields:
-                        post[g] = None
-                        post[f"{g}__len"] = None
-                    for g in text_fields:
-                        post[f"{g}__len"] = None
-                        post[f"{g}__norm"] = None
-                    post_frames.append(pd.DataFrame(post))
+                    post_frames.append(
+                        finish_post(
+                            {
+                                "doc_id": np.asarray(p_doc, dtype=np.int64),
+                                "field": f,
+                                "term": p_term,
+                                "tf": np.asarray(p_tf, dtype=np.int32),
+                                "positions": p_pos,
+                                "norm_id": np.repeat(norms, post_counts).astype("int32"),
+                            }
+                        )
+                    )
+            # string / facet fields: one exact posting per value (facets: one
+            # per ancestor path), emitted HERE so the postings job never has
+            # to re-scan the doc rows and union them in (the union used to
+            # cost the range sampler and the shuffle one extra pass each).
+            # Semantics identical to the former JVM projection: tf=1,
+            # positions=[0], norm_id=1 (dl=avgdl=1 ⇒ term score = idf).
+            for f in string_fields:
+                vals = pdf[f]
+                mask = vals.notna().to_numpy()
+                if mask.any():
+                    k = int(mask.sum())
+                    post_frames.append(
+                        finish_post(
+                            {
+                                "doc_id": doc_ids[mask],
+                                "field": f,
+                                "term": list(vals[mask]),
+                                "tf": np.ones(k, dtype=np.int32),
+                                "positions": [[0]] * k,
+                                "norm_id": np.ones(k, dtype=np.int32),
+                            }
+                        )
+                    )
+            for f in facet_fields:
+                p_doc, p_term = [], []
+                for did, v in zip(doc_ids, pdf[f]):
+                    if not isinstance(v, str):  # null (None/NaN) facet value
+                        continue
+                    for anc in _facet_ancestors(v):
+                        p_doc.append(did)
+                        p_term.append(anc)
+                if p_doc:
+                    k = len(p_doc)
+                    post_frames.append(
+                        finish_post(
+                            {
+                                "doc_id": np.asarray(p_doc, dtype=np.int64),
+                                "field": f,
+                                "term": p_term,
+                                "tf": np.ones(k, dtype=np.int32),
+                                "positions": [[0]] * k,
+                                "norm_id": np.ones(k, dtype=np.int32),
+                            }
+                        )
+                    )
             yield pd.DataFrame(doc_out)[ordered]
             for frame in post_frames:
                 yield frame[ordered]
@@ -480,45 +542,15 @@ def build_segment(
     docs = doc_rows.select(*doc_cols)
 
     # --- postings ----------------------------------------------------------
-    posting_parts = [
-        staged.where(F.col("field") != DOC_SENTINEL).select(
-            "field", "term", "doc_id", "tf", "positions", "norm_id"
-        )
-    ]
-    for f in schema.string_fields:
-        # single exact case-sensitive term, no norms (src/index.rs:78-80);
-        # dl=avgdl=1 ⇒ term score = idf (SURVEY.md §2.5)
-        posting_parts.append(
-            doc_rows.where(F.col(f).isNotNull()).select(
-                F.lit(f).alias("field"),
-                F.col(f).alias("term"),
-                F.col("doc_id"),
-                F.lit(1).alias("tf"),
-                F.array(F.lit(0)).cast("array<int>").alias("positions"),
-                F.lit(1).alias("norm_id"),
-            )
-        )
-    for f in schema.facet_fields:
-        # one posting per ancestor path → hierarchical facet matching
-        posting_parts.append(
-            doc_rows.where(F.col(f).isNotNull())
-            .select(
-                F.col("doc_id"),
-                F.explode(F.expr(_ANCESTORS_EXPR.format(col=f))).alias("term"),
-            )
-            .select(
-                F.lit(f).alias("field"),
-                "term",
-                "doc_id",
-                F.lit(1).alias("tf"),
-                F.array(F.lit(0)).cast("array<int>").alias("positions"),
-                F.lit(1).alias("norm_id"),
-            )
-        )
-
-    postings = posting_parts[0]
-    for p in posting_parts[1:]:
-        postings = postings.unionByName(p)
+    # string/facet postings are emitted by the analyzer itself (tf=1,
+    # positions=[0], norm_id=1 — single exact case-sensitive term, no norms,
+    # src/index.rs:78-80; facets: one posting per ancestor path), so the
+    # whole postings input is ONE filter of the staged stream — the former
+    # doc-rows re-scan + union cost the range sampler and the shuffle one
+    # extra pass of the staged files each.
+    postings = staged.where(F.col("field") != DOC_SENTINEL).select(
+        "field", "term", "doc_id", "tf", "positions", "norm_id"
+    )
 
     # sorted layout: term lookups prune via Parquet min/max; doc_id in the
     # range key splits Zipfian head terms across partitions instead of
@@ -569,34 +601,43 @@ def build_segment(
 
         return build_blocks(stored)
 
-    # one aggregation job for every field's token totals + the doc count
-    agg_cols = [F.count("*").alias("__n")]
-    for f in schema.text_fields + schema.json_fields:
-        agg_cols.append(F.sum(F.col(f"{f}__len")).alias(f"__tot_{f}"))
-    agg_row = doc_rows.agg(*agg_cols).collect()[0]
-    n_docs = int(agg_row["__n"])
-    stats_rows = []
-    for f in schema.text_fields + schema.json_fields:
-        total = int(agg_row[f"__tot_{f}"] or 0)
-        stats_rows.append(
-            (f, n_docs, total, (total / n_docs) if n_docs else 0.0)
+    # stats: one aggregation job for every field's token totals + the doc
+    # count — DEFERRED (0-arg callable) so storage.write_segment runs it
+    # concurrently with the docs/postings writes instead of as a serial
+    # barrier between staging and the table writes. The doc count itself is
+    # n_input (the analyzer emits exactly one doc row per input row), so the
+    # commit path never waits on this job.
+    def make_stats() -> DataFrame:
+        agg_cols = [F.count("*").alias("__n")]
+        for f in schema.text_fields + schema.json_fields:
+            agg_cols.append(F.sum(F.col(f"{f}__len")).alias(f"__tot_{f}"))
+        agg_row = doc_rows.agg(*agg_cols).collect()[0]
+        n_docs = int(agg_row["__n"])
+        stats_rows = []
+        for f in schema.text_fields + schema.json_fields:
+            total = int(agg_row[f"__tot_{f}"] or 0)
+            stats_rows.append(
+                (f, n_docs, total, (total / n_docs) if n_docs else 0.0)
+            )
+        for f in schema.string_fields + schema.facet_fields:
+            stats_rows.append((f, n_docs, n_docs, 1.0))
+        # via pandas → Arrow LocalRelation: a plain Python list would go
+        # through the RDD path and spawn defaultParallelism Python workers
+        # for 2 rows
+        return spark.createDataFrame(
+            pd.DataFrame(
+                stats_rows, columns=["field", "num_docs", "total_tokens", "avgdl"]
+            ).astype({"num_docs": "int64", "total_tokens": "int64", "avgdl": "float64"}),
+            schema="field string, num_docs long, total_tokens long, avgdl double",
         )
-    for f in schema.string_fields + schema.facet_fields:
-        stats_rows.append((f, n_docs, n_docs, 1.0))
-    # via pandas → Arrow LocalRelation: a plain Python list would go through
-    # the RDD path and spawn defaultParallelism Python workers for 2 rows
-    stats = spark.createDataFrame(
-        pd.DataFrame(
-            stats_rows, columns=["field", "num_docs", "total_tokens", "avgdl"]
-        ).astype({"num_docs": "int64", "total_tokens": "int64", "avgdl": "float64"}),
-        schema="field string, num_docs long, total_tokens long, avgdl double",
-    )
+
+    make_stats.input_table = None  # independent of any stored table
 
     return {
         "docs": docs,
         "postings": postings,
         "dict": derive_dict,  # callable(stored blocks) -> DataFrame
-        "stats": stats,
+        "stats": make_stats,  # 0-arg callable -> DataFrame
         "blocks": derive_blocks,  # callable(stored postings) -> DataFrame
-        "n_docs": n_docs,  # already counted by the stats aggregation
+        "n_docs": n_input,  # one doc row per input row, counted up front
     }

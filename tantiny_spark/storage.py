@@ -111,31 +111,34 @@ class IndexStorage:
             df = tables.get(tname)
             if df is None:
                 continue
-            if callable(df):
+            if callable(df) and getattr(df, "input_table", "postings") is not None:
                 deferred.append((tname, df))
                 continue
             direct.append((tname, df))
-        # The direct tables (docs / postings / stats) are independent reads
+        # The direct tables (docs / postings, plus 0-arg callables like the
+        # stats aggregation, marked input_table=None) are independent reads
         # of the staged analyzer output — submit them from a small thread
         # pool so the later jobs' tasks back-fill executors idling in the
         # earlier jobs' stragglers (one job alone rarely fills the cluster:
         # e.g. the postings range-sort runs at its data-sized partition
         # count). Spark's scheduler runs concurrent actions FIFO, which is
-        # exactly the back-fill behavior wanted; failures propagate via
-        # future.result().
+        # exactly the back-fill behavior wanted; failures propagate out of
+        # pool.map.
+        def _write(item):
+            tname, df = item
+            if callable(df):
+                df = df()
+            df.write.mode("overwrite").parquet(os.path.join(seg_dir, tname))
+
         if len(direct) > 1:
             from concurrent.futures import ThreadPoolExecutor
-
-            def _write(item):
-                tname, df = item
-                df.write.mode("overwrite").parquet(os.path.join(seg_dir, tname))
 
             with ThreadPoolExecutor(max_workers=len(direct)) as pool:
                 for _ in pool.map(_write, direct):
                     pass
         else:
-            for tname, df in direct:
-                df.write.mode("overwrite").parquet(os.path.join(seg_dir, tname))
+            for item in direct:
+                _write(item)
         if deferred:
             spark = tables["postings"].sparkSession
             stored_postings = spark.read.parquet(os.path.join(seg_dir, "postings"))

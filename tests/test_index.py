@@ -379,3 +379,34 @@ def test_dict_table_matches_postings_recount(spark, tmp_path):
         .collect()
     }
     assert stored_dict == recount
+
+
+def test_facet_ancestors_python_matches_jvm(spark):
+    """The analyzer's Python facet-ancestor expansion must match the JVM
+    _ANCESTORS_EXPR used for the docs table for every path shape."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tantiny_spark.build import _ANCESTORS_EXPR
+
+    values = [
+        "/a/b/c", "a/b", "/a", "a", "", "/", "//", "/a//b/", "a/b/c/",
+        "/x y/z", "/ünï/codé",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"cat": values}))
+    jvm = {
+        r["cat"]: list(r["anc"])
+        for r in df.select(
+            "cat", F.expr(_ANCESTORS_EXPR.format(col="cat")).alias("anc")
+        ).collect()
+    }
+    # mirror of build._flat_analyzer's _facet_ancestors (incl. the
+    # sequence(1,0)-descends quirk for part-less values)
+    def py_anc(value):
+        parts = [p for p in value.split("/") if p]
+        if not parts:
+            return ["/", "/"]
+        return ["/" + "/".join(parts[: i + 1]) for i in range(len(parts))]
+
+    for v in values:
+        assert py_anc(v) == jvm[v], (v, py_anc(v), jvm[v])
