@@ -508,11 +508,16 @@ class Index:
         # exact per-field totals from the stored per-doc lengths
         import pandas as pd
 
-        n_docs = docs.count()
+        # ONE aggregation job for the doc count and every field's token
+        # total (this used to be one full docs scan per text/json field)
+        agg_cols = [F.count("*").alias("__n")]
+        for f in self.schema.text_fields + self.schema.json_fields:
+            agg_cols.append(F.sum(F.col(f"{f}__len")).alias(f"__tot_{f}"))
+        agg_row = docs.agg(*agg_cols).collect()[0]
+        n_docs = int(agg_row["__n"])
         stats_rows = []
         for f in self.schema.text_fields + self.schema.json_fields:
-            tot_row = docs.agg(F.sum(F.col(f"{f}__len")).alias("t")).collect()[0]
-            total = int(tot_row["t"] or 0)
+            total = int(agg_row[f"__tot_{f}"] or 0)
             stats_rows.append((f, n_docs, total, (total / n_docs) if n_docs else 0.0))
         for f in self.schema.string_fields + self.schema.facet_fields:
             stats_rows.append((f, n_docs, n_docs, 1.0))
