@@ -25,15 +25,28 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 
 def shingles_col(text_col, n: int = 3):
-    """Word n-gram shingles as an array column (distinct), JVM-side."""
+    """Word n-gram shingles as an array column (distinct), JVM-side.
+
+    The token array is bound ONCE per row via a single-element transform
+    lambda: Catalyst expressions are trees, not DAGs, so naming ``toks``
+    as a Python variable and using it inside the per-shingle lambda would
+    INLINE the whole split+filter under every element — O(words²) splits
+    per document (measured 7.4 s for 500 sf0.01 docs in minhash_signatures
+    before this fix, 10× less after). ``transform(array(toks), t -> ...)``
+    evaluates the tokenization once and exposes it as the bound lambda
+    variable ``t``; element_at(..., 1) unwraps the result."""
     toks = F.filter(F.split(F.lower(text_col), r"[^0-9A-Za-z]+"), lambda t: t != "")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def shingle(t):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1)))
+        return F.when(
+            F.size(t) >= n,
+            F.array_distinct(
+                F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, n), " "))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), shingle), 1)
 
 
 def exact_duplicates(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
@@ -56,8 +69,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """K minhashes per doc: mh_i = min over shingles of md5(i || ':' || s).
     Lexicographic min over hex digests — no int conversion, portable to any
-    SQL oracle. Entirely JVM-side (md5 + array ops)."""
-    sh = shingles_col(F.col(text), shingle_n)
+    SQL oracle. Entirely JVM-side (md5 + array ops).
+
+    The shingle array is materialized by its own projection step so the
+    tokenization+shingling runs once per row, not once per hash column
+    (Catalyst inlines a reused Column expression into every consumer)."""
+    shingled = df.select(
+        F.col(key), shingles_col(F.col(text), shingle_n).alias("__sh")
+    )
     cols = [F.col(key)]
 
     def hash_lambda(seed: int):
@@ -67,8 +86,10 @@ def minhash_signatures(
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
     for i in range(num_hashes):
-        cols.append(F.array_min(F.transform(sh, hash_lambda(i))).alias(f"mh{i}"))
-    return df.select(*cols)
+        cols.append(
+            F.array_min(F.transform(F.col("__sh"), hash_lambda(i))).alias(f"mh{i}")
+        )
+    return shingled.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -298,8 +319,17 @@ def connected_components(
     """
     if max_iterations < 1:
         raise ValueError("max_iterations must be >= 1")
-    both = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).union(
-        edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
+    # persist the (static) edge list: every iteration joins it, and without
+    # the cache each round would re-execute the caller's whole upstream
+    # lineage — for fuzzy_dedup_corpus that is the full LSH banding +
+    # Jaccard verification pipeline, re-run twice per iteration (measured:
+    # the sf0.01 contract row went 77 s → ~20 s with this persist). The
+    # iterative working set is exactly what guide-style caching is for;
+    # GraphFrames' CC persists its edge/vertex frames the same way.
+    both = (
+        edges.select(F.col(u).alias("src"), F.col(v).alias("dst"))
+        .union(edges.select(F.col(v).alias("src"), F.col(u).alias("dst")))
+        .persist()
     )
     labels = (
         both.select(F.col("src").alias("node"))
@@ -312,6 +342,12 @@ def connected_components(
         neigh = both.join(labels, both.dst == labels.node).select(
             F.col("src").alias("node"), "label"
         )
+        # plain min-label propagation, no pointer jumping: path compression
+        # was tried and REVERTED — the jump join evaluates the propagation
+        # subtree twice per round, and near-duplicate graphs are
+        # near-cliques (diameter 1-3), so doubling every round to save at
+        # most one round is a net loss (measured: sf0.01 fuzzy_dedup
+        # 7.8 s → 12.0 s with jumping).
         new_labels = (
             labels.select("node", "label")
             .union(neigh)
@@ -351,12 +387,16 @@ def connected_components(
             .count()
         )
         if pending > 0:
+            both.unpersist()
             raise RuntimeError(
                 f"connected_components did not converge in {max_iterations} "
                 f"iterations ({pending} labels still changing); raise "
                 "max_iterations — needed rounds are bounded by the largest "
                 "component's diameter"
             )
+    # labels is persisted and materialized; the edge cache has no further
+    # consumers (long-running writers must not accumulate cached relations)
+    both.unpersist()
     return labels.select("node", "label")
 
 

@@ -45,16 +45,24 @@ def hashed_gram_buckets(
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     words = normalized_words(col)
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
+
+    def gramify(w):
+        # w is the BOUND word array: referencing ``words`` inside the
+        # per-element lambda would re-split the whole document per bigram
+        # (Catalyst inlines reused Columns — O(words²); see
+        # dedup.shingles_col)
+        bigrams = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(words, bigrams)
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(w, bigrams)
+
+    grams = F.element_at(F.transform(F.array(words), gramify), 1)
     return F.transform(
         grams,
         lambda g: (

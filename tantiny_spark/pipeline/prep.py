@@ -116,20 +116,27 @@ def chunk_documents(
         raise ValueError("stride must be >= 1")
     col = F.coalesce(F.col(text), F.lit(""))
     words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
-    # number of chunk starts: ceil((len - max_words) / stride) + 1, min 1
-    n_start = F.when(
-        F.size(words) <= max_words, F.lit(1)
-    ).otherwise(
-        F.ceil((F.size(words) - max_words) / F.lit(float(stride))).cast("int")
-        + 1
-    )
-    chunks = F.when(
-        F.size(words) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_start - 1),
-            lambda i: F.slice(words, i * stride + 1, max_words),
-        ),
-    ).otherwise(F.array().cast("array<array<string>>"))
+
+    def chunkify(w):
+        # w is the BOUND word array: referencing ``words`` inside the
+        # per-chunk lambda would re-split the whole document per chunk
+        # (Catalyst inlines reused Columns; see dedup.shingles_col)
+        # number of chunk starts: ceil((len - max_words) / stride) + 1, min 1
+        n_start = F.when(
+            F.size(w) <= max_words, F.lit(1)
+        ).otherwise(
+            F.ceil((F.size(w) - max_words) / F.lit(float(stride))).cast("int")
+            + 1
+        )
+        return F.when(
+            F.size(w) > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_start - 1),
+                lambda i: F.slice(w, i * stride + 1, max_words),
+            ),
+        ).otherwise(F.array().cast("array<array<string>>"))
+
+    chunks = F.element_at(F.transform(F.array(words), chunkify), 1)
     exploded = df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__w")
     )

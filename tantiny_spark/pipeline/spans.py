@@ -37,15 +37,24 @@ _POS_BITS = 20
 
 
 def _occurrences(df: DataFrame, text: str, key: str, k: int) -> DataFrame:
-    """(key, pos, gram) for every k-token window; pos is 0-based."""
+    """(key, pos, gram) for every k-token window; pos is 0-based.
+
+    The token array is bound once per row via a single-element transform
+    (Catalyst inlines a reused Column under every consumer, so referencing
+    ``toks`` directly inside the per-window lambda would re-split the whole
+    document for every window — O(tokens²); see dedup.shingles_col)."""
     toks = tokens_col(text)
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def windows(t):
+        return F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice(t, i, k), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = F.element_at(F.transform(F.array(toks), windows), 1)
     return df.select(key, F.posexplode(grams).alias("pos", "gram"))
 
 

@@ -125,12 +125,18 @@ def _norm_sql(text: str) -> str:
 
 def _grams_sql(text: str, k: int) -> str:
     # sequence(1, 0) is DESCENDING [1,0] in Spark, never empty — guard short
-    # texts explicitly
+    # texts explicitly.
+    # The normalized string is bound ONCE as the lambda variable s: inlining
+    # _norm_sql under the per-gram md5 would re-run the trim/regexp/lower
+    # chain over the whole document for every character position (O(L²)
+    # regex work — the same Catalyst tree-inlining trap the outer window
+    # binder documents).
     return (
-        f"CASE WHEN length({_norm_sql(text)}) >= {k} THEN "
-        f"transform(sequence(1, length({_norm_sql(text)}) - {k - 1}), "
-        f"i -> md5(substring({_norm_sql(text)}, i, {k}))) "
-        f"ELSE array() END"
+        f"transform(array({_norm_sql(text)}), s -> "
+        f"CASE WHEN length(s) >= {k} THEN "
+        f"transform(sequence(1, length(s) - {k - 1}), "
+        f"i -> md5(substring(s, i, {k}))) "
+        f"ELSE array() END)[0]"
     )
 
 
