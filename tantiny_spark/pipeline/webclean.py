@@ -378,74 +378,98 @@ def with_repetition_flags(
         ).alias("dup_line_char_frac"),
     )
 
-    # --- word n-gram character fractions over the normalized word stream
-    def gram_df(n: int):
+    # --- word n-gram character fractions over the normalized word stream.
+    # ALL n values ride ONE tagged explode + two aggregations + one join:
+    # the previous shape ran a separate explode → groupBy → (join→groupBy
+    # for the top-gram argmax) branch per n, i.e. 5 full scans of the input
+    # lineage and ~11 shuffles for the default (2,3,4)+(5,10) — at corpus
+    # scale that is 5 corpus reads where one suffices. Values, tie-breaks
+    # and null/fill semantics are unchanged (the `repetition` contract row
+    # stays hash-green).
+    all_top = sorted(set(top_ns))
+    all_dup = sorted(set(dup_ns))
+
+    def gram_structs(n: int):
         toks = F.col("__w")
         idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
         grams = F.when(
             F.size(toks) >= n,
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
         ).otherwise(F.array().cast("array<string>"))
-        return base.select(
-            id_col,
-            F.explode(grams).alias("g"),
-            F.length(F.array_join("__w", " ")).alias("total_chars"),
+        return F.transform(
+            grams, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
         )
 
-    metric_cols = []
-    for n in sorted(set(top_ns)):
-        g = gram_df(n)
-        counts = g.groupBy(id_col, "g").agg(
-            F.count("*").alias("c"), F.first("total_chars").alias("tc")
+    tagged = F.flatten(F.array(*[gram_structs(n) for n in sorted(set(all_top + all_dup))]))
+    g = base.select(
+        id_col,
+        F.explode(tagged).alias("t"),
+        F.length(F.array_join("__w", " ")).alias("total_chars"),
+    ).select(
+        id_col, F.col("t.n").alias("n"), F.col("t.g").alias("g"), "total_chars"
+    )
+    counts = g.groupBy(id_col, "n", "g").agg(
+        F.count("*").alias("c"), F.first("total_chars").alias("tc")
+    )
+    agg_exprs = [F.first("tc").alias("tc")]
+    for n in all_top:
+        is_n = F.col("n") == n
+        agg_exprs.append(F.max(F.when(is_n, F.col("c"))).alias(f"__cmax{n}"))
+        # argmax with deterministic ties: min over (-count, gram) picks the
+        # max-count gram, ties to the lexicographically-smallest gram text —
+        # identical to the former max-count filter + min(g) two-step
+        agg_exprs.append(
+            F.min(
+                F.when(is_n, F.struct((-F.col("c")).alias("negc"), F.col("g").alias("g")))
+            ).alias(f"__top{n}")
         )
-        # deterministic top gram: max count, ties to smallest gram text
-        cnt_max = counts.groupBy(id_col).agg(F.max("c").alias("cmax"))
-        top_gram = (
-            counts.join(cnt_max, id_col)
-            .where(F.col("c") == F.col("cmax"))
-            .groupBy(id_col)
-            .agg(
-                F.min("g").alias("gtop"),
-                F.first("cmax").alias("cmax"),
-                F.first("tc").alias("tc"),
-            )
-            .select(
-                id_col,
-                # a "top" gram must actually repeat (count >= 2) to count —
-                # otherwise every short doc's arbitrary longest gram trips
-                # the cap (the published filters apply the same gate)
+    for n in all_dup:
+        agg_exprs.append(
+            F.sum(
                 F.when(
-                    (F.col("tc") > 0) & (F.col("cmax") > 1),
-                    F.col("cmax") * F.length("gtop") / F.col("tc"),
+                    F.col("n") == n,
+                    F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(F.lit(0)),
                 )
-                .otherwise(F.lit(0.0))
-                .alias(f"top{n}_gram_char_frac"),
+            ).alias(f"__dupsum{n}")
+        )
+    per_doc = counts.groupBy(id_col).agg(*agg_exprs)
+    metric_exprs = [F.col(id_col)]
+    metric_names = []
+    for n in all_top:
+        name = f"top{n}_gram_char_frac"
+        metric_names.append(name)
+        metric_exprs.append(
+            # a "top" gram must actually repeat (count >= 2) to count —
+            # otherwise every short doc's arbitrary longest gram trips
+            # the cap (the published filters apply the same gate); a doc
+            # with no n-grams has a NULL cmax → otherwise-0.0, matching
+            # the former left-join + fillna
+            F.when(
+                (F.col("tc") > 0) & (F.col(f"__cmax{n}") > 1),
+                F.col(f"__cmax{n}") * F.length(F.col(f"__top{n}.g")) / F.col("tc"),
             )
+            .otherwise(F.lit(0.0))
+            .alias(name)
         )
-        metric_cols.append((f"top{n}_gram_char_frac", top_gram))
-    for n in sorted(set(dup_ns)):
-        g = gram_df(n)
-        counts = g.groupBy(id_col, "g").agg(
-            F.count("*").alias("c"), F.first("total_chars").alias("tc")
+    for n in all_dup:
+        name = f"dup{n}_gram_char_frac"
+        metric_names.append(name)
+        metric_exprs.append(
+            # guard the NULL case explicitly: least() SKIPS nulls, so a doc
+            # with no n-grams of this size would get least(1.0, NULL) = 1.0
+            # instead of the former left-join-null → fillna 0.0
+            F.when(
+                F.col(f"__dupsum{n}").isNotNull(),
+                F.least(F.lit(1.0), F.col(f"__dupsum{n}") / F.col("tc")),
+            ).alias(name)
         )
-        dupfrac = counts.groupBy(id_col).agg(
-            F.least(
-                F.lit(1.0),
-                F.sum(
-                    F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(F.lit(0))
-                )
-                / F.first("tc"),
-            ).alias(f"dup{n}_gram_char_frac")
-        )
-        metric_cols.append((f"dup{n}_gram_char_frac", dupfrac))
+    gram_stats = per_doc.select(*metric_exprs)
 
-    res = df.join(line_stats, id_col, "left")
-    for _, m in metric_cols:
-        res = res.join(m, id_col, "left")
+    res = df.join(line_stats, id_col, "left").join(gram_stats, id_col, "left")
     fills = {
         "dup_line_frac": 0.0,
         "dup_line_char_frac": 0.0,
-        **{name: 0.0 for name, _ in metric_cols},
+        **{name: 0.0 for name in metric_names},
     }
     res = res.fillna(fills)
     for c in fills:
