@@ -337,7 +337,15 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .persist()
     )
-    labels.count()
+
+    def _label_sum(frame) -> object:
+        # exact decimal sum — bigint would overflow at 10^12 nodes with
+        # 10^12-scale ids (sum up to ~10^24)
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)  # also materializes the caches
     for it in range(max_iterations):
         neigh = both.join(labels, both.dst == labels.node).select(
             F.col("src").alias("node"), "label"
@@ -357,16 +365,17 @@ def connected_components(
         )
         if (it + 1) % 5 == 0:
             new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # convergence check WITHOUT joining the two full label tables:
+        # per-node labels are monotonically non-increasing (min over a set
+        # containing the old label), so the total label sum is strictly
+        # smaller iff any label changed — one partial-aggregatable sum per
+        # round instead of an old-vs-new join shuffle
+        cur_sum = _label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         # the final pass still changed labels — the CURRENT labels may
         # nevertheless be the fixpoint (the last change can complete the
