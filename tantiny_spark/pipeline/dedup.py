@@ -326,9 +326,17 @@ def connected_components(
     # the sf0.01 contract row went 77 s → ~20 s with this persist). The
     # iterative working set is exactly what guide-style caching is for;
     # GraphFrames' CC persists its edge/vertex frames the same way.
+    # The RAW edges are cached first: the symmetrized union's two branches
+    # are separate subplans (no subtree reuse in Spark), so materializing
+    # ``both`` directly would still run the caller's pair lineage TWICE —
+    # one full verification pass wasted at any scale.
+    edges_once = edges.select(
+        F.col(u).alias("src"), F.col(v).alias("dst")
+    ).persist()
     both = (
-        edges.select(F.col(u).alias("src"), F.col(v).alias("dst"))
-        .union(edges.select(F.col(v).alias("src"), F.col(u).alias("dst")))
+        edges_once.union(
+            edges_once.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
         .persist()
     )
     labels = (
@@ -346,6 +354,8 @@ def connected_components(
         ).collect()[0]["s"]
 
     prev_sum = _label_sum(labels)  # also materializes the caches
+    # ``both`` is cached now; the raw-edge cache has served its purpose
+    edges_once.unpersist()
     for it in range(max_iterations):
         neigh = both.join(labels, both.dst == labels.node).select(
             F.col("src").alias("node"), "label"
